@@ -1,0 +1,390 @@
+"""The Ray Data CDC pipeline: change-log Parquet → normalized Arrow batches
+→ hash-partitioned shuffle → actor-pool sorted-merge → committed lake round.
+
+Replaces the reference's JobScheduler + StreamController + PostgresItemExporter
+triple (``indexer/controller/stream_controller.py:50-161``,
+``indexer/controller/scheduler/job_scheduler.py:260-300``,
+``indexer/exporters/postgres_item_exporter.py:37-133`` in /root/reference)
+with a streaming `ray.data` pipeline per commit round:
+
+    read_parquet(epoch files)                 # parallel, column-complete scan
+      .map_batches(normalize, "pyarrow")      # conform/evolve schema, assign part
+      [.groupby(salt).map_groups(prefold)]    # optional skew pre-fold (combiner)
+      .groupby("part")                        # THE shuffle (one key, reused)
+      .map_groups(MergeWorker, concurrency=k) # actor pool: sorted-merge vs fragment
+    → driver commits the manifest             # epoch fence, single writer
+
+Rounds are groups of ``epochs_per_round`` epoch files (Hemera's
+``--block-batch-size`` analog); a rollback epoch forces a barrier and is
+applied as a manifest restore from the undo buffer.
+
+NOTE: never calls ``ray.init`` — the caller owns the Ray session.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from raycdc import lake as L
+from raycdc import merge as M
+from raycdc import partition as P
+from raycdc import schema as S
+
+_FILE_RE = re.compile(r"changes-(\d+)-(\d+)-(\d+)\.parquet$")
+
+
+def discover_epoch_files(log_dir: str) -> list[dict]:
+    """Parse ``changes-{epoch}-{lo}-{hi}.parquet`` names; file-level range
+    pruning straight from the filename, like the reference's CSV source
+    (``indexer/jobs/source_job/csv_source_job.py:34-108``)."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(log_dir, "changes-*.parquet"))):
+        m = _FILE_RE.search(path)
+        if not m:
+            continue
+        out.append(
+            {
+                "path": path,
+                "epoch": int(m.group(1)),
+                "cursor_lo": int(m.group(2)),
+                "cursor_hi": int(m.group(3)),
+            }
+        )
+    return sorted(out, key=lambda f: f["epoch"])
+
+
+def _file_has_rollback(path: str) -> bool:
+    """Cheap rollback sniff: parquet column statistics on ``op`` first
+    (footer-only read), column scan only when stats are inconclusive."""
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("op")
+    conclusive = True
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            conclusive = False
+            break
+        if st.min <= "rollback" <= st.max:
+            conclusive = False  # possible hit → must scan
+            break
+    if conclusive:
+        return False
+    ops = f.read(columns=["op"]).column("op")
+    import pyarrow.compute as pc
+
+    return pc.any(pc.equal(ops, "rollback")).as_py()
+
+
+def _read_rollback_cursor(path: str) -> int:
+    t = pq.read_table(path, columns=["op", "rollback_to_cursor"])
+    df = t.to_pandas()
+    vals = df.loc[df["op"] == "rollback", "rollback_to_cursor"]
+    return int(vals.iloc[0])
+
+
+class _Normalize:
+    """Stateless per-batch transform: conform every batch to the round's
+    unified change schema (schema evolution is per batch, not per epoch —
+    SURVEY.md §7.5.6) and assign the home partition."""
+
+    def __init__(self, schema_str: str, num_partitions: int):
+        self.schema = L._schema_from_str(schema_str)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.is_in(batch.column("op"), value_set=pa.array(["insert", "update", "delete"]))
+        if not pc.all(ok).as_py():
+            bad = batch.filter(pc.invert(ok)).column("op").to_pylist()[:3]
+            raise ValueError(f"unexpected op(s) in merge round: {bad}")
+        batch = S.conform(batch, self.schema)
+        part = P.assign_part(
+            batch.column("conv_id").to_numpy(zero_copy_only=False),
+            self.num_partitions,
+        )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+class MergeWorker:
+    """Actor-pool merge stage: one call merges one partition's events into
+    its live fragment and writes the round's new fragment (tmp+rename).
+    Constructed once per round per actor — fragment map, schemas and payload
+    columns are set up in ``__init__`` (once per actor), not per group."""
+
+    def __init__(
+        self,
+        live_map: dict,
+        lake_root: str,
+        round_id: str,
+        schema_str: str,
+        num_partitions: int,
+    ):
+        self.live_map = live_map
+        self.lake_root = lake_root
+        self.round_id = round_id
+        self.change_schema = L._schema_from_str(schema_str)
+        self.payload = M.payload_columns([f.name for f in self.change_schema])
+        self.frag_schema = M.fragment_schema_for(self.change_schema)
+        self.num_partitions = num_partitions
+
+    def _frag_path(self, part: int) -> str:
+        return os.path.join(
+            self.lake_root,
+            L.FRAGMENT_DIR,
+            f"part={part:05d}",
+            f"frag-{self.round_id}.parquet",
+        )
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        part = int(group["part"].iloc[0])
+        assert (group["part"] == part).all(), "map_groups gave a mixed group"
+
+        fragment = None
+        live = self.live_map.get(part)
+        if live is not None:
+            ftbl = pq.read_table(live)
+            ftbl = S.conform(ftbl, self.frag_schema)  # evolve old fragment
+            fragment = ftbl.to_pandas()
+
+        t0 = time.perf_counter()
+        out = M.merge_partition(fragment, group, self.payload)
+        merged_sec = time.perf_counter() - t0
+
+        out_tbl = pa.Table.from_pandas(out, preserve_index=False)
+        out_tbl = S.conform(out_tbl, self.frag_schema)
+        path = self._frag_path(part)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(out_tbl, tmp)
+        os.replace(tmp, path)
+
+        return pd.DataFrame(
+            {
+                "part": [part],
+                "n_events": [len(group)],
+                "n_rows": [len(out)],
+                "n_live": [int((~out[M.DELETED_COL]).sum())],
+                "max_cursor": [int(out["cursor"].max()) if len(out) else 0],
+                "merge_sec": [merged_sec],
+            }
+        )
+
+
+class _PreFold:
+    """Optional skew combiner: complete per-key fold inside a salted
+    sub-partition, emitting one delta event per key (see partition.py for
+    the partitioning assumption)."""
+
+    def __init__(self, schema_str: str, num_partitions: int):
+        schema = L._schema_from_str(schema_str)
+        self.payload = M.payload_columns([f.name for f in schema])
+        self.num_partitions = num_partitions
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        folded = M.merge_partition(None, group, self.payload, with_boundary=True)
+        op = np.where(
+            folded[M.DELETED_COL].to_numpy(),
+            "delete",
+            np.where(folded["_boundary"].to_numpy(), "insert", "update"),
+        )
+        out = folded.drop(columns=[M.DELETED_COL, "_boundary"])
+        out["op"] = op
+        # a salt group spans many conversations → recompute each key's home
+        out["part"] = P.assign_part(
+            out["conv_id"].to_numpy(), self.num_partitions
+        )
+        return out
+
+
+class Engine:
+    """Driver-side CDC engine over one lake directory."""
+
+    def __init__(
+        self,
+        lake_root: str,
+        num_partitions: int = 64,
+        undo_window: int = 8,
+        merge_concurrency=None,
+        salted: bool = False,
+        salt_factor: int = 4,
+    ):
+        self.lake = L.Lake(lake_root, num_partitions, undo_window)
+        self.merge_concurrency = merge_concurrency
+        self.salted = salted
+        self.salt_factor = salt_factor
+
+    # -- schema -----------------------------------------------------------
+
+    def _round_schema(self, paths: list[str]) -> pa.Schema:
+        schema = self.lake.schema  # committed change schema (or None)
+        for p in paths:
+            fs = pq.read_schema(p)
+            fs = pa.schema([f for f in fs if f.name != "part"])
+            schema = fs if schema is None else S.unify(schema, fs)
+        return schema
+
+    # -- one commit round --------------------------------------------------
+
+    def apply_round(self, files: list[dict], round_id: str) -> dict:
+        if round_id in self.lake.committed_round_ids():
+            return {"round_id": round_id, "skipped": True}  # epoch fence
+
+        paths = [f["path"] for f in files]
+        schema = self._round_schema(paths)
+        schema_str = L._schema_to_str(schema)
+        nparts = self.lake.num_partitions
+        t0 = time.perf_counter()
+
+        ds = ray.data.read_parquet(paths)
+        ds = ds.map_batches(
+            _Normalize(schema_str, nparts), batch_format="pyarrow"
+        )
+        if self.salted:
+            salted_ds = ds.map_batches(
+                _salt_batch_fn(nparts, self.salt_factor), batch_format="pyarrow"
+            )
+            ds = salted_ds.groupby("salt").map_groups(
+                _PreFold,
+                fn_constructor_args=(schema_str, nparts),
+                batch_format="pandas",
+                concurrency=self.merge_concurrency or (1, 16),
+            )
+
+        stats_ds = ds.groupby("part").map_groups(
+            MergeWorker,
+            fn_constructor_args=(
+                self.lake.live_fragment_map(),
+                self.lake.root,
+                round_id,
+                schema_str,
+                nparts,
+            ),
+            batch_format="pandas",
+            concurrency=self.merge_concurrency or (1, 16),
+        )
+        stats = stats_ds.to_pandas()  # ≤ P rows
+        wall = time.perf_counter() - t0
+
+        n_events = int(stats["n_events"].sum()) if len(stats) else 0
+        metrics = {
+            "n_events": n_events,
+            "n_rows": int(stats["n_rows"].sum()) if len(stats) else 0,
+            "n_live": int(stats["n_live"].sum()) if len(stats) else 0,
+            "touched_parts": len(stats),
+            "wall_sec": wall,
+            "events_per_sec": n_events / wall if wall > 0 else 0.0,
+        }
+        self.lake.commit_round(
+            round_id=round_id,
+            epochs=[f["epoch"] for f in files],
+            cursor_lo=min(f["cursor_lo"] for f in files),
+            cursor_hi=max(f["cursor_hi"] for f in files),
+            touched_parts=sorted(int(p) for p in stats["part"]) if len(stats) else [],
+            schema=schema,
+            metrics=metrics,
+        )
+        return {"round_id": round_id, "skipped": False, **metrics}
+
+    # -- full log replay ---------------------------------------------------
+
+    def apply_log(self, log_dir: str, epochs_per_round: int = 1) -> list[dict]:
+        """Replay every epoch file under ``log_dir`` in commit rounds.
+        Already-committed rounds are skipped (resume); rollback epochs are
+        barriers applied via the undo buffer. Resume contract: use the same
+        ``epochs_per_round`` across restarts (round ids derive from epoch
+        groups)."""
+        files = discover_epoch_files(log_dir)
+        results = []
+        group: list[dict] = []
+
+        def flush():
+            if not group:
+                return
+            rid = f"r{group[0]['epoch']:06d}-{group[-1]['epoch']:06d}"
+            results.append(self.apply_round(list(group), rid))
+            group.clear()
+
+        for f in files:
+            if _file_has_rollback(f["path"]):
+                flush()
+                to_cursor = _read_rollback_cursor(f["path"])
+                self.lake.rollback(to_cursor)
+                results.append(
+                    {"round_id": f"rollback@{f['epoch']}", "rollback_to": to_cursor}
+                )
+                continue
+            # schema evolution forces a round boundary: a round's files share
+            # one change schema (the evolved schema commits with its round)
+            if group and not pq.read_schema(f["path"]).equals(
+                pq.read_schema(group[0]["path"])
+            ):
+                flush()
+            group.append(f)
+            if len(group) >= epochs_per_round:
+                flush()
+        flush()
+        return results
+
+    # -- reads -------------------------------------------------------------
+
+    def read_lake(self, columns=None, include_system: bool = False):
+        """The lake as a Dataset of live transcript rows (tombstones and
+        system columns dropped unless requested). Fragments are already
+        sorted by (conv_id, turn_idx)."""
+        paths = self.lake.live_fragment_paths()
+        if not paths:
+            schema = self.lake.schema or S.CHANGE_SCHEMA
+            empty = pa.Table.from_arrays(
+                [], schema=pa.schema([])
+            )
+            return ray.data.from_arrow(
+                S.conform(empty, M.fragment_schema_for(schema))
+            )
+        import pyarrow.compute as pc
+
+        ds = ray.data.read_parquet(paths)
+
+        def _live(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column(M.DELETED_COL), False))
+            drop = [M.DELETED_COL] + ([] if include_system else ["cursor", "seq"])
+            # "part" is hive-partitioning inference from part=NNNNN dirs,
+            # not a stored column — keep the lake surface clean
+            drop += [c for c in ("part",) if c in t.column_names]
+            return t.drop_columns(drop)
+
+        ds = ds.map_batches(_live, batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+
+    def read_lake_pandas(self) -> pd.DataFrame:
+        """Driver-side full materialization — tests/small lakes only."""
+        df = self.read_lake(include_system=True).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+            drop=True
+        )
+
+
+def _salt_batch_fn(num_partitions: int, salt_factor: int):
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = P.assign_salted(
+            batch.column("conv_id").to_numpy(zero_copy_only=False),
+            batch.column("turn_idx").to_numpy(zero_copy_only=False),
+            num_partitions,
+            salt_factor,
+        )
+        return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+    return add_salt

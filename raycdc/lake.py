@@ -1,0 +1,216 @@
+"""Partitioned Parquet lake: fragment IO, commit manifest, epoch fencing,
+bounded undo buffer, rollback.
+
+The durability/exactly-once layer — the analog of the reference's PostgreSQL
+tables + ``sync_recorder`` cursor checkpoint
+(``indexer/utils/sync_recorder.py:19-100``), reorg journal / repair
+(``indexer/utils/reorg.py:12-69``, ``indexer/controller/reorg_controller.py:28-93``)
+and its idempotent re-run-a-range semantics
+(``indexer/controller/stream_controller.py:101-103,123-153``).
+
+Design:
+  * ``fragments/part=<p>/frag-<round>.parquet`` — one live fragment per hash
+    partition, rewritten only by rounds that touch the partition. File names
+    are deterministic per (partition, round): re-running a crashed round
+    rewrites identical files, so replay is idempotent.
+  * ``manifest.json`` — single atomic (tmp+rename) commit point: committed
+    rounds (epoch ids + cursor range + metrics), per-partition fragment
+    version history (the undo buffer, bounded to the last
+    ``undo_window`` rounds — Hemera's reorg ``--ranges`` analog,
+    ``cli/reorg.py:86-93``), and the current Arrow schema (schema evolution
+    is committed with the round that introduced it).
+  * crash-at-any-point: fragments written but manifest unswapped → the round
+    is not committed; replay rewrites the same files and commits. A
+    committed round found in the manifest is skipped (epoch fencing).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+
+import pyarrow as pa
+
+MANIFEST = "manifest.json"
+FRAGMENT_DIR = "fragments"
+
+
+def _schema_to_str(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def _schema_from_str(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+class Lake:
+    """Driver-side handle for the lake directory. Single-writer (the driver
+    owns the manifest commit — the epoch fence, SURVEY.md §7.3)."""
+
+    def __init__(self, root: str, num_partitions: int = 64, undo_window: int = 8):
+        self.root = root
+        self.manifest_path = os.path.join(root, MANIFEST)
+        os.makedirs(os.path.join(root, FRAGMENT_DIR), exist_ok=True)
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                self.manifest = json.load(f)
+        else:
+            self.manifest = {
+                "version": 1,
+                "num_partitions": num_partitions,
+                "undo_window": undo_window,
+                "schema": None,  # set at first commit
+                "committed_rounds": [],
+                # part(str) -> list of {"round": str, "file": relpath} (oldest..live)
+                "partitions": {},
+            }
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def num_partitions(self) -> int:
+        return self.manifest["num_partitions"]
+
+    @property
+    def schema(self) -> pa.Schema | None:
+        s = self.manifest["schema"]
+        return _schema_from_str(s) if s else None
+
+    def committed_round_ids(self) -> set:
+        return {r["round_id"] for r in self.manifest["committed_rounds"]}
+
+    def last_cursor(self) -> int:
+        rounds = self.manifest["committed_rounds"]
+        return rounds[-1]["cursor_hi"] if rounds else 0
+
+    def live_fragment_map(self) -> dict:
+        """part -> absolute path of live fragment (absent part = empty)."""
+        return {
+            int(p): os.path.join(self.root, versions[-1]["file"])
+            for p, versions in self.manifest["partitions"].items()
+            if versions
+        }
+
+    def live_fragment_paths(self) -> list:
+        return sorted(self.live_fragment_map().values())
+
+    # -- fragment naming (deterministic → idempotent replay) ---------------
+
+    def fragment_relpath(self, part: int, round_id: str) -> str:
+        return os.path.join(FRAGMENT_DIR, f"part={part:05d}", f"frag-{round_id}.parquet")
+
+    def fragment_abspath(self, part: int, round_id: str) -> str:
+        return os.path.join(self.root, self.fragment_relpath(part, round_id))
+
+    # -- commit ------------------------------------------------------------
+
+    def commit_round(
+        self,
+        round_id: str,
+        epochs: list,
+        cursor_lo: int,
+        cursor_hi: int,
+        touched_parts: list,
+        schema: pa.Schema,
+        metrics: dict,
+    ) -> None:
+        """Atomically commit a round: swap live fragments for touched
+        partitions, record lineage + metrics, trim the undo buffer."""
+        if round_id in self.committed_round_ids():
+            return  # fence: already committed → no-op (idempotent replay)
+        parts = self.manifest["partitions"]
+        for p in touched_parts:
+            versions = parts.setdefault(str(int(p)), [])
+            versions.append(
+                {"round": round_id, "file": self.fragment_relpath(int(p), round_id)}
+            )
+        self.manifest["schema"] = _schema_to_str(schema)
+        self.manifest["committed_rounds"].append(
+            {
+                "round_id": round_id,
+                "epochs": [int(e) for e in epochs],
+                "cursor_lo": int(cursor_lo),
+                "cursor_hi": int(cursor_hi),
+                "touched_parts": [int(p) for p in touched_parts],
+                "committed_at": time.time(),
+                "metrics": metrics,
+            }
+        )
+        self._gc()
+        self._write_manifest()
+
+    def _write_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.manifest_path)
+
+    def _gc(self) -> None:
+        """Trim per-partition history to versions from the last
+        ``undo_window`` committed rounds; delete unreferenced fragments."""
+        rounds = self.manifest["committed_rounds"]
+        keep_rounds = {r["round_id"] for r in rounds[-self.manifest["undo_window"] :]}
+        for p, versions in self.manifest["partitions"].items():
+            if len(versions) <= 1:
+                continue
+            # keep all in-window versions PLUS the newest pre-window version:
+            # it is the restore base for a rollback to the window's oldest
+            # boundary (without it a rollback would wrongly empty the part).
+            first_keep = 0
+            for i, v in enumerate(versions):
+                if v["round"] not in keep_rounds:
+                    first_keep = i
+            kept = versions[first_keep:]
+            for v in versions[:first_keep]:
+                path = os.path.join(self.root, v["file"])
+                if os.path.exists(path):
+                    os.remove(path)
+            self.manifest["partitions"][p] = kept
+
+    # -- rollback (reorg analog) ------------------------------------------
+
+    def rollback(self, to_cursor: int) -> None:
+        """Restore lake state as of the committed round whose ``cursor_hi``
+        equals ``to_cursor`` (rollbacks target committed boundaries — Hemera
+        reorgs whole block ranges). Bounded by the undo window; older
+        rollbacks raise, mirroring the reference's finite ``--ranges``
+        repair window."""
+        rounds = self.manifest["committed_rounds"]
+        if to_cursor == 0 and not rounds:
+            return
+        idx = None
+        for i, r in enumerate(rounds):
+            if r["cursor_hi"] == to_cursor:
+                idx = i
+                break
+        if idx is None and to_cursor == 0:
+            idx = -1
+        if idx is None:
+            raise ValueError(
+                f"rollback_to_cursor={to_cursor} is not a committed round "
+                f"boundary (committed: {[r['cursor_hi'] for r in rounds]})"
+            )
+        undone = rounds[idx + 1 :]
+        if len(undone) >= self.manifest["undo_window"]:
+            raise ValueError(
+                f"rollback of {len(undone)} rounds exceeds undo_window="
+                f"{self.manifest['undo_window']}"
+            )
+        undone_ids = {r["round_id"] for r in undone}
+        for p, versions in list(self.manifest["partitions"].items()):
+            kept = [v for v in versions if v["round"] not in undone_ids]
+            for v in versions:
+                if v["round"] in undone_ids:
+                    path = os.path.join(self.root, v["file"])
+                    if os.path.exists(path):
+                        os.remove(path)
+            if kept:
+                self.manifest["partitions"][p] = kept
+            else:
+                del self.manifest["partitions"][p]
+        self.manifest["committed_rounds"] = rounds[: idx + 1]
+        self._write_manifest()

@@ -67,6 +67,7 @@ def merge_partition(
     fragment: pd.DataFrame | None,
     events: pd.DataFrame,
     payload: list[str],
+    with_boundary: bool = False,
 ) -> pd.DataFrame:
     """Merge one partition's change events into its existing fragment.
 
@@ -126,7 +127,13 @@ def merge_partition(
     for c in payload:
         out[c] = pay[c]
     out[DELETED_COL] = last["op"].to_numpy() == "delete"
-    out = out[S.KEY_COLS + payload + ["cursor", "seq", DELETED_COL]]
+    cols = S.KEY_COLS + payload + ["cursor", "seq", DELETED_COL]
+    if with_boundary:
+        # whether the surviving segment starts at an insert/delete boundary
+        # (vs a patch-only run) — drives the delta op in the salted pre-fold
+        out["_boundary"] = np.repeat(seg[key_end] >= 1, 1)
+        cols = cols + ["_boundary"]
+    out = out[cols]
     return out.reset_index(drop=True)
 
 

@@ -1,0 +1,186 @@
+"""End-to-end engine tests: replay generated change logs through the Ray
+pipeline and compare the final lake against the single-threaded oracle —
+the FIXTURES.md §3 tiers (smoke, correctness, skew, evolution, resume,
+rollback). One Ray session for the whole pytest run (conftest)."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raycdc import gen, oracle
+from raycdc.engine import Engine
+from raycdc.lake import Lake
+
+
+def load_log_df(log_dir: str) -> pd.DataFrame:
+    """The written log read back (includes evolved columns) — oracle input."""
+    frames = [
+        pq.read_table(p).to_pandas()
+        for p in sorted(glob.glob(os.path.join(log_dir, "changes-*.parquet")))
+    ]
+    return pd.concat(frames, ignore_index=True)
+
+
+def assert_matches_oracle(engine: Engine, log_dir: str):
+    expect = oracle.replay(load_log_df(log_dir))
+    got = engine.read_lake_pandas()
+    got = got[expect.columns.tolist()].reset_index(drop=True)
+    for c in ("turn_idx", "cursor"):
+        got[c] = got[c].astype("int64")
+        expect[c] = expect[c].astype("int64")
+    got["seq"] = got["seq"].astype("int32")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # per-turn text equality under stable turn ordering (the north-star
+    # invariant): rows within each conv_id ascend by turn_idx in storage
+    for frag in engine.lake.live_fragment_paths():
+        f = pq.read_table(frag, columns=["conv_id", "turn_idx"]).to_pandas()
+        assert (
+            f.sort_values(["conv_id", "turn_idx"], kind="stable")["turn_idx"]
+            .reset_index(drop=True)
+            .equals(f["turn_idx"].reset_index(drop=True))
+        ), f"fragment {frag} not sorted by (conv_id, turn_idx)"
+
+
+@pytest.fixture
+def make_lake(tmp_path):
+    def _make(**kw):
+        return Engine(str(tmp_path / "lake"), **kw)
+
+    return _make
+
+
+def test_t1_smoke_insert_only(ray_session, tmp_path, make_lake):
+    spec = gen.GenSpec(
+        seed=1, n_convs=200, mean_turns=8, frac_update=0, frac_delete=0,
+        frac_dup=0, n_epochs=4,
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    results = eng.apply_log(log)
+    assert all(not r.get("skipped") for r in results)
+    assert_matches_oracle(eng, log)
+
+
+def test_t2_correctness_full_mix(ray_session, tmp_path, make_lake):
+    spec = gen.GenSpec(seed=2, n_convs=400, mean_turns=10, n_epochs=6)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=16)
+    eng.apply_log(log, epochs_per_round=2)
+    assert_matches_oracle(eng, log)
+
+
+def test_t2_rollback_reorg(ray_session, tmp_path, make_lake):
+    spec = gen.GenSpec(
+        seed=3, n_convs=150, mean_turns=6, n_epochs=5, rollback_epochs=(2,)
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    results = eng.apply_log(log)
+    assert any("rollback" in str(r.get("round_id")) for r in results)
+    assert_matches_oracle(eng, log)
+    # canonical replay must actually differ from the orphaned branch
+    got = eng.read_lake_pandas()
+    assert got["text"].str.endswith(":canon").any()
+
+
+def test_t2_skew_salted(ray_session, tmp_path, make_lake):
+    spec = gen.GenSpec(seed=4, n_convs=100, mean_turns=20, zipf_a=1.5, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, salted=True, salt_factor=4)
+    eng.apply_log(log, epochs_per_round=2)
+    assert_matches_oracle(eng, log)
+
+
+def test_t2_schema_evolution(ray_session, tmp_path, make_lake):
+    spec = gen.GenSpec(seed=5, n_convs=150, mean_turns=6, n_epochs=6, evolve_at_epoch=3)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log, epochs_per_round=2)
+    got = eng.read_lake_pandas()
+    assert "tool_meta" in got.columns  # column add propagated to the lake
+    assert_matches_oracle(eng, log)
+
+
+def test_t2_resume_and_epoch_fencing(ray_session, tmp_path, make_lake):
+    spec = gen.GenSpec(seed=6, n_convs=200, mean_turns=8, n_epochs=6)
+    log = str(tmp_path / "log")
+    paths = gen.write_change_log(spec, log)
+
+    # stage half the log, replay, then "restart" with the full log
+    half = str(tmp_path / "log_half")
+    os.makedirs(half)
+    for p in paths[:3]:
+        os.link(p, os.path.join(half, os.path.basename(p)))
+    eng1 = make_lake(num_partitions=8)
+    r1 = eng1.apply_log(half)
+    assert len(r1) == 3
+
+    eng2 = make_lake(num_partitions=8)  # fresh driver, manifest reloaded
+    r2 = eng2.apply_log(log)
+    assert [r["skipped"] for r in r2] == [True, True, True, False, False, False]
+    assert_matches_oracle(eng2, log)
+
+    # full re-replay is a no-op (exactly-once)
+    before = eng2.read_lake_pandas()
+    r3 = make_lake(num_partitions=8).apply_log(log)
+    assert all(r["skipped"] for r in r3)
+    pd.testing.assert_frame_equal(before, make_lake().read_lake_pandas())
+
+
+def test_idempotent_fragment_rewrite(ray_session, tmp_path, make_lake):
+    """Crash-replay: re-running an uncommitted round rewrites byte-identical
+    fragments (deterministic names + contents)."""
+    spec = gen.GenSpec(seed=7, n_convs=100, mean_turns=5, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=4)
+    eng.apply_log(log)
+    frags = {p: open(p, "rb").read() for p in eng.lake.live_fragment_paths()}
+
+    # simulate a crash-before-commit of the last round: forget the commit
+    eng.lake.manifest["committed_rounds"].pop()
+    for p, versions in list(eng.lake.manifest["partitions"].items()):
+        if versions and versions[-1]["round"].endswith("000001-000001"):
+            versions.pop()
+        if not versions:
+            del eng.lake.manifest["partitions"][p]
+    eng.lake._write_manifest()
+
+    eng2 = make_lake(num_partitions=4)
+    r = eng2.apply_log(log)
+    assert [x["skipped"] for x in r] == [True, False]
+    for p, content in frags.items():
+        assert open(p, "rb").read() == content, f"fragment {p} not byte-stable"
+
+
+def test_rollback_beyond_undo_window_raises(tmp_path):
+    lake = Lake(str(tmp_path / "l"), num_partitions=2, undo_window=2)
+    import pyarrow as pa
+
+    from raycdc.schema import CHANGE_SCHEMA
+
+    for i in range(3):
+        lake.commit_round(f"r{i}", [i], i * 10 + 1, (i + 1) * 10, [], CHANGE_SCHEMA, {})
+    with pytest.raises(ValueError, match="undo_window"):
+        lake.rollback(10)  # 2 rounds back, window is 2 → fenced
+    lake.rollback(20)  # 1 round back is fine
+    assert lake.last_cursor() == 20
+
+
+def test_rollback_non_boundary_raises(tmp_path):
+    lake = Lake(str(tmp_path / "l"), num_partitions=2, undo_window=4)
+    import pyarrow as pa
+
+    from raycdc.schema import CHANGE_SCHEMA
+
+    lake.commit_round("r0", [0], 1, 10, [], CHANGE_SCHEMA, {})
+    with pytest.raises(ValueError, match="boundary"):
+        lake.rollback(7)
