@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
+
+    {"metric": "raycdc_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "cdc": {...replay detail: events, events_per_sec...}}
+
+``--scaling``: run the same job in two fresh processes at 8 and 32 CPUs
+on the same (cached) input and print throughput at both plus the scaling
+efficiency eff = (t_lo / t_hi) / (cpus_hi / cpus_lo).
+
+The headline pipeline is the CDC transcript replay (generated
+deterministic change log → engine → Parquet lake); the query suite adds
+the operator-surface pipelines over the testdata tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "events_latest_per_user",
+    "events_sessionize",
+    "dedup_exact",
+    "token_counts",
+    "dedup_minhash_pairs",
+    "ann_bruteforce",
+    "cdc_apply_events",
+]
+
+# bench-scale CDC corpus per sf tier (events ≈ n_convs * mean_turns * 1.3)
+CDC_SCALE = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 60000}
+
+
+def _cdc_spec():
+    from raycdc import gen
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    n_convs = CDC_SCALE.get(sf_name, 60000)
+    return gen.GenSpec(
+        seed=77, n_convs=n_convs, mean_turns=12, n_epochs=8, frac_dup=0.02
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raycdc import gen
+    from raycdc.engine import Engine
+    from raycdc.queries import QUERIES
+
+    # -- headline: CDC replay ------------------------------------------------
+    spec = _cdc_spec()
+    log_dir = gen.cached_change_log(spec)  # generated once, reused across runs
+    # warm page cache so we measure compute+shuffle, not first-touch disk IO
+    for f in os.listdir(log_dir):
+        with open(os.path.join(log_dir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    lake_dir = f"/tmp/raycdc-bench/lake-{gen.spec_fingerprint(spec)}-{NCPU}"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    eng = Engine(
+        lake_dir,
+        num_partitions=128,
+        merge_concurrency=(2, max(4, NCPU)),
+    )
+    t0 = time.perf_counter()
+    rounds = eng.apply_log(log_dir, epochs_per_round=2)
+    cdc_sec = time.perf_counter() - t0
+    n_events = sum(r.get("n_events", 0) for r in rounds)
+    cdc = {
+        "events": n_events,
+        "sec": round(cdc_sec, 3),
+        "events_per_sec": round(n_events / cdc_sec, 1),
+        "rounds": len(rounds),
+        "final_rows": sum(r.get("n_live", 0) for r in rounds[-1:]),
+    }
+
+    # -- operator-surface queries -------------------------------------------
+    qtimes = {"cdc_replay": round(cdc_sec, 3)}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()  # force execution
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    out = {
+        "metric": "raycdc_total",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "cdc": cdc,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(lo)  # untimed warm-up pass: generates+caches the log, warms the cache
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["cdc"]["sec"], r_hi["cdc"]["sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "cdc_sec": [t_lo, t_hi],
+        "cdc_events_per_sec": [
+            r_lo["cdc"]["events_per_sec"],
+            r_hi["cdc"]["events_per_sec"],
+        ],
+        "total_sec": [r_lo["value"], r_hi["value"]],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

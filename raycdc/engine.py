@@ -306,6 +306,13 @@ class Engine:
         ``epochs_per_round`` across restarts (round ids derive from epoch
         groups)."""
         files = discover_epoch_files(log_dir)
+        # reorg-aware planning: a rollback target must be a committed round
+        # boundary, so pre-scan rollback epochs and force a round flush at
+        # each target cursor (mirrors Hemera rolling back whole block ranges)
+        rollback_files = {f["path"] for f in files if _file_has_rollback(f["path"])}
+        rollback_targets = {
+            _read_rollback_cursor(p) for p in rollback_files
+        }
         results = []
         group: list[dict] = []
 
@@ -317,7 +324,7 @@ class Engine:
             group.clear()
 
         for f in files:
-            if _file_has_rollback(f["path"]):
+            if f["path"] in rollback_files:
                 flush()
                 to_cursor = _read_rollback_cursor(f["path"])
                 self.lake.rollback(to_cursor)
@@ -332,7 +339,7 @@ class Engine:
             ):
                 flush()
             group.append(f)
-            if len(group) >= epochs_per_round:
+            if len(group) >= epochs_per_round or f["cursor_hi"] in rollback_targets:
                 flush()
         flush()
         return results

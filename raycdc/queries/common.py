@@ -1,0 +1,75 @@
+"""Shared helpers for the query surface.
+
+Conventions (scale discipline, SURVEY.md §4 / task brief):
+  * ``read`` always passes ``columns=`` — prune at the read.
+  * dimension tables (region/nation/supplier/part/customer at test scale)
+    are broadcast via ``ray.put`` once and looked up inside ``map_batches``
+    — never shuffled (map-side join, mirroring the reference's dict joins,
+    ``indexer/jobs/export_contracts_job.py:50-58``).
+  * big-big joins use ``Dataset.join`` (hash-partitioned).
+  * float aggregate outputs are rounded (ROUND_DIGITS) on BOTH the Ray and
+    the DuckDB side so order-of-summation noise cannot flip a value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+ROUND_DIGITS = 4
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def read_pandas(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side read for SMALL dimension tables only."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).to_pandas()
+
+
+def broadcast(obj):
+    """ray.put once; workers ray.get per actor/task, not per batch."""
+    return ray.put(obj)
+
+
+class MapJoin:
+    """Broadcast hash-join stage: joins each batch against a small
+    dimension DataFrame shipped once via the object store."""
+
+    def __init__(self, ref, left_on: str, right_on: str, how: str = "inner"):
+        self.dim = ray.get(ref)
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(
+            self.dim, how=self.how, left_on=self.left_on, right_on=self.right_on
+        )
+        if self.right_on != self.left_on and self.right_on in out.columns:
+            out = out.drop(columns=[self.right_on])
+        return out
+
+
+def round_cols(df: pd.DataFrame, cols: list[str], digits: int = ROUND_DIGITS) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(digits)
+    return df
+
+
+def to_sorted_pandas(ds, by: list[str]) -> pd.DataFrame:
+    df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
+    return df.sort_values(by, kind="stable").reset_index(drop=True)

@@ -1,0 +1,233 @@
+"""Text-analysis operators over the ``documents`` table: exact dedup,
+token counting, quality scoring, language ID — the training-data-pipeline
+operator set (task brief), built as vectorized / actor-pool map_batches
+stages.
+
+Exact dedup mirrors the reference's seen-key dedup
+(`indexer/jobs/export_token_balances_job.py:112-147` in /root/reference):
+hash-partition by content, keep the first (min doc_id) per group.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from raycdc.queries import common as C
+
+
+# -- exact dedup (hash-partition + per-group first) ------------------------
+
+def dedup_exact(sf_dir: str):
+    """Group by exact text, keep the row with min doc_id. The groupby key
+    is a 64-bit content hash (cheap shuffle key); the winner inside each
+    hash group is picked on the full text to be collision-safe."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t.column("text").to_numpy(zero_copy_only=False))
+        return t.append_column("text_hash", pa.array(h.astype("int64")))
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("doc_id", kind="stable").groupby("text", as_index=False).first()
+        return out[["doc_id", "text", "lang"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(first_per_text, batch_format="pandas")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, text, min(lang) AS lang
+FROM documents GROUP BY text
+"""
+# (min(lang) is well-defined: rows sharing text in the synthetic corpus are
+# full duplicates; for distinct-text rows the group is a single row.)
+
+
+# -- token counting (whitespace tokenization, BPE-ish splits) --------------
+
+_WORD_RE = re.compile(r"\S+")
+
+
+def token_counts(sf_dir: str):
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        stripped = b["text"].str.strip()
+        b["n_tokens"] = stripped.str.split().str.len().fillna(0).astype("int64")
+        b["n_chars"] = b["text"].str.len().astype("int64")
+        return b[["doc_id", "n_tokens", "n_chars"]]
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+# -- per-language corpus stats --------------------------------------------
+
+def lang_stats(sf_dir: str):
+    out = (
+        C.read(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .to_pandas()
+    )
+    return C.round_cols(out, ["avg_chars"])
+
+
+LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# -- quality scoring (stateful actor stage: compiled regexes + stopwords) --
+
+class QualityScorer:
+    """Length / punctuation / stopword-ratio quality heuristics. Regexes
+    compiled and stopword set built ONCE per actor in __init__ — the
+    stateful-stage pattern (`ray_guide` actor pools; reference analog:
+    per-worker token cache `indexer/jobs/base_job.py:95,111-113`)."""
+
+    STOPWORDS = frozenset(
+        "the a an and or of to in is are was were be been it this that "
+        "for on with as at by from".split()
+    )
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z']+")
+        self.punct = re.compile(r"[^\w\s]")
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"]
+        n_chars = texts.str.len().clip(lower=1)
+        words = texts.str.findall(self.word)
+        n_words = words.str.len().clip(lower=1)
+        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in self.STOPWORDS))
+        punct = texts.str.count(self.punct)
+        mean_word_len = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": words.str.len().astype("int64"),
+                "stopword_ratio": (stop / n_words).round(6),
+                "punct_ratio": (punct / n_chars).round(6),
+                "mean_word_len": pd.Series(mean_word_len).round(6),
+            }
+        )
+        # composite score in [0,1]: long-enough, punctuation-light, has glue words
+        out["quality"] = (
+            0.4 * np.clip(out["n_words"] / 100.0, 0, 1)
+            + 0.3 * (1 - np.clip(out["punct_ratio"] * 5, 0, 1))
+            + 0.3 * np.clip(out["stopword_ratio"] * 3, 0, 1)
+        ).round(6)
+        return out
+
+
+def quality_scores(sf_dir: str):
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=(1, 4))
+
+
+# -- language ID (character n-gram heuristic, stateful actor) --------------
+
+class LangId:
+    """N-gram-profile language guesser. Profiles are tiny hand-rolled
+    trigram sets per language — deterministic and dependency-free."""
+
+    PROFILES = {
+        "en": {" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "},
+        "de": {" de", "der", "er ", " un", "und", "nd ", "ich", "ch ", "ein", "in "},
+        "fr": {" le", "le ", " de", "de ", "es ", " la", "la ", "ent", "nt ", "que"},
+        "es": {" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ón ", "que"},
+    }
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+
+    def _guess(self, text: str):
+        t = f" {text.lower()} "
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, score = "unknown", 0
+        for lang in sorted(self.profiles):
+            s = len(grams & self.profiles[lang])
+            if s > score:
+                best, score = lang, s
+        return best, score
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        guesses = b["text"].map(self._guess)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "lang_guess": guesses.str[0],
+                "lang_score": guesses.str[1].astype("int64"),
+            }
+        )
+
+
+def lang_id(sf_dir: str):
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+# -- document fingerprint (rolling hash) -----------------------------------
+
+def fingerprints(sf_dir: str):
+    """Karp-Rabin-style rolling-hash fingerprint: min of rolling window
+    hashes (a 1-perm winnowing sketch) + full-content hash, vectorized."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    W = 16
+    MOD = np.uint64(0xFFFFFFFFFFFFFFC5)
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        full = pd.util.hash_array(b["text"].to_numpy()).astype("int64")
+        mins = np.empty(len(b), dtype="int64")
+        for i, t in enumerate(b["text"].to_numpy()):
+            raw = np.frombuffer(t.encode()[: 4096], dtype=np.uint8)
+            if len(raw) < W:
+                mins[i] = int(full[i])
+                continue
+            cum = np.cumsum(raw.astype(np.uint64) * np.uint64(1099511628211))
+            win = cum[W - 1 :] - np.concatenate(([np.uint64(0)], cum[:-W]))
+            mins[i] = int((win % MOD).min())
+        return pd.DataFrame({"doc_id": b["doc_id"], "content_hash": full, "min_rolling_hash": mins})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "token_counts": token_counts,
+    "lang_stats": lang_stats,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id,
+    "fingerprints": fingerprints,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
+    "lang_stats": LANG_STATS_SQL,
+}

@@ -1,0 +1,205 @@
+"""Stream-shaped operators over the ``events`` table: guarded-LWW latest
+state (the CDC merge kernel expressed relationally), hourly bucketing,
+daily per-entity aggregates, and gap-based sessionization.
+
+Parity targets in /root/reference: the arg-max-by-cursor reducer
+(`indexer/utils/collection_utils.py:8-19`,
+`indexer/jobs/export_token_balances_job.py:66-86`), the hourly block-ts
+mapper (`indexer/jobs/export_blocks_job.py:105-113`), and the daily wallet
+aggregates (`indexer/aggr_jobs/disorder_jobs/daily_wallet_addresses_aggregates.sql`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from raycdc.queries import common as C
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+# -- latest event per user: the LWW upsert kernel as a query ---------------
+
+def events_latest_per_user(sf_dir: str):
+    """groupby(user).arg-max by (ts, event_id) — exactly the per-key
+    guarded-LWW fold the CDC merger applies, so this query is the
+    SQL-checkable witness for the merge kernel."""
+    ds = C.read(sf_dir, "events", EVENT_COLS)
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        last = g.sort_values(["ts", "event_id"], kind="stable").tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": last["user_id"].to_numpy(),
+                "last_event_id": last["event_id"].to_numpy(),
+                "last_event_type": last["event_type"].to_numpy(),
+                "last_value": last["value"].round(C.ROUND_DIGITS).to_numpy(),
+                "last_ts": last["ts"].to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(argmax, batch_format="pandas")
+
+
+LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 4) AS last_value, ts AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+# -- hourly bucket stats (block-ts mapper analog) --------------------------
+
+def events_hourly_stats(sf_dir: str):
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("hour", hour)
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("event_id", alias_name="first_event_id"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    return C.round_cols(out, ["sum_value"])
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       min(event_id) AS first_event_id, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# -- daily per-user aggregates (daily wallet aggregates analog) ------------
+
+def events_user_daily(sf_dir: str):
+    ds = C.read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        purchase = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int64())
+        return (
+            t.select(["user_id", "value"])
+            .append_column("day", day)
+            .append_column("n_purchases", purchase)
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("n_purchases", alias_name="n_purchases"),
+            Sum("value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    return C.round_cols(out, ["sum_value"])
+
+
+USER_DAILY_SQL = """
+SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- per-type aggregate ----------------------------------------------------
+
+def events_type_stats(sf_dir: str):
+    out = (
+        C.read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="avg_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    return C.round_cols(out, ["sum_value", "avg_value", "max_value"])
+
+
+TYPE_STATS_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# -- gap sessionization (streaming window over an ordered partition) -------
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows per user with a 30-minute inactivity gap: sort the
+    group by (ts, event_id), cumsum gap breaks — the `groupby(key)
+    .map_groups(windowing)` pattern for stream-shaped references
+    (ray_guide 'Streaming-shaped workloads')."""
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        g["session_id"] = gap.cumsum().astype("int64") + 1
+        agg = g.groupby("session_id", as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        agg["sum_value"] = agg["sum_value"].round(C.ROUND_DIGITS)
+        return agg
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, event_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value), 4) AS sum_value
+FROM sessions GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_latest_per_user": events_latest_per_user,
+    "events_hourly_stats": events_hourly_stats,
+    "events_user_daily": events_user_daily,
+    "events_type_stats": events_type_stats,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE_SQL = {
+    "events_latest_per_user": LATEST_SQL,
+    "events_hourly_stats": HOURLY_SQL,
+    "events_user_daily": USER_DAILY_SQL,
+    "events_type_stats": TYPE_STATS_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+}

@@ -1,0 +1,192 @@
+"""Near-duplicate detection over ``documents``: MinHash+LSH, SimHash,
+n-gram Jaccard verification — the scale path for fuzzy dedup (task brief).
+
+Pipeline shape (MinHash): shingle+sign per batch (stateless, vectorized) →
+explode to (band_id, band_hash, doc_id, signature) rows → groupby bands →
+candidate pairs per bucket → signature-estimated Jaccard verify → distinct
+pairs. All shuffle keys are small ints/hashes; signatures ride along as
+fixed-size binary, never the text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from raycdc.queries import common as C
+
+NUM_PERM = 64
+NUM_BANDS = 16  # 4 rows/band
+SHINGLE_W = 3
+JACCARD_THRESHOLD = 0.5
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_rng = np.random.RandomState(1234)  # fixed: the permutation family is part of the spec
+_A = _rng.randint(1, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
+_B = _rng.randint(0, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < SHINGLE_W:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
+    return pd.util.hash_array(np.asarray(shingles, dtype=object))
+
+
+def _minhash_sig(text: str) -> np.ndarray:
+    sh = _shingle_hashes(text).astype(np.uint64) & _MERSENNE
+    # K permutations at once: (K, n) = a[:,None]*sh[None,:] + b mod p
+    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHashSigner:
+    """Per-batch shingle → signature → banded rows. Band tables precomputed
+    once per actor."""
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        rows_per_band = NUM_PERM // NUM_BANDS
+        out = []
+        for doc_id, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
+            sig = _minhash_sig(text)
+            bands = sig.reshape(NUM_BANDS, rows_per_band)
+            # deterministic per-band bucket key (builtin hash() is seeded)
+            band_hash = pd.util.hash_array(
+                np.array([bands[i].tobytes().hex() for i in range(NUM_BANDS)], dtype=object)
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.arange(NUM_BANDS, dtype=np.int32),
+                        "band_hash": band_hash.astype(np.int64),
+                        "doc_id": np.int64(doc_id),
+                        "sig": [sig.tobytes()] * NUM_BANDS,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+class BucketPairs:
+    """Candidate pairs inside one (band_id, band_hash) bucket, verified by
+    signature-estimated Jaccard (fraction of equal minhashes)."""
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")}
+            )
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        rows = []
+        for i in range(len(ids)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(eq >= JACCARD_THRESHOLD)
+            for j in hit:
+                rows.append((int(ids[i]), int(ids[i + 1 + j]), round(float(eq[j]), 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+
+
+def dedup_minhash_pairs(sf_dir: str):
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    banded = ds.map_batches(MinHashSigner, batch_format="pandas", concurrency=(1, 8))
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        BucketPairs, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    # a pair can surface from several bands → keep one
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# -- SimHash ---------------------------------------------------------------
+
+class SimHasher:
+    """64-bit SimHash over word unigrams; vectorized bit-vote accumulation."""
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(b), dtype=np.int64)
+        for i, text in enumerate(b["text"].to_numpy()):
+            toks = np.asarray(text.split(), dtype=object)
+            if len(toks) == 0:
+                out[i] = 0
+                continue
+            hs = pd.util.hash_array(toks).astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = int((votes > 0).astype(object) @ (1 << np.arange(64, dtype=object)))
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.DataFrame({"doc_id": b["doc_id"], "simhash": out})
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash per doc + exact-signature duplicate groups (hamming-0).
+    Bucketed hamming-k search would group by 4 × 16-bit sub-keys — the
+    plumbing is the same groupby."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+
+    def group_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "simhash": g["simhash"].iloc[:1],
+                "n_docs": [len(g)],
+                "canonical_doc": g["doc_id"].iloc[:1],
+            }
+        )
+
+    return sigs.groupby("simhash").map_groups(group_dups, batch_format="pandas")
+
+
+# -- exact n-gram Jaccard on a deterministic candidate set -----------------
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """True word-trigram Jaccard for a deterministic candidate set
+    (consecutive doc_id pairs) — the verify kernel used after LSH, exposed
+    standalone."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pair_key"] = (b["doc_id"] // 2).astype("int64")
+        return b[["pair_key", "doc_id", "text"]]
+
+    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        g = g.sort_values("doc_id")
+        sets = [set(map(int, _shingle_hashes(t))) for t in g["text"]]
+        inter = len(sets[0] & sets[1])
+        union = len(sets[0] | sets[1]) or 1
+        return pd.DataFrame(
+            {
+                "doc_a": [int(g["doc_id"].iloc[0])],
+                "doc_b": [int(g["doc_id"].iloc[1])],
+                "jaccard": [round(inter / union, 6)],
+            }
+        )
+
+    return (
+        ds.map_batches(shingles, batch_format="pandas")
+        .groupby("pair_key")
+        .map_groups(jaccard, batch_format="pandas")
+    )
+
+
+QUERIES = {
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+ORACLE_SQL: dict = {}  # signature-based near-dup is not SQL-expressible

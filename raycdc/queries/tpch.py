@@ -1,0 +1,352 @@
+"""Relational operator coverage over the TPC-H-ish testdata: grouped
+aggregates, broadcast-dim joins, big-big hash joins, semi-joins via
+pre-aggregation, filter combinators, sorts/top-k, windowed running totals.
+
+Parity targets in /root/reference: the aggregation jobs
+(`indexer/aggr_jobs/disorder_jobs/daily_wallet_addresses_aggregates.sql:1-40`),
+map-side joins (`indexer/jobs/export_contracts_job.py:50-58`), specification
+filter combinators (`indexer/specification/specification.py:9-157`), ordered
+top-k (`api/app/explorer/routes.py:431-1132`) and the cumulative period
+aggregates (`indexer/aggr_jobs/order_jobs/period_wallet_addresses_aggregates.sql`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from raycdc.queries import common as C
+
+
+# -- Q1-style pricing summary (grouped aggregate with computed columns) ----
+
+def q1_pricing_summary(sf_dir: str):
+    ds = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def compute(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
+        return t.append_column("disc_price", disc_price).append_column("charge", charge)
+
+    out = (
+        ds.map_batches(compute, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return C.round_cols(
+        out, ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_disc"]
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                   AS sum_qty,
+       round(sum(l_extendedprice), 4)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- Q3-style: big-big hash join + groupby + deterministic top-k -----------
+
+def q3_top_orders(sf_dir: str):
+    cust = C.read_pandas(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    ref = C.broadcast(building)
+
+    orders = C.read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    # stateless task (not an actor pool): the join's hash-shuffle aggregator
+    # actors need CPUs too — a pinned pool upstream can deadlock a small node
+    def filter_building(b: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        return b[b["o_custkey"].isin(ray.get(ref))]
+
+    orders = orders.map_batches(filter_building, batch_format="pandas")
+    line = C.read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    j = line.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.select(["l_orderkey", "o_orderdate"]).append_column("revenue", rev)
+
+    agg = (
+        j.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    return C.round_cols(top, ["revenue"])[["l_orderkey", "o_orderdate", "revenue"]]
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# -- Q5-style: chained broadcast-dim joins + groupby -----------------------
+
+def q5_nation_revenue(sf_dir: str):
+    nation = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = C.read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
+    supplier = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    sup = supplier.merge(asia, left_on="s_nationkey", right_on="n_nationkey")
+    sup_to_nation = dict(zip(sup["s_suppkey"], sup["n_name"]))
+    ref = C.broadcast(sup_to_nation)
+
+    line = C.read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    class NationRevenue:
+        def __init__(self):
+            import ray
+
+            self.lut = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["l_suppkey"].isin(self.lut)].copy()
+            b["n_name"] = b["l_suppkey"].map(self.lut)
+            b["revenue"] = b["l_extendedprice"] * (1 - b["l_discount"])
+            # partial aggregate inside the batch → tiny shuffle (combiner)
+            return b.groupby("n_name", as_index=False)["revenue"].sum()
+
+    out = (
+        line.map_batches(NationRevenue, batch_format="pandas", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    return C.round_cols(out, ["revenue"])
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# -- Q4-style: semi-join via pre-aggregated max (scale-safe EXISTS) --------
+
+def order_priority_count(sf_dir: str):
+    line = C.read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    max_ship = line.groupby("l_orderkey").aggregate(Max("l_shipdate", alias_name="max_shipdate"))
+    orders = C.read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = orders.join(
+        max_ship, join_type="inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def late(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("max_shipdate"), t.column("o_orderdate")))
+
+    return (
+        j.map_batches(late, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .to_pandas()
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# -- top-k customers (join + top-k with deterministic tie-break) -----------
+
+def top_customers_by_revenue(sf_dir: str):
+    cust = C.read_pandas(sf_dir, "customer", ["c_custkey", "c_name"])
+    ref = C.broadcast(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = C.read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+
+    class AddName:
+        def __init__(self):
+            import ray
+
+            self.lut = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["c_name"] = b["o_custkey"].map(self.lut)
+            return b
+
+    top = (
+        agg.map_batches(AddName, batch_format="pandas", concurrency=1)
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return C.round_cols(top, ["revenue"])[["o_custkey", "c_name", "revenue", "n_orders"]]
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, c_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue DESC, o_custkey LIMIT 10
+"""
+
+
+# -- filter combinators (And/Or/Not specifications) ------------------------
+
+def lineitem_filter_spec(sf_dir: str):
+    """And(returnflag='R', Or(discount>0.06, quantity>45), Not(linestatus='F'))
+    as one vectorized boolean mask — the Ray translation of the reference's
+    Specification combinators (`indexer/specification/specification.py:9-157`)."""
+    ds = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_discount", "l_quantity"],
+    )
+
+    def spec(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.equal(t.column("l_returnflag"), "R"),
+                pc.or_(
+                    pc.greater(t.column("l_discount"), 0.06),
+                    pc.greater(t.column("l_quantity"), 45.0),
+                ),
+            ),
+            pc.invert(pc.equal(t.column("l_linestatus"), "F")),
+        )
+        return t.filter(m).select(["l_orderkey", "l_linenumber", "l_discount", "l_quantity"])
+
+    return ds.map_batches(spec, batch_format="pyarrow")
+
+
+FILTER_SPEC_SQL = """
+SELECT l_orderkey, l_linenumber, l_discount, l_quantity
+FROM lineitem
+WHERE l_returnflag = 'R' AND (l_discount > 0.06 OR l_quantity > 45) AND NOT l_linestatus = 'F'
+"""
+
+
+# -- per-group running totals (ordered window / cumulative aggregate) ------
+
+def customer_running_total(sf_dir: str):
+    """Per-customer cumulative order value in (o_orderdate, o_orderkey)
+    order — `groupby().map_groups` with an in-group sort, the pattern for
+    the reference's strictly-sequential period aggregates
+    (`indexer/aggr_jobs/order_jobs/order_job.py:13-24`)."""
+    orders = C.read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
+        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        return g[["o_custkey", "o_orderkey", "running_total"]]
+
+    return orders.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+# -- small-dim aggregate (customer per nation) -----------------------------
+
+def nation_customer_stats(sf_dir: str):
+    nation = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    ref = C.broadcast(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = C.read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    class AddNation:
+        def __init__(self):
+            import ray
+
+            self.lut = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b["n_name"] = b["c_nationkey"].map(self.lut)
+            return b[["n_name", "c_acctbal"]]
+
+    out = (
+        cust.map_batches(AddNation, batch_format="pandas", concurrency=1)
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("c_acctbal", alias_name="sum_acctbal"),
+            Min("c_acctbal", alias_name="min_acctbal"),
+            Max("c_acctbal", alias_name="max_acctbal"),
+        )
+        .to_pandas()
+    )
+    return C.round_cols(out, ["sum_acctbal", "min_acctbal", "max_acctbal"])
+
+
+NATION_CUSTOMER_SQL = """
+SELECT n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS sum_acctbal,
+       round(min(c_acctbal), 4) AS min_acctbal,
+       round(max(c_acctbal), 4) AS max_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "order_priority_count": order_priority_count,
+    "top_customers_by_revenue": top_customers_by_revenue,
+    "lineitem_filter_spec": lineitem_filter_spec,
+    "customer_running_total": customer_running_total,
+    "nation_customer_stats": nation_customer_stats,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "order_priority_count": Q4_SQL,
+    "top_customers_by_revenue": TOP_CUSTOMERS_SQL,
+    "lineitem_filter_spec": FILTER_SPEC_SQL,
+    "customer_running_total": RUNNING_TOTAL_SQL,
+    "nation_customer_stats": NATION_CUSTOMER_SQL,
+}

@@ -1,0 +1,141 @@
+"""Driver-style conformance: run every SQL-backed query through Ray AND its
+DuckDB oracle on the same parquet dir, compare row count + schema +
+order-insensitive values (mirrors the graft driver's CORRECTNESS check).
+Non-SQL queries get determinism/shape checks."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("RAYCDC_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, rows sorted
+    by all columns, ts normalized."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _sql_backed():
+    from raycdc.queries import ORACLE_SQL, QUERIES
+
+    return sorted(ORACLE_SQL), QUERIES, ORACLE_SQL
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+        "order_priority_count", "top_customers_by_revenue",
+        "lineitem_filter_spec", "customer_running_total",
+        "nation_customer_stats", "events_latest_per_user",
+        "events_hourly_stats", "events_user_daily", "events_type_stats",
+        "events_sessionize", "dedup_exact", "token_counts", "lang_stats",
+        "ann_bruteforce", "embedding_norms", "embedding_neardup",
+        "cdc_apply_events",
+    ],
+)
+def test_sql_backed_query_matches_oracle(ray_session, name):
+    from raycdc.queries import ORACLE_SQL, QUERIES
+
+    got = canon(to_df(QUERIES[name](SF_DIR)))
+    want = canon(duck(ORACLE_SQL[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_registry_covers_all_oracle_entries():
+    from raycdc.queries import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert len(QUERIES) >= 25
+
+
+@pytest.mark.parametrize("name", ["quality_scores", "lang_id", "fingerprints",
+                                  "dedup_simhash", "media_features", "ann_ivf"])
+def test_rows_only_queries_deterministic(ray_session, name):
+    from raycdc.queries import QUERIES
+
+    a = canon(to_df(QUERIES[name](SF_DIR)))
+    b = canon(to_df(QUERIES[name](SF_DIR)))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
+    """Plant near-duplicate docs and check LSH surfaces them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+    dup = base.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    dup["text"] = dup["text"] + " tail"
+    planted = pd.concat([base, dup], ignore_index=True)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                   str(d / "documents.parquet"))
+
+    from raycdc.queries import QUERIES
+
+    pairs = to_df(QUERIES["dedup_minhash_pairs"](str(d)))
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    expected = {(int(i), int(i) + 1_000_000) for i in base.head(5)["doc_id"]}
+    assert expected <= found, f"missing planted near-dups: {expected - found}"
+
+
+def test_cdc_replay_salted_matches_unsalted(ray_session):
+    from raycdc.queries import QUERIES
+
+    a = canon(to_df(QUERIES["cdc_replay"](SF_DIR)))
+    b = canon(to_df(QUERIES["cdc_replay_salted"](SF_DIR)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = to_df(e.entry())
+    assert len(df) > 0
+    assert {"conv_id", "turn_idx", "text"} <= set(df.columns)
