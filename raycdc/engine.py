@@ -182,6 +182,129 @@ class MergeWorker:
         )
 
 
+# num_cpus=0: the pool must never deadlock the scan/push tasks on a small
+# node (several Engines can coexist in one session, e.g. tests); merger
+# work is bursty and the OS schedules the K busy actor processes fine.
+@ray.remote(num_cpus=0, max_restarts=0)
+class MergerActor:
+    """Persistent stateful merger: owns partitions {p : p % K == actor_id}
+    across ALL rounds (the north star's "stateful actor-pool merger").
+
+    Per round it receives its partitions' change slices directly from the
+    normalize ``map_batches`` stage (zero-copy Arrow through the object
+    store — no sort/shuffle barrier), then sorted-merges each owned
+    partition against its live fragment and writes the round's fragments.
+
+    Why not ``groupby(part).map_groups``: a micro-batch CDC round is
+    latency-sensitive; Ray Data's general sort/hash shuffle costs multiple
+    seconds of fixed sampling/barrier/actor-startup per round (measured),
+    dwarfing the sub-second merge compute. A fixed-partition bucket
+    exchange needs none of that. The Dataset API still carries the scan +
+    normalize; this actor is the "stateful stage" the Dataset feeds.
+
+    Exactly-once under retries: a re-executed push task re-sends identical
+    event slices; the merge kernel drops exact ``(key, cursor, seq)``
+    re-deliveries, so duplicated pushes are harmless. An actor death fails
+    the round before commit; the engine recreates the pool and replays the
+    round (fragment writes are deterministic → idempotent).
+
+    Fragment cache: keeps its partitions' last-written fragments in memory
+    up to ``cache_bytes`` (LRU), avoiding a Parquet read-back per round —
+    the analog of the reference's in-process token cache
+    (``indexer/controller/scheduler/job_scheduler.py:98-111``). Evicted or
+    invalidated (rollback) partitions fall back to reading the manifest's
+    live fragment file.
+    """
+
+    def __init__(self, actor_id: int, lake_root: str, cache_bytes: int):
+        self.actor_id = actor_id
+        self.lake_root = lake_root
+        self.cache_bytes = cache_bytes
+        self.buf: list = []  # this round's event tables (arrow)
+        self.cache: dict = {}  # part -> pa.Table (live fragment)
+        self.cache_order: list = []
+
+    def add_events(self, tbl: pa.Table) -> int:
+        self.buf.append(tbl)
+        return tbl.num_rows
+
+    def drop_cache(self) -> None:
+        self.cache.clear()
+        self.cache_order.clear()
+        self.buf.clear()
+
+    def _cache_put(self, part: int, tbl: pa.Table) -> None:
+        self.cache[part] = tbl
+        if part in self.cache_order:
+            self.cache_order.remove(part)
+        self.cache_order.append(part)
+        total = sum(t.nbytes for t in self.cache.values())
+        while total > self.cache_bytes and len(self.cache_order) > 1:
+            old = self.cache_order.pop(0)
+            total -= self.cache[old].nbytes
+            del self.cache[old]
+
+    def finalize_round(
+        self, round_id: str, schema_str: str, live_map: dict
+    ) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        change_schema = L._schema_from_str(schema_str)
+        payload = M.payload_columns([f.name for f in change_schema])
+        frag_schema = M.fragment_schema_for(change_schema)
+
+        stats_rows = []
+        if self.buf:
+            events = pa.concat_tables(self.buf, promote_options="permissive")
+            self.buf = []
+            df = events.to_pandas()
+            for part, group in df.groupby("part", sort=True):
+                part = int(part)
+                cached = self.cache.get(part)
+                if cached is not None:
+                    ftbl = cached
+                elif part in live_map:
+                    ftbl = pq.read_table(live_map[part])
+                else:
+                    ftbl = None
+                fragment = None
+                if ftbl is not None:
+                    fragment = S.conform(ftbl, frag_schema).to_pandas()
+
+                t0 = time.perf_counter()
+                out = M.merge_partition(fragment, group, payload)
+                merge_sec = time.perf_counter() - t0
+
+                out_tbl = S.conform(
+                    pa.Table.from_pandas(out, preserve_index=False), frag_schema
+                )
+                path = os.path.join(
+                    self.lake_root,
+                    L.FRAGMENT_DIR,
+                    f"part={part:05d}",
+                    f"frag-{round_id}.parquet",
+                )
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp{self.actor_id}"
+                pq.write_table(out_tbl, tmp)
+                os.replace(tmp, path)
+                self._cache_put(part, out_tbl)
+                stats_rows.append(
+                    {
+                        "part": part,
+                        "n_events": len(group),
+                        "n_rows": len(out),
+                        "n_live": int((~out[M.DELETED_COL]).sum()),
+                        "max_cursor": int(out["cursor"].max()) if len(out) else 0,
+                        "merge_sec": merge_sec,
+                    }
+                )
+        return pd.DataFrame(
+            stats_rows,
+            columns=["part", "n_events", "n_rows", "n_live", "max_cursor", "merge_sec"],
+        )
+
+
 class _PreFold:
     """Optional skew combiner: complete per-key fold inside a salted
     sub-partition, emitting one delta event per key (see partition.py for
@@ -219,11 +342,41 @@ class Engine:
         merge_concurrency=None,
         salted: bool = False,
         salt_factor: int = 4,
+        exchange: str = "direct",
+        merge_actors: int | None = None,
+        cache_bytes: int = 256 << 20,
     ):
         self.lake = L.Lake(lake_root, num_partitions, undo_window)
         self.merge_concurrency = merge_concurrency
         self.salted = salted
         self.salt_factor = salt_factor
+        # "direct": persistent merger actors fed straight from map_batches
+        # (fast micro-batch path); "groupby": groupby(part).map_groups
+        # (general path, always used when salted pre-fold is on)
+        self.exchange = "groupby" if salted else exchange
+        self.merge_actors = merge_actors
+        self.cache_bytes = cache_bytes
+        self._pool: list | None = None
+
+    # -- persistent merger pool (direct exchange) -------------------------
+
+    def _ensure_pool(self) -> list:
+        if self._pool is None:
+            if self.merge_actors is None:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                # leave headroom for the read/normalize/push tasks
+                self.merge_actors = max(2, min(self.lake.num_partitions, int(cpus * 0.75)))
+            self._pool = [
+                MergerActor.remote(i, self.lake.root, self.cache_bytes)
+                for i in range(self.merge_actors)
+            ]
+        return self._pool
+
+    def _teardown_pool(self) -> None:
+        if self._pool is not None:
+            for h in self._pool:
+                ray.kill(h)
+            self._pool = None
 
     # -- schema -----------------------------------------------------------
 
@@ -246,6 +399,10 @@ class Engine:
         schema_str = L._schema_to_str(schema)
         nparts = self.lake.num_partitions
         t0 = time.perf_counter()
+
+        if self.exchange == "direct":
+            stats = self._run_direct(paths, schema_str, nparts, round_id)
+            return self._commit(files, round_id, schema, stats, t0)
 
         ds = ray.data.read_parquet(paths)
         ds = ds.map_batches(
@@ -275,7 +432,50 @@ class Engine:
             concurrency=self.merge_concurrency or (1, 16),
         )
         stats = stats_ds.to_pandas()  # ≤ P rows
+        if os.environ.get("RAYCDC_STATS"):
+            print(stats_ds.stats())
+        return self._commit(files, round_id, schema, stats, t0)
+
+    def _run_direct(
+        self, paths: list, schema_str: str, nparts: int, round_id: str
+    ) -> pd.DataFrame:
+        handles = self._ensure_pool()
+
+        def push(batch: pa.Table, _norm=[None]) -> pa.Table:
+            if _norm[0] is None:
+                _norm[0] = _Normalize(schema_str, nparts)
+            batch = _norm[0](batch)
+            k = len(handles)
+            part = batch.column("part").to_numpy(zero_copy_only=False)
+            owner = part % k
+            acks = []
+            for a in np.unique(owner):
+                sl = batch.filter(pa.array(owner == a))
+                acks.append(handles[int(a)].add_events.remote(sl))
+            ray.get(acks)  # ack: slices are buffered before the stage ends
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        ray.data.read_parquet(paths).map_batches(
+            push, batch_format="pyarrow"
+        ).sum("n")
+        live_map = self.lake.live_fragment_map()
+        stats = pd.concat(
+            ray.get(
+                [
+                    h.finalize_round.remote(round_id, schema_str, live_map)
+                    for h in handles
+                ]
+            ),
+            ignore_index=True,
+        )
+        return stats
+
+    def _commit(self, files, round_id, schema, stats, t0) -> dict:
         wall = time.perf_counter() - t0
+        if os.environ.get("RAYCDC_STATS") and len(stats):
+            print("merge_sec per part: total",
+                  round(stats["merge_sec"].sum(), 2), "max",
+                  round(stats["merge_sec"].max(), 3))
 
         n_events = int(stats["n_events"].sum()) if len(stats) else 0
         metrics = {
@@ -328,6 +528,9 @@ class Engine:
                 flush()
                 to_cursor = _read_rollback_cursor(f["path"])
                 self.lake.rollback(to_cursor)
+                if self._pool is not None:
+                    # cached fragments may predate the restore point
+                    ray.get([h.drop_cache.remote() for h in self._pool])
                 results.append(
                     {"round_id": f"rollback@{f['epoch']}", "rollback_to": to_cursor}
                 )

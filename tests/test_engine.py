@@ -65,11 +65,12 @@ def test_t1_smoke_insert_only(ray_session, tmp_path, make_lake):
     assert_matches_oracle(eng, log)
 
 
-def test_t2_correctness_full_mix(ray_session, tmp_path, make_lake):
+@pytest.mark.parametrize("exchange", ["direct", "groupby"])
+def test_t2_correctness_full_mix(ray_session, tmp_path, make_lake, exchange):
     spec = gen.GenSpec(seed=2, n_convs=400, mean_turns=10, n_epochs=6)
     log = str(tmp_path / "log")
     gen.write_change_log(spec, log)
-    eng = make_lake(num_partitions=16)
+    eng = make_lake(num_partitions=16, exchange=exchange)
     eng.apply_log(log, epochs_per_round=2)
     assert_matches_oracle(eng, log)
 
