@@ -43,8 +43,10 @@ BENCH_QUERIES = [
     "cdc_apply_events",
 ]
 
-# bench-scale CDC corpus per sf tier (events ≈ n_convs * mean_turns * 1.3)
-CDC_SCALE = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 60000}
+# bench-scale CDC corpus per sf tier (events ≈ n_convs * mean_turns * 1.3).
+# sf0.1 is sized so the replay is compute-bound, not round-overhead-bound —
+# the regime the 10^10-event design point lives in.
+CDC_SCALE = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 480000}
 
 
 def _cdc_spec():
@@ -92,6 +94,8 @@ def run_bench() -> dict:
         num_partitions=128,
         merge_concurrency=(2, max(4, NCPU)),
     )
+    sample = sorted(f for f in os.listdir(log_dir) if f.startswith("changes-"))[0]
+    eng.warmup(os.path.join(log_dir, sample))  # resident pool + warm pipeline
     t0 = time.perf_counter()
     rounds = eng.apply_log(log_dir, epochs_per_round=2)
     cdc_sec = time.perf_counter() - t0

@@ -41,27 +41,28 @@ from raycdc import merge as M
 from raycdc import partition as P
 from raycdc import schema as S
 
-_FILE_RE = re.compile(r"changes-(\d+)-(\d+)-(\d+)\.parquet$")
+_FILE_RE = re.compile(r"changes-(\d+)-(\d+)-(\d+)(?:-s(\d+))?\.parquet$")
 
 
 def discover_epoch_files(log_dir: str) -> list[dict]:
-    """Parse ``changes-{epoch}-{lo}-{hi}.parquet`` names; file-level range
-    pruning straight from the filename, like the reference's CSV source
+    """Parse ``changes-{epoch}-{lo}-{hi}[-sNN].parquet`` names and group
+    shards per epoch; file-level range pruning straight from the filename,
+    like the reference's CSV source
     (``indexer/jobs/source_job/csv_source_job.py:34-108``)."""
-    out = []
+    epochs: dict = {}
     for path in sorted(glob.glob(os.path.join(log_dir, "changes-*.parquet"))):
         m = _FILE_RE.search(path)
         if not m:
             continue
-        out.append(
-            {
-                "path": path,
-                "epoch": int(m.group(1)),
-                "cursor_lo": int(m.group(2)),
-                "cursor_hi": int(m.group(3)),
-            }
+        e = int(m.group(1))
+        ent = epochs.setdefault(
+            e,
+            {"epoch": e, "paths": [], "cursor_lo": 1 << 62, "cursor_hi": 0},
         )
-    return sorted(out, key=lambda f: f["epoch"])
+        ent["paths"].append(path)
+        ent["cursor_lo"] = min(ent["cursor_lo"], int(m.group(2)))
+        ent["cursor_hi"] = max(ent["cursor_hi"], int(m.group(3)))
+    return [epochs[e] for e in sorted(epochs)]
 
 
 def _file_has_rollback(path: str) -> bool:
@@ -182,10 +183,12 @@ class MergeWorker:
         )
 
 
-# num_cpus=0: the pool must never deadlock the scan/push tasks on a small
-# node (several Engines can coexist in one session, e.g. tests); merger
-# work is bursty and the OS schedules the K busy actor processes fine.
-@ray.remote(num_cpus=0, max_restarts=0)
+# num_cpus=1: mergers respect the session's CPU budget (the N-vs-4N
+# scaling evidence is only honest if the pool is bounded by num_cpus).
+# max_concurrency=2: one thread can buffer round N+1's slices while the
+# other merges round N (round pipelining); buffers are round-keyed so the
+# two never touch the same state.
+@ray.remote(num_cpus=1, max_restarts=0, max_concurrency=2)
 class MergerActor:
     """Persistent stateful merger: owns partitions {p : p % K == actor_id}
     across ALL rounds (the north star's "stateful actor-pool merger").
@@ -220,56 +223,92 @@ class MergerActor:
         self.actor_id = actor_id
         self.lake_root = lake_root
         self.cache_bytes = cache_bytes
-        self.buf: list = []  # this round's event tables (arrow)
+        self.buf: dict = {}  # round_id -> list of event tables (arrow)
         self.cache: dict = {}  # part -> pa.Table (live fragment)
         self.cache_order: list = []
 
-    def add_events(self, tbl: pa.Table) -> int:
-        self.buf.append(tbl)
+    def add_events(self, round_id: str, tbl: pa.Table) -> int:
+        self.buf.setdefault(round_id, []).append(tbl)  # list.append: GIL-atomic
         return tbl.num_rows
 
     def drop_cache(self) -> None:
         self.cache.clear()
         self.cache_order.clear()
+        getattr(self, "_cache_sizes", {}).clear()
         self.buf.clear()
 
-    def _cache_put(self, part: int, tbl: pa.Table) -> None:
-        self.cache[part] = tbl
+    def _cache_put(self, part: int, entry: tuple, nbytes: int) -> None:
+        self.cache[part] = entry
+        self._cache_sizes = getattr(self, "_cache_sizes", {})
+        self._cache_sizes[part] = nbytes
         if part in self.cache_order:
             self.cache_order.remove(part)
         self.cache_order.append(part)
-        total = sum(t.nbytes for t in self.cache.values())
+        total = sum(self._cache_sizes.values())
         while total > self.cache_bytes and len(self.cache_order) > 1:
             old = self.cache_order.pop(0)
-            total -= self.cache[old].nbytes
+            total -= self._cache_sizes.pop(old)
             del self.cache[old]
 
     def finalize_round(
-        self, round_id: str, schema_str: str, live_map: dict
+        self,
+        round_id: str,
+        schema_str: str,
+        live_map: dict,
+        expected_slices: int = -1,
     ) -> pd.DataFrame:
         import pyarrow.parquet as pq
+
+        if expected_slices >= 0:
+            # count barrier: push tasks fire-and-forget their slices (a
+            # per-batch ack would serialize push behind this actor's merge
+            # thread — measured as the pipeline critical path). Delivery
+            # from live workers is reliable, so wait until the reported
+            # slice count landed, then require a short quiescent window so
+            # in-flight duplicates from a retried push task settle too
+            # (duplicates themselves are dropped by the merge kernel's
+            # exact (key, cursor, seq) dedup; strict per-batch acks remain
+            # the fallback for exchange paths that can't assume this).
+            deadline = time.monotonic() + 300
+            while len(self.buf.get(round_id, ())) < expected_slices:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"round {round_id}: {len(self.buf.get(round_id, ()))}"
+                        f"/{expected_slices} slices after 300s"
+                    )
+                time.sleep(0.002)
+            stable_since, count = time.monotonic(), len(self.buf.get(round_id, ()))
+            while time.monotonic() - stable_since < 0.05:
+                time.sleep(0.01)
+                now = len(self.buf.get(round_id, ()))
+                if now != count:
+                    stable_since, count = time.monotonic(), now
 
         change_schema = L._schema_from_str(schema_str)
         payload = M.payload_columns([f.name for f in change_schema])
         frag_schema = M.fragment_schema_for(change_schema)
 
         stats_rows = []
-        if self.buf:
-            events = pa.concat_tables(self.buf, promote_options="permissive")
-            self.buf = []
+        round_buf = self.buf.pop(round_id, [])
+        if round_buf:
+            events = pa.concat_tables(round_buf, promote_options="permissive")
             df = events.to_pandas()
+            schema_key = schema_str
             for part, group in df.groupby("part", sort=True):
                 part = int(part)
-                cached = self.cache.get(part)
-                if cached is not None:
-                    ftbl = cached
-                elif part in live_map:
-                    ftbl = pq.read_table(live_map[part])
-                else:
-                    ftbl = None
                 fragment = None
-                if ftbl is not None:
-                    fragment = S.conform(ftbl, frag_schema).to_pandas()
+                cached = self.cache.get(part)
+                if cached is not None and cached[0] == schema_key:
+                    fragment = cached[1]  # pandas frame, already conformed
+                else:
+                    if cached is not None:
+                        ftbl = pa.Table.from_pandas(cached[1], preserve_index=False)
+                    elif part in live_map:
+                        ftbl = pq.read_table(live_map[part])
+                    else:
+                        ftbl = None
+                    if ftbl is not None:
+                        fragment = S.conform(ftbl, frag_schema).to_pandas()
 
                 t0 = time.perf_counter()
                 out = M.merge_partition(fragment, group, payload)
@@ -288,7 +327,7 @@ class MergerActor:
                 tmp = path + f".tmp{self.actor_id}"
                 pq.write_table(out_tbl, tmp)
                 os.replace(tmp, path)
-                self._cache_put(part, out_tbl)
+                self._cache_put(part, (schema_key, out), out_tbl.nbytes)
                 stats_rows.append(
                     {
                         "part": part,
@@ -364,13 +403,32 @@ class Engine:
         if self._pool is None:
             if self.merge_actors is None:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
-                # leave headroom for the read/normalize/push tasks
-                self.merge_actors = max(2, min(self.lake.num_partitions, int(cpus * 0.75)))
+                # ~60% of the node merges; the rest reads/normalizes/pushes
+                self.merge_actors = max(1, min(self.lake.num_partitions, int(cpus * 0.6)))
+            # named actors keyed by the lake root: every Engine over the same
+            # lake shares ONE merger set (single-writer discipline; also
+            # prevents pool-per-Engine CPU exhaustion in shared sessions)
+            import hashlib
+
+            tag = hashlib.sha1(os.path.abspath(self.lake.root).encode()).hexdigest()[:10]
             self._pool = [
-                MergerActor.remote(i, self.lake.root, self.cache_bytes)
+                MergerActor.options(
+                    name=f"raycdc-merger-{tag}-{i}", get_if_exists=True
+                ).remote(i, self.lake.root, self.cache_bytes)
                 for i in range(self.merge_actors)
             ]
         return self._pool
+
+    def warmup(self, sample_path: str | None = None) -> None:
+        """Pre-start the merger pool and compile a trivial Dataset pipeline
+        (bench: excluded from steady-state throughput, like a cluster's
+        actors/workers being resident before the stream starts)."""
+        handles = self._ensure_pool()
+        ray.get([h.drop_cache.remote() for h in handles])
+        if sample_path:
+            ray.data.read_parquet(sample_path).map_batches(
+                lambda t: t, batch_format="pyarrow"
+            ).count()
 
     def _teardown_pool(self) -> None:
         if self._pool is not None:
@@ -378,10 +436,23 @@ class Engine:
                 ray.kill(h)
             self._pool = None
 
+    def close(self) -> None:
+        """Release the merger pool's CPU reservations. Call when done with
+        an Engine while the Ray session lives on (several concurrently-open
+        engines on a small node can otherwise starve the scan tasks)."""
+        self._teardown_pool()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     # -- schema -----------------------------------------------------------
 
-    def _round_schema(self, paths: list[str]) -> pa.Schema:
-        schema = self.lake.schema  # committed change schema (or None)
+    def _round_schema(self, paths: list[str], base: pa.Schema | None = None) -> pa.Schema:
+        schema = base if base is not None else self.lake.schema
         for p in paths:
             fs = pq.read_schema(p)
             fs = pa.schema([f for f in fs if f.name != "part"])
@@ -394,7 +465,7 @@ class Engine:
         if round_id in self.lake.committed_round_ids():
             return {"round_id": round_id, "skipped": True}  # epoch fence
 
-        paths = [f["path"] for f in files]
+        paths = [p for f in files for p in f["paths"]]
         schema = self._round_schema(paths)
         schema_str = L._schema_to_str(schema)
         nparts = self.lake.num_partitions
@@ -439,6 +510,25 @@ class Engine:
     def _run_direct(
         self, paths: list, schema_str: str, nparts: int, round_id: str
     ) -> pd.DataFrame:
+        expected = self._push_round(paths, schema_str, nparts, round_id)
+        t_fin = time.perf_counter()
+        stats = pd.concat(
+            ray.get(self._finalize_refs(round_id, schema_str, expected)),
+            ignore_index=True,
+        )
+        if os.environ.get("RAYCDC_STATS"):
+            print(
+                f"[direct] finalize={time.perf_counter() - t_fin:.2f}s "
+                f"merge_total={stats['merge_sec'].sum():.2f}s "
+                f"actors={len(self._pool)}"
+            )
+        return stats
+
+    def _push_round(
+        self, paths: list, schema_str: str, nparts: int, round_id: str
+    ) -> None:
+        """Scan + normalize + bucket-exchange one round's events into the
+        merger pool (the Dataset consume is the push barrier)."""
         handles = self._ensure_pool()
 
         def push(batch: pa.Table, _norm=[None]) -> pa.Table:
@@ -448,27 +538,49 @@ class Engine:
             k = len(handles)
             part = batch.column("part").to_numpy(zero_copy_only=False)
             owner = part % k
-            acks = []
-            for a in np.unique(owner):
-                sl = batch.filter(pa.array(owner == a))
-                acks.append(handles[int(a)].add_events.remote(sl))
-            ray.get(acks)  # ack: slices are buffered before the stage ends
-            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+            # one O(rows) gather, then zero-copy contiguous slices per owner
+            # (a filter() per actor would be K passes over the batch — the
+            # slicing cost would GROW with the pool size)
+            order = np.argsort(owner, kind="stable")
+            batch = batch.take(pa.array(order))
+            sorted_owner = owner[order]
+            bounds = np.searchsorted(sorted_owner, np.arange(k + 1))
+            sent = []
+            for a in range(k):
+                lo, hi = int(bounds[a]), int(bounds[a + 1])
+                if hi > lo:
+                    # fire-and-forget; the finalize count barrier syncs
+                    handles[a].add_events.remote(round_id, batch.slice(lo, hi - lo))
+                    sent.append(a)
+            return pa.table(
+                {
+                    "actor": pa.array(sent, pa.int32()),
+                    "slices": pa.array([1] * len(sent), pa.int64()),
+                }
+            )
 
-        ray.data.read_parquet(paths).map_batches(
-            push, batch_format="pyarrow"
-        ).sum("n")
-        live_map = self.lake.live_fragment_map()
-        stats = pd.concat(
-            ray.get(
-                [
-                    h.finalize_round.remote(round_id, schema_str, live_map)
-                    for h in handles
-                ]
-            ),
-            ignore_index=True,
+        # batch size balances push-task parallelism (rows/32k tasks) against
+        # per-call fan-out (each push call makes ≤K actor RPCs)
+        t_push = time.perf_counter()
+        sent_df = (
+            ray.data.read_parquet(paths)
+            .map_batches(push, batch_format="pyarrow", batch_size=32768)
+            .to_pandas()  # ≤ batches × K tiny rows
         )
-        return stats
+        expected = sent_df.groupby("actor")["slices"].sum().to_dict()
+        if os.environ.get("RAYCDC_STATS"):
+            print(f"[direct] push={time.perf_counter() - t_push:.2f}s")
+        return expected
+
+    def _finalize_refs(self, round_id: str, schema_str: str, expected: dict) -> list:
+        """Launch (don't wait) the per-actor merges for a pushed round."""
+        live_map = self.lake.live_fragment_map()
+        return [
+            h.finalize_round.remote(
+                round_id, schema_str, live_map, int(expected.get(i, 0))
+            )
+            for i, h in enumerate(self._ensure_pool())
+        ]
 
     def _commit(self, files, round_id, schema, stats, t0) -> dict:
         wall = time.perf_counter() - t0
@@ -509,42 +621,112 @@ class Engine:
         # reorg-aware planning: a rollback target must be a committed round
         # boundary, so pre-scan rollback epochs and force a round flush at
         # each target cursor (mirrors Hemera rolling back whole block ranges)
-        rollback_files = {f["path"] for f in files if _file_has_rollback(f["path"])}
-        rollback_targets = {
-            _read_rollback_cursor(p) for p in rollback_files
+        rollback_epochs = {
+            f["epoch"]
+            for f in files
+            if any(_file_has_rollback(p) for p in f["paths"])
         }
-        results = []
+        rollback_targets = {
+            _read_rollback_cursor(f["paths"][0])
+            for f in files
+            if f["epoch"] in rollback_epochs
+        }
+        plan: list = []
         group: list[dict] = []
 
         def flush():
-            if not group:
-                return
-            rid = f"r{group[0]['epoch']:06d}-{group[-1]['epoch']:06d}"
-            results.append(self.apply_round(list(group), rid))
-            group.clear()
+            if group:
+                rid = f"r{group[0]['epoch']:06d}-{group[-1]['epoch']:06d}"
+                plan.append(("round", list(group), rid))
+                group.clear()
 
         for f in files:
-            if f["path"] in rollback_files:
+            if f["epoch"] in rollback_epochs:
                 flush()
-                to_cursor = _read_rollback_cursor(f["path"])
-                self.lake.rollback(to_cursor)
-                if self._pool is not None:
-                    # cached fragments may predate the restore point
-                    ray.get([h.drop_cache.remote() for h in self._pool])
-                results.append(
-                    {"round_id": f"rollback@{f['epoch']}", "rollback_to": to_cursor}
+                plan.append(
+                    ("rollback", _read_rollback_cursor(f["paths"][0]), f["epoch"])
                 )
                 continue
             # schema evolution forces a round boundary: a round's files share
             # one change schema (the evolved schema commits with its round)
-            if group and not pq.read_schema(f["path"]).equals(
-                pq.read_schema(group[0]["path"])
+            if group and not pq.read_schema(f["paths"][0]).equals(
+                pq.read_schema(group[0]["paths"][0])
             ):
                 flush()
             group.append(f)
             if len(group) >= epochs_per_round or f["cursor_hi"] in rollback_targets:
                 flush()
         flush()
+
+        if self.exchange == "direct":
+            return self._execute_plan_pipelined(plan)
+        return self._execute_plan_sequential(plan)
+
+    def _rollback(self, to_cursor: int, epoch: int) -> dict:
+        self.lake.rollback(to_cursor)
+        if self._pool is not None:
+            # cached fragments may predate the restore point
+            ray.get([h.drop_cache.remote() for h in self._pool])
+        return {"round_id": f"rollback@{epoch}", "rollback_to": to_cursor}
+
+    def _execute_plan_sequential(self, plan: list) -> list[dict]:
+        results = []
+        for item in plan:
+            if item[0] == "rollback":
+                results.append(self._rollback(item[1], item[2]))
+            else:
+                results.append(self.apply_round(item[1], item[2]))
+        return results
+
+    def _execute_plan_pipelined(self, plan: list) -> list[dict]:
+        """Direct-exchange executor with round pipelining: while the merger
+        pool finalizes round N, the scan/normalize/push tasks (disjoint
+        CPUs) already stream round N+1 into round-keyed actor buffers — the
+        Ray-native analog of the reference's mpire block-range overlap
+        (``indexer/controller/stream_controller.py:45-48,96-100``). The
+        manifest commit stays strictly sequential (single-writer fence);
+        a rollback drains the pipeline first (barrier)."""
+        results: list = []
+        pending = None  # (files, round_id, schema, t0, finalize_refs)
+        prev_schema = self.lake.schema
+
+        def finish_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            files_p, rid, schema, t0, refs = pending
+            stats = pd.concat(ray.get(refs), ignore_index=True)
+            results.append(self._commit(files_p, rid, schema, stats, t0))
+            pending = None
+
+        for item in plan:
+            if item[0] == "rollback":
+                finish_pending()
+                results.append(self._rollback(item[1], item[2]))
+                prev_schema = self.lake.schema
+                continue
+            _, files_g, rid = item
+            # fence checked LIVE (not a start-of-replay snapshot): a replayed
+            # rollback truncates later rounds from the manifest, and those
+            # must then be re-applied, not skipped
+            if rid in self.lake.committed_round_ids():
+                results.append({"round_id": rid, "skipped": True})
+                continue
+            paths = [p for f in files_g for p in f["paths"]]
+            schema = self._round_schema(paths, base=prev_schema)
+            prev_schema = schema
+            schema_str = L._schema_to_str(schema)
+            t0 = time.perf_counter()
+            expected = self._push_round(paths, schema_str, self.lake.num_partitions, rid)
+            finish_pending()  # waits on round N-1 merges that ran during push
+            pending = (
+                files_g,
+                rid,
+                schema,
+                t0,
+                self._finalize_refs(rid, schema_str, expected),
+            )
+        finish_pending()
         return results
 
     # -- reads -------------------------------------------------------------

@@ -51,6 +51,7 @@ class GenSpec:
     zipf_a: float = 1.1  # conv popularity skew for updates/deletes
     rollback_epochs: tuple = ()  # epochs whose effects get rolled back + replayed
     evolve_at_epoch: int | None = None  # epochs >= this add tool_meta + widen turn_idx
+    shard_rows: int = 100_000  # rows per epoch shard file (read parallelism)
     roles: tuple = ("user", "assistant", "system", "tool")
     tools: tuple = ("search", "code", "browser", "calc")
 
@@ -239,10 +240,12 @@ def _epoch_table(part: pd.DataFrame, evolved: bool, rng) -> pa.Table:
 
 
 def write_change_log(spec: GenSpec, out_dir: str) -> list[str]:
-    """Write one parquet file per epoch:
-    ``changes-{epoch:06d}-{cursor_lo}-{cursor_hi}.parquet`` (mirrors the
-    reference's block-ranged file naming,
-    ``indexer/exporters/csv_file_item_exporter.py:45-112``). Returns paths."""
+    """Write each epoch as cursor-ranged shard files:
+    ``changes-{epoch:06d}-{cursor_lo}-{cursor_hi}[-sNN].parquet`` (mirrors
+    the reference's block-ranged file naming,
+    ``indexer/exporters/csv_file_item_exporter.py:45-112``; sharding mirrors
+    a real log's many files per commit range and gives the scan its read
+    parallelism). Returns paths."""
     os.makedirs(out_dir, exist_ok=True)
     df = generate_events(spec)
     rng = np.random.default_rng(spec.seed + 1)
@@ -250,10 +253,17 @@ def write_change_log(spec: GenSpec, out_dir: str) -> list[str]:
     for e, part in df.groupby("epoch", sort=True):
         evolved = spec.evolve_at_epoch is not None and e >= spec.evolve_at_epoch
         tbl = _epoch_table(part, evolved, rng)
-        lo, hi = int(part["cursor"].min()), int(part["cursor"].max())
-        path = os.path.join(out_dir, f"changes-{int(e):06d}-{lo}-{hi}.parquet")
-        pq.write_table(tbl, path)
-        paths.append(path)
+        n_shards = max(1, -(-tbl.num_rows // spec.shard_rows))
+        for s in range(n_shards):
+            shard = tbl.slice(s * spec.shard_rows, spec.shard_rows)
+            lo = shard.column("cursor")[0].as_py()
+            hi = shard.column("cursor")[shard.num_rows - 1].as_py()
+            suffix = f"-s{s:02d}" if n_shards > 1 else ""
+            path = os.path.join(
+                out_dir, f"changes-{int(e):06d}-{lo}-{hi}{suffix}.parquet"
+            )
+            pq.write_table(shard, path)
+            paths.append(path)
     return paths
 
 

@@ -83,21 +83,41 @@ def merge_partition(
         ev = pd.concat(
             [_lake_as_events(fragment, payload), ev], ignore_index=True
         )
+    if len(ev) == 0:
+        return _empty_fragment(payload)
 
-    ev = ev.sort_values(
-        S.KEY_COLS + ["cursor", "seq", "_src"], kind="stable"
-    ).reset_index(drop=True)
-    dup = ev.duplicated(subset=S.KEY_COLS + ["cursor", "seq"], keep="first")
-    if dup.any():
-        ev = ev[~dup.to_numpy()].reset_index(drop=True)
+    # sort by (conv_id, turn_idx, cursor, seq, src) WITHOUT an object-string
+    # sort of every row: factorize conv_id (O(n) hashing), lexically rank
+    # only the U unique ids, then one integer lexsort
+    codes, uniques = pd.factorize(ev["conv_id"].to_numpy(), sort=False)
+    lex_rank = np.empty(len(uniques), dtype=np.int64)
+    lex_rank[np.argsort(uniques, kind="stable")] = np.arange(len(uniques))
+    conv_key = lex_rank[codes]
+    turn_a = ev["turn_idx"].to_numpy().astype(np.int64, copy=False)
+    cursor_a = ev["cursor"].to_numpy().astype(np.int64, copy=False)
+    seq_a = ev["seq"].to_numpy().astype(np.int64, copy=False)
+    src_a = ev["_src"].to_numpy()
+    order = np.lexsort((src_a, seq_a, cursor_a, turn_a, conv_key))
+    ev = ev.iloc[order].reset_index(drop=True)
+    conv_key, turn_a = conv_key[order], turn_a[order]
+    cursor_a, seq_a = cursor_a[order], seq_a[order]
+
+    # drop exact (key, cursor, seq) re-deliveries (keep first = lake/src-0)
+    same = np.zeros(len(ev), dtype=bool)
+    same[1:] = (
+        (conv_key[1:] == conv_key[:-1])
+        & (turn_a[1:] == turn_a[:-1])
+        & (cursor_a[1:] == cursor_a[:-1])
+        & (seq_a[1:] == seq_a[:-1])
+    )
+    if same.any():
+        keep_mask = ~same
+        ev = ev[keep_mask].reset_index(drop=True)
+        conv_key, turn_a = conv_key[keep_mask], turn_a[keep_mask]
 
     n = len(ev)
-    if n == 0:
-        return _empty_fragment(payload)
-    conv = ev["conv_id"].to_numpy()
-    turn = ev["turn_idx"].to_numpy()
     newkey = np.ones(n, dtype=bool)
-    newkey[1:] = (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])
+    newkey[1:] = (conv_key[1:] != conv_key[:-1]) | (turn_a[1:] != turn_a[:-1])
 
     op = ev["op"].to_numpy()
     boundary = (op == "insert") | (op == "delete")
@@ -111,8 +131,8 @@ def merge_partition(
 
     ev2 = ev[keep].reset_index(drop=True)
     m = len(ev2)
-    conv2 = ev2["conv_id"].to_numpy()
-    turn2 = ev2["turn_idx"].to_numpy()
+    conv2 = conv_key[keep]
+    turn2 = turn_a[keep]
     newkey2 = np.ones(m, dtype=bool)
     newkey2[1:] = (conv2[1:] != conv2[:-1]) | (turn2[1:] != turn2[:-1])
     key_id2 = np.cumsum(newkey2) - 1

@@ -43,9 +43,9 @@ def _replay(sf_dir: str, salted: bool) -> "pd.DataFrame":
         "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-{'s' if salted else 'h'}"
     )
     shutil.rmtree(lake_dir, ignore_errors=True)  # fresh deterministic replay
-    eng = Engine(lake_dir, num_partitions=32, salted=salted)
-    eng.apply_log(log_dir, epochs_per_round=2)
-    return eng.read_lake_pandas()
+    with Engine(lake_dir, num_partitions=32, salted=salted) as eng:
+        eng.apply_log(log_dir, epochs_per_round=2)
+        return eng.read_lake_pandas()
 
 
 def cdc_replay(sf_dir: str):

@@ -42,31 +42,37 @@ def _minhash_sig(text: str) -> np.ndarray:
     return vals.min(axis=1)
 
 
+# per-row mixing constants for the (deterministic) band bucket key
+_BAND_MIX = np.random.RandomState(99).randint(
+    1, 2**63 - 1, size=NUM_PERM // NUM_BANDS
+).astype(np.uint64)
+
+
 class MinHashSigner:
-    """Per-batch shingle → signature → banded rows. Band tables precomputed
-    once per actor."""
+    """Per-batch shingle → signature → banded rows, fully vectorized: one
+    output DataFrame per batch (doc_id × band rows). The band bucket key is
+    a polynomial mix of the band's minhashes (collisions only cost an extra
+    candidate check — the verify stage rechecks full signatures)."""
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
         rows_per_band = NUM_PERM // NUM_BANDS
-        out = []
-        for doc_id, text in zip(b["doc_id"].to_numpy(), b["text"].to_numpy()):
-            sig = _minhash_sig(text)
-            bands = sig.reshape(NUM_BANDS, rows_per_band)
-            # deterministic per-band bucket key (builtin hash() is seeded)
-            band_hash = pd.util.hash_array(
-                np.array([bands[i].tobytes().hex() for i in range(NUM_BANDS)], dtype=object)
-            )
-            out.append(
-                pd.DataFrame(
-                    {
-                        "band_id": np.arange(NUM_BANDS, dtype=np.int32),
-                        "band_hash": band_hash.astype(np.int64),
-                        "doc_id": np.int64(doc_id),
-                        "sig": [sig.tobytes()] * NUM_BANDS,
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
+        texts = b["text"].to_numpy()
+        for i in range(n):
+            sigs[i] = _minhash_sig(texts[i])
+        bands = sigs.reshape(n, NUM_BANDS, rows_per_band)
+        band_hash = (bands * _BAND_MIX[None, None, :]).sum(axis=2, dtype=np.uint64)
+        band_hash ^= band_hash >> np.uint64(31)
+        sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
+        return pd.DataFrame(
+            {
+                "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
+                "band_hash": band_hash.reshape(-1).view(np.int64),
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), NUM_BANDS),
+                "sig": np.repeat(sig_bytes, NUM_BANDS),
+            }
+        )
 
 
 class BucketPairs:

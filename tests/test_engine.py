@@ -90,6 +90,27 @@ def test_t2_rollback_reorg(ray_session, tmp_path, make_lake):
     assert got["text"].str.endswith(":canon").any()
 
 
+def test_resume_after_rollback_converges(ray_session, tmp_path, make_lake):
+    """Re-replaying a log whose rollback truncated later rounds must
+    re-apply those rounds (live fence check), ending byte-identical."""
+    spec = gen.GenSpec(
+        seed=31, n_convs=120, mean_turns=6, n_epochs=5, rollback_epochs=(2,)
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log)
+    before = eng.read_lake_pandas()
+    eng.close()
+
+    eng2 = make_lake(num_partitions=8)
+    eng2.apply_log(log)  # full re-replay over the post-rollback manifest
+    after = eng2.read_lake_pandas()
+    eng2.close()
+    pd.testing.assert_frame_equal(before, after)
+    assert_matches_oracle(make_lake(num_partitions=8), log)
+
+
 def test_t2_skew_salted(ray_session, tmp_path, make_lake):
     spec = gen.GenSpec(seed=4, n_convs=100, mean_turns=20, zipf_a=1.5, n_epochs=4)
     log = str(tmp_path / "log")
