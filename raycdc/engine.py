@@ -145,22 +145,21 @@ class MergeWorker:
             self.lake_root,
             L.FRAGMENT_DIR,
             f"part={part:05d}",
-            f"frag-{self.round_id}.parquet",
+            f"base-{self.round_id}.parquet",
         )
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         part = int(group["part"].iloc[0])
         assert (group["part"] == part).all(), "map_groups gave a mixed group"
 
-        fragment = None
-        live = self.live_map.get(part)
-        if live is not None:
-            ftbl = pq.read_table(live)
-            ftbl = S.conform(ftbl, self.frag_schema)  # evolve old fragment
-            fragment = ftbl.to_pandas()
+        ent = self.live_map.get(part) or {"base": None, "deltas": []}
+        frames = []
+        for p in ([ent["base"]] if ent["base"] else []) + list(ent["deltas"]):
+            frames.append(S.conform(pq.read_table(p), self.frag_schema).to_pandas())
+        state = M.fold_fragments(frames, self.payload)
 
         t0 = time.perf_counter()
-        out = M.merge_partition(fragment, group, self.payload)
+        out = M.merge_partition(state, group, self.payload)
         merged_sec = time.perf_counter() - t0
 
         out_tbl = pa.Table.from_pandas(out, preserve_index=False)
@@ -174,6 +173,7 @@ class MergeWorker:
         return pd.DataFrame(
             {
                 "part": [part],
+                "kind": ["base"],  # the groupby path always compacts
                 "n_events": [len(group)],
                 "n_rows": [len(out)],
                 "n_live": [int((~out[M.DELETED_COL]).sum())],
@@ -256,6 +256,8 @@ class MergerActor:
         schema_str: str,
         live_map: dict,
         expected_slices: int = -1,
+        round_cursor_lo: int = 0,
+        compact_every: int = 8,
     ) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
@@ -294,34 +296,56 @@ class MergerActor:
             events = pa.concat_tables(round_buf, promote_options="permissive")
             df = events.to_pandas()
             schema_key = schema_str
+
+            def read_frame(path):
+                return S.conform(pq.read_table(path), frag_schema).to_pandas()
+
             for part, group in df.groupby("part", sort=True):
                 part = int(part)
-                fragment = None
+                ent = live_map.get(part) or {"base": None, "deltas": []}
+                state = None
                 cached = self.cache.get(part)
                 if cached is not None and cached[0] == schema_key:
-                    fragment = cached[1]  # pandas frame, already conformed
+                    state = cached[1]  # full folded state, already conformed
+                elif cached is not None:
+                    ftbl = pa.Table.from_pandas(cached[1], preserve_index=False)
+                    state = S.conform(ftbl, frag_schema).to_pandas()
                 else:
-                    if cached is not None:
-                        ftbl = pa.Table.from_pandas(cached[1], preserve_index=False)
-                    elif part in live_map:
-                        ftbl = pq.read_table(live_map[part])
-                    else:
-                        ftbl = None
-                    if ftbl is not None:
-                        fragment = S.conform(ftbl, frag_schema).to_pandas()
+                    # cold rebuild: arg-max fold of base + deltas
+                    frames = []
+                    if ent["base"]:
+                        frames.append(read_frame(ent["base"]))
+                    frames.extend(read_frame(d) for d in ent["deltas"])
+                    state = M.fold_fragments(frames, payload)
 
                 t0 = time.perf_counter()
-                out = M.merge_partition(fragment, group, payload)
+                out = M.merge_partition(state, group, payload)
                 merge_sec = time.perf_counter() - t0
 
+                # log-structured write policy: per-round DELTA (only rows
+                # this round touched -> O(round) write volume), full BASE on
+                # first write and every `compact_every` rounds (compaction)
+                n_deltas = len(ent["deltas"])
+                kind = (
+                    "delta"
+                    if ent["base"] is not None and (n_deltas + 1) < compact_every
+                    else "base"
+                )
+                out_rows = (
+                    out
+                    if kind == "base"
+                    else out[out["cursor"].to_numpy() >= round_cursor_lo].reset_index(
+                        drop=True
+                    )
+                )
                 out_tbl = S.conform(
-                    pa.Table.from_pandas(out, preserve_index=False), frag_schema
+                    pa.Table.from_pandas(out_rows, preserve_index=False), frag_schema
                 )
                 path = os.path.join(
                     self.lake_root,
                     L.FRAGMENT_DIR,
                     f"part={part:05d}",
-                    f"frag-{round_id}.parquet",
+                    f"{kind}-{round_id}.parquet",
                 )
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = path + f".tmp{self.actor_id}"
@@ -331,6 +355,7 @@ class MergerActor:
                 stats_rows.append(
                     {
                         "part": part,
+                        "kind": kind,
                         "n_events": len(group),
                         "n_rows": len(out),
                         "n_live": int((~out[M.DELETED_COL]).sum()),
@@ -340,7 +365,10 @@ class MergerActor:
                 )
         return pd.DataFrame(
             stats_rows,
-            columns=["part", "n_events", "n_rows", "n_live", "max_cursor", "merge_sec"],
+            columns=[
+                "part", "kind", "n_events", "n_rows", "n_live",
+                "max_cursor", "merge_sec",
+            ],
         )
 
 
@@ -383,7 +411,8 @@ class Engine:
         salt_factor: int = 4,
         exchange: str = "direct",
         merge_actors: int | None = None,
-        cache_bytes: int = 256 << 20,
+        cache_bytes: int = 1 << 30,
+        compact_every: int = 8,
     ):
         self.lake = L.Lake(lake_root, num_partitions, undo_window)
         self.merge_concurrency = merge_concurrency
@@ -395,6 +424,7 @@ class Engine:
         self.exchange = "groupby" if salted else exchange
         self.merge_actors = merge_actors
         self.cache_bytes = cache_bytes
+        self.compact_every = compact_every
         self._pool: list | None = None
 
     # -- persistent merger pool (direct exchange) -------------------------
@@ -472,7 +502,8 @@ class Engine:
         t0 = time.perf_counter()
 
         if self.exchange == "direct":
-            stats = self._run_direct(paths, schema_str, nparts, round_id)
+            lo = min(f["cursor_lo"] for f in files)
+            stats = self._run_direct(paths, schema_str, nparts, round_id, lo)
             return self._commit(files, round_id, schema, stats, t0)
 
         ds = ray.data.read_parquet(paths)
@@ -493,7 +524,7 @@ class Engine:
         stats_ds = ds.groupby("part").map_groups(
             MergeWorker,
             fn_constructor_args=(
-                self.lake.live_fragment_map(),
+                self.lake.live_state_map(),
                 self.lake.root,
                 round_id,
                 schema_str,
@@ -508,12 +539,12 @@ class Engine:
         return self._commit(files, round_id, schema, stats, t0)
 
     def _run_direct(
-        self, paths: list, schema_str: str, nparts: int, round_id: str
+        self, paths: list, schema_str: str, nparts: int, round_id: str, cursor_lo: int
     ) -> pd.DataFrame:
         expected = self._push_round(paths, schema_str, nparts, round_id)
         t_fin = time.perf_counter()
         stats = pd.concat(
-            ray.get(self._finalize_refs(round_id, schema_str, expected)),
+            ray.get(self._finalize_refs(round_id, schema_str, expected, cursor_lo)),
             ignore_index=True,
         )
         if os.environ.get("RAYCDC_STATS"):
@@ -564,7 +595,7 @@ class Engine:
         t_push = time.perf_counter()
         sent_df = (
             ray.data.read_parquet(paths)
-            .map_batches(push, batch_format="pyarrow", batch_size=32768)
+            .map_batches(push, batch_format="pyarrow", batch_size=65536)
             .to_pandas()  # ≤ batches × K tiny rows
         )
         expected = sent_df.groupby("actor")["slices"].sum().to_dict()
@@ -572,12 +603,19 @@ class Engine:
             print(f"[direct] push={time.perf_counter() - t_push:.2f}s")
         return expected
 
-    def _finalize_refs(self, round_id: str, schema_str: str, expected: dict) -> list:
+    def _finalize_refs(
+        self, round_id: str, schema_str: str, expected: dict, cursor_lo: int
+    ) -> list:
         """Launch (don't wait) the per-actor merges for a pushed round."""
-        live_map = self.lake.live_fragment_map()
+        live_map = self.lake.live_state_map()
         return [
             h.finalize_round.remote(
-                round_id, schema_str, live_map, int(expected.get(i, 0))
+                round_id,
+                schema_str,
+                live_map,
+                int(expected.get(i, 0)),
+                int(cursor_lo),
+                self.compact_every,
             )
             for i, h in enumerate(self._ensure_pool())
         ]
@@ -603,7 +641,14 @@ class Engine:
             epochs=[f["epoch"] for f in files],
             cursor_lo=min(f["cursor_lo"] for f in files),
             cursor_hi=max(f["cursor_hi"] for f in files),
-            touched_parts=sorted(int(p) for p in stats["part"]) if len(stats) else [],
+            touched_parts=(
+                sorted(
+                    (int(p), str(k))
+                    for p, k in zip(stats["part"], stats.get("kind", ["base"] * len(stats)))
+                )
+                if len(stats)
+                else []
+            ),
             schema=schema,
             metrics=metrics,
         )
@@ -719,12 +764,13 @@ class Engine:
             t0 = time.perf_counter()
             expected = self._push_round(paths, schema_str, self.lake.num_partitions, rid)
             finish_pending()  # waits on round N-1 merges that ran during push
+            lo = min(f["cursor_lo"] for f in files_g)
             pending = (
                 files_g,
                 rid,
                 schema,
                 t0,
-                self._finalize_refs(rid, schema_str, expected),
+                self._finalize_refs(rid, schema_str, expected, lo),
             )
         finish_pending()
         return results
@@ -733,8 +779,17 @@ class Engine:
 
     def read_lake(self, columns=None, include_system: bool = False):
         """The lake as a Dataset of live transcript rows (tombstones and
-        system columns dropped unless requested). Fragments are already
-        sorted by (conv_id, turn_idx)."""
+        system columns dropped unless requested).
+
+        Base-only partitions stream straight from their fragments (already
+        sorted by (conv_id, turn_idx)); partitions with outstanding deltas
+        go through the per-partition arg-max fold (log-structured read
+        path) inside map_batches."""
+        state_map = self.lake.live_state_map()
+        schema = self.lake.schema
+        needs_fold = any(ent["deltas"] for ent in state_map.values())
+        if needs_fold and schema is not None:
+            return self._read_lake_folded(state_map, schema, columns, include_system)
         paths = self.lake.live_fragment_paths()
         if not paths:
             schema = self.lake.schema or S.CHANGE_SCHEMA
@@ -757,6 +812,44 @@ class Engine:
             return t.drop_columns(drop)
 
         ds = ds.map_batches(_live, batch_format="pyarrow")
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+
+    def _read_lake_folded(self, state_map, schema, columns, include_system):
+        schema_str = L._schema_to_str(schema)
+        items = [
+            {
+                "part": p,
+                "files": ([ent["base"]] if ent["base"] else []) + list(ent["deltas"]),
+            }
+            for p, ent in sorted(state_map.items())
+        ]
+
+        def fold_batch(b: pd.DataFrame) -> pd.DataFrame:
+            sch = L._schema_from_str(schema_str)
+            fs = M.fragment_schema_for(sch)
+            pay = M.payload_columns([f.name for f in sch])
+            keep = (
+                S.KEY_COLS + pay + (["cursor", "seq"] if include_system else [])
+            )
+            outs = []
+            for files in b["files"]:
+                frames = [
+                    S.conform(pq.read_table(p), fs).to_pandas() for p in files
+                ]
+                st = M.fold_fragments(frames, pay)
+                if st is None or not len(st):
+                    continue
+                st = st[~st[M.DELETED_COL].to_numpy(dtype=bool)]
+                outs.append(st[keep])
+            if not outs:
+                return pd.DataFrame(columns=keep)
+            return pd.concat(outs, ignore_index=True)
+
+        ds = ray.data.from_items(items).map_batches(
+            fold_batch, batch_format="pandas", batch_size=1
+        )
         if columns:
             ds = ds.select_columns(columns)
         return ds

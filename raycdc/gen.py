@@ -158,7 +158,11 @@ def generate_events(spec: GenSpec) -> pd.DataFrame:
     pos = np.arange(n)
     df["cursor"] = (pos // CURSOR_GROUP + 1).astype(np.int64)
     df["seq"] = (pos % CURSOR_GROUP).astype(np.int32)
+    # epoch boundaries MUST align to cursor-group boundaries: a rollback
+    # targets a cursor, and a cursor split across two epochs would make
+    # "state as of cursor c" ambiguous (Hemera reorgs whole blocks)
     per_epoch = -(-n // spec.n_epochs)
+    per_epoch += (-per_epoch) % CURSOR_GROUP
     df["epoch"] = (pos // per_epoch).astype(np.int64)
     df["rollback_to_cursor"] = pd.array([None] * n, dtype="Int64")
 
@@ -267,8 +271,11 @@ def write_change_log(spec: GenSpec, out_dir: str) -> list[str]:
     return paths
 
 
+GEN_VERSION = 2  # bump when generation semantics change (invalidates caches)
+
+
 def spec_fingerprint(spec: GenSpec) -> str:
-    return hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+    return hashlib.sha256(f"v{GEN_VERSION}:{spec!r}".encode()).hexdigest()[:16]
 
 
 def cached_change_log(spec: GenSpec, root: str = "/tmp/raycdc-gen") -> str:

@@ -86,23 +86,49 @@ class Lake:
         return rounds[-1]["cursor_hi"] if rounds else 0
 
     def live_fragment_map(self) -> dict:
-        """part -> absolute path of live fragment (absent part = empty)."""
+        """part -> absolute path of live fragment (absent part = empty).
+        Legacy single-file view: only valid when every live version is a
+        base (no deltas); prefer :meth:`live_state_map`."""
         return {
             int(p): os.path.join(self.root, versions[-1]["file"])
             for p, versions in self.manifest["partitions"].items()
             if versions
         }
 
+    def live_state_map(self) -> dict:
+        """part -> {"base": abspath|None, "deltas": [abspaths]}: the current
+        base fragment plus the delta fragments committed since it. The
+        partition's state is the (cursor, seq) arg-max fold of all of them
+        — the base+delta log-structured layout that keeps per-round write
+        volume O(round), not O(lake)."""
+        out = {}
+        for p, versions in self.manifest["partitions"].items():
+            base, deltas = None, []
+            for v in versions:
+                if v.get("kind", "base") == "base":
+                    base, deltas = os.path.join(self.root, v["file"]), []
+                else:
+                    deltas.append(os.path.join(self.root, v["file"]))
+            out[int(p)] = {"base": base, "deltas": deltas}
+        return out
+
     def live_fragment_paths(self) -> list:
-        return sorted(self.live_fragment_map().values())
+        paths = []
+        for ent in self.live_state_map().values():
+            if ent["base"]:
+                paths.append(ent["base"])
+            paths.extend(ent["deltas"])
+        return sorted(paths)
 
     # -- fragment naming (deterministic → idempotent replay) ---------------
 
-    def fragment_relpath(self, part: int, round_id: str) -> str:
-        return os.path.join(FRAGMENT_DIR, f"part={part:05d}", f"frag-{round_id}.parquet")
+    def fragment_relpath(self, part: int, round_id: str, kind: str = "base") -> str:
+        return os.path.join(
+            FRAGMENT_DIR, f"part={part:05d}", f"{kind}-{round_id}.parquet"
+        )
 
-    def fragment_abspath(self, part: int, round_id: str) -> str:
-        return os.path.join(self.root, self.fragment_relpath(part, round_id))
+    def fragment_abspath(self, part: int, round_id: str, kind: str = "base") -> str:
+        return os.path.join(self.root, self.fragment_relpath(part, round_id, kind))
 
     # -- commit ------------------------------------------------------------
 
@@ -121,10 +147,15 @@ class Lake:
         if round_id in self.committed_round_ids():
             return  # fence: already committed → no-op (idempotent replay)
         parts = self.manifest["partitions"]
-        for p in touched_parts:
+        for entry in touched_parts:
+            p, kind = entry if isinstance(entry, (tuple, list)) else (entry, "base")
             versions = parts.setdefault(str(int(p)), [])
             versions.append(
-                {"round": round_id, "file": self.fragment_relpath(int(p), round_id)}
+                {
+                    "round": round_id,
+                    "kind": kind,
+                    "file": self.fragment_relpath(int(p), round_id, kind),
+                }
             )
         self.manifest["schema"] = _schema_to_str(schema)
         self.manifest["committed_rounds"].append(
@@ -133,7 +164,10 @@ class Lake:
                 "epochs": [int(e) for e in epochs],
                 "cursor_lo": int(cursor_lo),
                 "cursor_hi": int(cursor_hi),
-                "touched_parts": [int(p) for p in touched_parts],
+                "touched_parts": [
+                    int(e[0]) if isinstance(e, (tuple, list)) else int(e)
+                    for e in touched_parts
+                ],
                 "committed_at": time.time(),
                 "metrics": metrics,
             }
@@ -157,12 +191,13 @@ class Lake:
         for p, versions in self.manifest["partitions"].items():
             if len(versions) <= 1:
                 continue
-            # keep all in-window versions PLUS the newest pre-window version:
-            # it is the restore base for a rollback to the window's oldest
-            # boundary (without it a rollback would wrongly empty the part).
+            # keep all in-window versions PLUS the newest pre-window BASE
+            # and every delta after it: together they reconstruct state at
+            # any rollback boundary inside the undo window (a delta alone
+            # is not a restore point).
             first_keep = 0
             for i, v in enumerate(versions):
-                if v["round"] not in keep_rounds:
+                if v["round"] not in keep_rounds and v.get("kind", "base") == "base":
                     first_keep = i
             kept = versions[first_keep:]
             for v in versions[:first_keep]:

@@ -161,3 +161,23 @@ def _empty_fragment(payload: list[str]) -> pd.DataFrame:
     return pd.DataFrame(
         columns=S.KEY_COLS + payload + ["cursor", "seq", DELETED_COL]
     )
+
+
+def rows_to_events(frag_df: pd.DataFrame) -> pd.DataFrame:
+    """Fragment-shaped rows (full state + watermark + tombstone flag) →
+    pseudo-events for a fold: live rows are ``insert``s, tombstones are
+    ``delete``s, each at its stored watermark."""
+    ev = frag_df.copy()
+    ev["op"] = np.where(ev[DELETED_COL].to_numpy(dtype=bool), "delete", "insert")
+    return ev.drop(columns=[DELETED_COL])
+
+
+def fold_fragments(frames: list, payload: list[str]) -> pd.DataFrame | None:
+    """Arg-max-by-(cursor, seq) fold of a partition's base + delta
+    fragments (the log-structured read path). All rows are full-state
+    upserts or tombstones, so the fold is pure LWW — no patch semantics."""
+    frames = [f for f in frames if f is not None and len(f)]
+    if not frames:
+        return None
+    ev = pd.concat([rows_to_events(f) for f in frames], ignore_index=True)
+    return merge_partition(None, ev, payload)

@@ -206,3 +206,24 @@ def test_rollback_non_boundary_raises(tmp_path):
     lake.commit_round("r0", [0], 1, 10, [], CHANGE_SCHEMA, {})
     with pytest.raises(ValueError, match="boundary"):
         lake.rollback(7)
+
+
+def test_delta_compaction_and_rollback(ray_session, tmp_path, make_lake):
+    """Log-structured layout: rounds write delta fragments, every
+    `compact_every` rounds a base compaction; state always equals the
+    oracle, including across a rollback that lands between compactions."""
+    spec = gen.GenSpec(
+        seed=41, n_convs=150, mean_turns=6, n_epochs=9, rollback_epochs=(6,)
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=4, compact_every=3, undo_window=8)
+    eng.apply_log(log)  # 1 epoch per round -> deltas + periodic compaction
+    kinds = {
+        v["kind"]
+        for versions in eng.lake.manifest["partitions"].values()
+        for v in versions
+    }
+    assert kinds == {"base", "delta"}, f"expected mixed layout, got {kinds}"
+    assert_matches_oracle(eng, log)
+    eng.close()
