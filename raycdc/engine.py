@@ -662,7 +662,15 @@ class Engine:
         barriers applied via the undo buffer. Resume contract: use the same
         ``epochs_per_round`` across restarts (round ids derive from epoch
         groups)."""
-        files = discover_epoch_files(log_dir)
+        return self.apply_log_files(
+            discover_epoch_files(log_dir), epochs_per_round=epochs_per_round
+        )
+
+    def apply_log_files(
+        self, files: list[dict], epochs_per_round: int = 1
+    ) -> list[dict]:
+        """Replay an explicit (ordered) list of discovered epoch entries —
+        the unit the stream controller feeds (raycdc.stream.follow)."""
         # reorg-aware planning: a rollback target must be a committed round
         # boundary, so pre-scan rollback epochs and force a round flush at
         # each target cursor (mirrors Hemera rolling back whole block ranges)

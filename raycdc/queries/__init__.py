@@ -11,9 +11,18 @@ between the two by construction.
 
 from __future__ import annotations
 
-from raycdc.queries import ann, cdc, docs, events, multimodal, neardup, tpch
+from raycdc.queries import (
+    aggregates,
+    ann,
+    cdc,
+    docs,
+    events,
+    multimodal,
+    neardup,
+    tpch,
+)
 
-_MODULES = [tpch, events, docs, neardup, ann, multimodal, cdc]
+_MODULES = [tpch, events, docs, neardup, ann, multimodal, cdc, aggregates]
 
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}

@@ -1,0 +1,126 @@
+"""User-extension surface: declarative pipeline steps with dependency
+resolution — the Ray-native analog of the reference's job registry +
+scheduler (``indexer/jobs/base_job.py:65-88,291-376``,
+``indexer/controller/scheduler/job_scheduler.py:117-150,275-300`` in
+/root/reference).
+
+A :class:`Step` declares ``inputs`` / ``outputs`` (logical table names) and
+a ``transform(tables: dict[str, Dataset]) -> dict[str, Dataset]``. The
+:class:`Pipeline` resolves the step DAG with Kahn's algorithm (cycle →
+error, duplicate producer → error, mirroring ``job_scheduler.py:185-188``),
+prunes to the steps required for the requested outputs (BFS over
+dependencies, mirroring ``:117-150``) and runs them in topological order.
+Datasets stay lazy — the scheduler wires stages; Ray's streaming executor
+pipelines them.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+
+class Step:
+    """Subclass and register. Class attributes declare the DAG edges."""
+
+    inputs: list = []
+    outputs: list = []
+
+    def transform(self, tables: dict) -> dict:
+        raise NotImplementedError
+
+    @classmethod
+    def name(cls) -> str:
+        # CamelCaseStep -> camel_case_step (reference's snake-case job keys,
+        # indexer/jobs/base_job.py:131-132)
+        import re
+
+        return re.sub(r"(?<!^)(?=[A-Z])", "_", cls.__name__).lower()
+
+
+class StepRegistry:
+    def __init__(self):
+        self._steps: list = []
+
+    def register(self, cls):
+        """Usable as a decorator: ``@registry.register``."""
+        dup = {
+            o
+            for s in self._steps
+            for o in s.outputs
+            if o in cls.outputs
+        }
+        if dup:
+            raise ValueError(
+                f"duplicate producer for output(s) {sorted(dup)}: {cls.__name__}"
+            )
+        self._steps.append(cls)
+        return cls
+
+    def required_steps(self, wanted_outputs: list, available_inputs: set) -> list:
+        """BFS over dependency types: the minimal step set producing
+        ``wanted_outputs`` from ``available_inputs``."""
+        producer = {o: s for s in self._steps for o in s.outputs}
+        needed, queue = [], deque(wanted_outputs)
+        seen = set()
+        while queue:
+            out = queue.popleft()
+            if out in seen or out in available_inputs:
+                continue
+            seen.add(out)
+            step = producer.get(out)
+            if step is None:
+                raise KeyError(f"no step produces {out!r} and it is not an input")
+            if step not in needed:
+                needed.append(step)
+            for dep in step.inputs:
+                queue.append(dep)
+        return needed
+
+    def topo_sort(self, steps: list, available_inputs: set) -> list:
+        """Kahn's algorithm over the step DAG; raises on cycles."""
+        produced_by = {o: s for s in steps for o in s.outputs}
+        indeg = {s: 0 for s in steps}
+        consumers: dict = {s: [] for s in steps}
+        for s in steps:
+            for dep in s.inputs:
+                if dep in produced_by:
+                    indeg[s] += 1
+                    consumers[produced_by[dep]].append(s)
+                elif dep not in available_inputs:
+                    raise KeyError(f"{s.__name__} needs unavailable input {dep!r}")
+        queue = deque(sorted((s for s in steps if indeg[s] == 0), key=lambda s: s.__name__))
+        order = []
+        while queue:
+            s = queue.popleft()
+            order.append(s)
+            for c in consumers[s]:
+                indeg[c] -= 1
+                if indeg[c] == 0:
+                    queue.append(c)
+        if len(order) != len(steps):
+            cyc = sorted(s.__name__ for s in steps if s not in order)
+            raise ValueError(f"cycle in step graph involving: {cyc}")
+        return order
+
+
+class Pipeline:
+    """Plan + run: resolve required steps for the wanted outputs, topo-sort,
+    execute each ``transform`` feeding a shared table namespace (the typed
+    analog of the reference's ``_data_buff``, but one lazy Dataset per
+    logical table instead of row lists)."""
+
+    def __init__(self, registry: StepRegistry):
+        self.registry = registry
+
+    def run(self, tables: dict, wanted_outputs: list) -> dict:
+        available = set(tables)
+        steps = self.registry.required_steps(wanted_outputs, available)
+        order = self.registry.topo_sort(steps, available)
+        ns = dict(tables)
+        for cls in order:
+            produced = cls().transform(ns)
+            unexpected = set(produced) - set(cls.outputs)
+            if unexpected:
+                raise ValueError(f"{cls.__name__} produced undeclared {unexpected}")
+            ns.update(produced)
+        return {o: ns[o] for o in wanted_outputs}

@@ -1,0 +1,61 @@
+"""Stream controller: tail a change-log directory and apply new epochs as
+they land — the analog of the reference's forever-loop
+``StreamController.action`` (``indexer/controller/stream_controller.py:50-112``
+in /root/reference): compute the watermark, apply the new range, commit the
+cursor, sleep when idle.
+
+Our watermark = the newest complete epoch on disk minus ``delay_epochs``
+(the reference's ``target = chain_head - delay``,
+``stream_controller.py:158-161``); the cursor checkpoint is the lake
+manifest (``sync_recorder`` analog), so a restarted ``follow`` resumes
+exactly where the last commit fenced.
+"""
+
+from __future__ import annotations
+
+import time
+
+from raycdc.engine import Engine, discover_epoch_files
+
+
+def follow(
+    engine: Engine,
+    log_dir: str,
+    epochs_per_round: int = 1,
+    delay_epochs: int = 0,
+    period_seconds: float = 0.5,
+    max_idle_polls: int = 3,
+    max_rounds: int | None = None,
+) -> list[dict]:
+    """Poll ``log_dir`` for new epoch files and apply them in commit rounds.
+
+    Returns after ``max_idle_polls`` consecutive polls with no new work
+    (a bounded stand-in for the reference's run-forever loop so tests and
+    batch callers terminate), or after ``max_rounds`` applied rounds.
+    """
+    results: list = []
+    idle = 0
+    while idle < max_idle_polls:
+        files = discover_epoch_files(log_dir)
+        head = len(files) - delay_epochs  # watermark: confirmed epochs only
+        ready = files[:head] if head > 0 else []
+        committed = engine.lake.committed_round_ids()
+        # any uncommitted, non-rollback epoch below the watermark = work
+        new = [
+            f
+            for f in ready
+            if f"r{f['epoch']:06d}-{f['epoch']:06d}" not in committed
+        ]
+        if not new:
+            idle += 1
+            time.sleep(period_seconds)
+            continue
+        idle = 0
+        # apply_log handles fencing/rollbacks; restrict to the watermark by
+        # applying only the ready prefix (epoch files are append-only)
+        batch = engine.apply_log_files(ready, epochs_per_round=epochs_per_round)
+        applied = [r for r in batch if not r.get("skipped")]
+        results.extend(applied)
+        if max_rounds is not None and len(results) >= max_rounds:
+            break
+    return results

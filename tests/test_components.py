@@ -1,0 +1,214 @@
+"""Tests for the extension/stream/export/function surfaces: step registry +
+topo scheduler, stream follow loop, ranged CSV/JSON exporters with
+filename-pruned re-read, scalar conversion kernels."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raycdc import functions as F
+from raycdc import gen
+from raycdc.engine import Engine
+from raycdc.steps import Pipeline, Step, StepRegistry
+
+
+# -- steps -----------------------------------------------------------------
+
+def build_registry():
+    reg = StepRegistry()
+
+    @reg.register
+    class LoadDouble(Step):
+        inputs = ["numbers"]
+        outputs = ["doubled"]
+
+        def transform(self, t):
+            return {"doubled": t["numbers"].map_batches(lambda b: {"x": b["x"] * 2})}
+
+    @reg.register
+    class AddOne(Step):
+        inputs = ["doubled"]
+        outputs = ["plus_one"]
+
+        def transform(self, t):
+            return {"plus_one": t["doubled"].map_batches(lambda b: {"x": b["x"] + 1})}
+
+    @reg.register
+    class Unrelated(Step):
+        inputs = ["numbers"]
+        outputs = ["unused"]
+
+        def transform(self, t):  # pragma: no cover - must be pruned away
+            raise AssertionError("unrelated step must not run")
+
+    return reg
+
+
+def test_steps_topo_and_pruning(ray_session):
+    import ray.data
+
+    reg = build_registry()
+    out = Pipeline(reg).run(
+        {"numbers": ray.data.range(5).map_batches(lambda b: {"x": b["id"]})},
+        ["plus_one"],
+    )
+    xs = sorted(r["x"] for r in out["plus_one"].take_all())
+    assert xs == [1, 3, 5, 7, 9]  # 2*x + 1
+
+
+def test_steps_duplicate_producer_rejected():
+    reg = build_registry()
+    with pytest.raises(ValueError, match="duplicate producer"):
+
+        @reg.register
+        class Dup(Step):
+            inputs = []
+            outputs = ["doubled"]
+
+
+def test_steps_cycle_detected():
+    reg = StepRegistry()
+
+    @reg.register
+    class A(Step):
+        inputs = ["b_out"]
+        outputs = ["a_out"]
+
+    @reg.register
+    class B(Step):
+        inputs = ["a_out"]
+        outputs = ["b_out"]
+
+    with pytest.raises(ValueError, match="cycle"):
+        reg.topo_sort([A, B], set())
+
+
+def test_step_snake_name():
+    class MyFancyStep(Step):
+        pass
+
+    assert MyFancyStep.name() == "my_fancy_step"
+    assert F.to_snake_case("ERC1155TokenTransfer") == "erc1155_token_transfer"
+
+
+# -- stream follow ---------------------------------------------------------
+
+def test_stream_follow_applies_incrementally(ray_session, tmp_path):
+    from raycdc.stream import follow
+
+    spec = gen.GenSpec(seed=11, n_convs=80, mean_turns=5, n_epochs=4)
+    staged = str(tmp_path / "staged")
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    paths = gen.write_change_log(spec, staged)
+
+    # stage the first two epochs, follow, then the rest arrives
+    for p in paths[:2]:
+        os.link(p, os.path.join(live, os.path.basename(p)))
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4)
+    r1 = follow(eng, live, period_seconds=0.05, max_idle_polls=2)
+    assert len(r1) == 2
+
+    for p in paths[2:]:
+        os.link(p, os.path.join(live, os.path.basename(p)))
+    r2 = follow(eng, live, period_seconds=0.05, max_idle_polls=2)
+    assert len(r2) == 2  # only the new epochs; committed ones fenced
+    assert eng.lake.last_cursor() > 0
+    eng.close()
+
+
+def test_stream_follow_watermark_delay(ray_session, tmp_path):
+    from raycdc.stream import follow
+
+    spec = gen.GenSpec(seed=12, n_convs=50, mean_turns=4, n_epochs=3)
+    live = str(tmp_path / "live")
+    gen.write_change_log(spec, live)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4)
+    r = follow(eng, live, delay_epochs=1, period_seconds=0.05, max_idle_polls=1)
+    # newest epoch held back by the confirmation delay
+    assert len(r) == 2
+    eng.close()
+
+
+# -- exporters -------------------------------------------------------------
+
+def test_ranged_csv_export_and_pruned_reread(ray_session, tmp_path):
+    from raycdc.exporters import export_ranged, read_ranged_csv
+
+    spec = gen.GenSpec(seed=13, n_convs=100, mean_turns=5, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4)
+    eng.apply_log(log)
+
+    out = str(tmp_path / "csv")
+    paths = export_ranged(
+        eng.read_lake(include_system=True), out, fmt="csv", rows_per_file=200
+    )
+    assert len(paths) > 1
+    for p in paths:  # ranged names: transcripts-{lo}-{hi}.csv
+        assert os.path.basename(p).startswith("transcripts-")
+
+    total = eng.read_lake().count()
+    back = read_ranged_csv(out)
+    assert back.count() == total
+
+    # filename pruning: a narrow cursor window reads fewer files
+    lo_file = sorted(paths)[0]
+    import re
+
+    lo, hi = map(int, re.search(r"-(\d+)-(\d+)\.csv$", lo_file).groups())
+    narrow = read_ranged_csv(out, lo=lo, hi=hi)
+    df = narrow.to_pandas()
+    assert len(df) > 0
+    assert df["cursor"].between(lo, hi).all()
+    eng.close()
+
+
+def test_json_export(ray_session, tmp_path):
+    from raycdc.exporters import export_ranged
+
+    spec = gen.GenSpec(seed=14, n_convs=40, mean_turns=4, n_epochs=1)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=2)
+    eng.apply_log(log)
+    paths = export_ranged(
+        eng.read_lake(include_system=True), str(tmp_path / "json"), fmt="json",
+        rows_per_file=1000,
+    )
+    import json
+
+    with open(paths[0]) as f:
+        row = json.loads(f.readline())
+    assert {"conv_id", "turn_idx", "text", "cursor"} <= set(row)
+    eng.close()
+
+
+# -- scalar functions ------------------------------------------------------
+
+def test_hex_roundtrips():
+    vals = np.array([0, 1, 255, 2**40 + 7])
+    hx = F.int_to_hex(vals)
+    assert list(hx) == ["0x0", "0x1", "0xff", "0x10000000007"]
+    back = F.hex_to_int(hx)
+    assert list(back) == list(vals)
+    bs = F.hex_to_bytes(["0xff00", "ff00", ""])
+    assert bs == [b"\xff\x00", b"\xff\x00", b""]
+    assert F.bytes_to_hex(bs[:1]) == ["0xff00"]
+    assert F.int_to_bytes32([1])[0] == b"\x00" * 31 + b"\x01"
+
+
+def test_epoch_to_timestamp_and_json_safe():
+    import pyarrow as pa
+
+    arr = F.epoch_seconds_to_timestamp(pa.array([0, 1_700_000_000]))
+    assert str(arr.type) == "timestamp[us]"
+    assert str(arr[1].as_py()).startswith("2023-11-14")
+    safe = F.json_safe(
+        {"a": np.int64(3), "b": pd.Timestamp("2024-01-01"), "c": b"\x01", "d": [np.float64(1.5)]}
+    )
+    assert safe == {"a": 3, "b": "2024-01-01T00:00:00", "c": "0x01", "d": [1.5]}

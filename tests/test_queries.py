@@ -69,7 +69,8 @@ def _sql_backed():
         "events_hourly_stats", "events_user_daily", "events_type_stats",
         "events_sessionize", "dedup_exact", "token_counts", "lang_stats",
         "ann_bruteforce", "embedding_norms", "embedding_neardup",
-        "cdc_apply_events",
+        "cdc_apply_events", "lineitem_entity_views",
+        "priority_distinct_customers",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -92,7 +93,8 @@ def test_registry_covers_all_oracle_entries():
 
 
 @pytest.mark.parametrize("name", ["quality_scores", "lang_id", "fingerprints",
-                                  "dedup_simhash", "media_features", "ann_ivf"])
+                                  "dedup_simhash", "media_features", "ann_ivf",
+                                  "conv_daily_stats", "conv_cumulative_stats"])
 def test_rows_only_queries_deterministic(ray_session, name):
     from raycdc.queries import QUERIES
 
