@@ -188,7 +188,99 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+# -- as-of join (custom operator: Ray Data has none) -----------------------
+
+ASOF_BUCKETS = 8
+
+
+def events_asof_orders(sf_dir: str):
+    """Keyed as-of join: for each event (ts shifted into the order-date
+    domain), the latest order in its key bucket with o_orderdate <= ts.
+    Ray has no as-of join — composed as: distributed pre-aggregation of the
+    right side to unique (bucket, date) rows (deterministic arg-max
+    tie-break) → broadcast → vectorized ``pd.merge_asof(by=bucket)`` per
+    batch (the guide's documented as-of pattern). DuckDB oracle uses its
+    native ASOF LEFT JOIN."""
+    import ray
+
+    right = (
+        C.read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bucket": (b["o_custkey"] % ASOF_BUCKETS).astype("int64"),
+                    "o_orderdate": b["o_orderdate"],
+                    "o_orderkey": b["o_orderkey"],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby(["bucket", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        .to_pandas()
+        .sort_values(["o_orderdate", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    ref = ray.put(right)
+
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    class AsOf:
+        def __init__(self):
+            self.right = ray.get(ref).copy()
+            self.right["o_orderdate"] = pd.to_datetime(
+                self.right["o_orderdate"]
+            ).astype("datetime64[ns]")
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            left = pd.DataFrame(
+                {
+                    "event_id": b["event_id"],
+                    "bucket": (b["user_id"] % ASOF_BUCKETS).astype("int64"),
+                    # shift event time into the order-date domain
+                    "ts_asof": (b["ts"] - pd.DateOffset(years=29)).astype(
+                        "datetime64[ns]"
+                    ),
+                }
+            ).sort_values("ts_asof", kind="stable")
+            out = pd.merge_asof(
+                left,
+                self.right,
+                left_on="ts_asof",
+                right_on="o_orderdate",
+                by="bucket",
+                direction="backward",
+            )
+            return pd.DataFrame(
+                {
+                    "event_id": out["event_id"],
+                    "bucket": out["bucket"],
+                    "asof_orderkey": out["o_orderkey"],
+                    "asof_orderdate": out["o_orderdate"],
+                }
+            )
+
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=(1, 4))
+
+
+ASOF_SQL = f"""
+WITH o AS (
+    SELECT o_custkey % {ASOF_BUCKETS} AS bucket, o_orderdate,
+           max(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+), e AS (
+    SELECT event_id, user_id % {ASOF_BUCKETS} AS bucket,
+           ts - INTERVAL 29 YEAR AS ts_asof
+    FROM events
+)
+SELECT e.event_id, e.bucket, o.o_orderkey AS asof_orderkey,
+       o.o_orderdate AS asof_orderdate
+FROM e ASOF LEFT JOIN o ON e.bucket = o.bucket AND e.ts_asof >= o.o_orderdate
+"""
+
+
 QUERIES = {
+    "events_asof_orders": events_asof_orders,
     "events_latest_per_user": events_latest_per_user,
     "events_hourly_stats": events_hourly_stats,
     "events_user_daily": events_user_daily,
@@ -197,6 +289,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_asof_orders": ASOF_SQL,
     "events_latest_per_user": LATEST_SQL,
     "events_hourly_stats": HOURLY_SQL,
     "events_user_daily": USER_DAILY_SQL,

@@ -69,7 +69,7 @@ def _sql_backed():
         "events_hourly_stats", "events_user_daily", "events_type_stats",
         "events_sessionize", "dedup_exact", "token_counts", "lang_stats",
         "ann_bruteforce", "embedding_norms", "embedding_neardup",
-        "cdc_apply_events", "lineitem_entity_views",
+        "cdc_apply_events", "lineitem_entity_views", "events_asof_orders",
         "priority_distinct_customers",
     ],
 )
