@@ -57,10 +57,29 @@ class MinHashSigner:
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
         rows_per_band = NUM_PERM // NUM_BANDS
-        sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
         texts = b["text"].to_numpy()
-        for i in range(n):
-            sigs[i] = _minhash_sig(texts[i])
+        # batch-vectorized: hash ALL shingles of the batch at once, then one
+        # (K × total_shingles) permutation pass + per-doc segment minima
+        all_shingles: list = []
+        bounds = [0]
+        for t in texts:
+            toks = t.split()
+            if len(toks) < SHINGLE_W:
+                all_shingles.append(" ".join(toks))
+            else:
+                all_shingles.extend(
+                    " ".join(toks[i : i + SHINGLE_W])
+                    for i in range(len(toks) - SHINGLE_W + 1)
+                )
+            bounds.append(len(all_shingles))
+        sh = pd.util.hash_array(
+            np.asarray(all_shingles, dtype=object)
+        ).astype(np.uint64) & _MERSENNE
+        starts = np.asarray(bounds[:-1])
+        sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
+        for k in range(NUM_PERM):
+            vals = (_A[k] * sh + _B[k]) % _MERSENNE
+            sigs[:, k] = np.minimum.reduceat(vals, starts)
         bands = sigs.reshape(n, NUM_BANDS, rows_per_band)
         band_hash = (bands * _BAND_MIX[None, None, :]).sum(axis=2, dtype=np.uint64)
         band_hash ^= band_hash >> np.uint64(31)
@@ -98,17 +117,37 @@ class BucketPairs:
 
 
 def dedup_minhash_pairs(sf_dir: str):
-    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
-    banded = ds.map_batches(MinHashSigner, batch_format="pandas", concurrency=(1, 8))
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        BucketPairs, batch_format="pandas", concurrency=(1, 4)
+    """LSH candidate generation without a per-bucket Python call: almost
+    every (band, band_hash) bucket is a singleton, so first count bucket
+    occupancy with a vectorized aggregate, broadcast the (tiny) set of
+    collided buckets, filter the banded rows to candidates, and verify
+    signature-estimated Jaccard on just those. At larger scale the final
+    verify becomes one more (small) groupby instead of a driver gather."""
+    banded = C.read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: MinHashSigner()(b), batch_format="pandas"
     )
-
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    # a pair can surface from several bands → keep one
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    # candidate resolution: banded rows are tiny (doc_id + band key + 512B
+    # signature) — at this corpus scale gather them and resolve buckets
+    # vectorized on the driver. At lake scale the same logic runs as
+    # groupby(band).aggregate(Count) → broadcast-hot-bucket filter →
+    # small second groupby (no per-singleton-bucket Python calls either way).
+    cand = banded.to_pandas()
+    dupmask = cand.duplicated(["band_id", "band_hash"], keep=False)
+    cand = cand[dupmask]
+    if not len(cand):
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+    pairs = []
+    bucket_pairs = BucketPairs()
+    for _, g in cand.groupby(["band_id", "band_hash"], sort=True):
+        pairs.append(bucket_pairs(g))
+    out = pd.concat(pairs, ignore_index=True)
+    out = out.drop_duplicates(["doc_a", "doc_b"]).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    return out
 
 
 # -- SimHash ---------------------------------------------------------------
