@@ -111,7 +111,7 @@ def events_user_daily(sf_dir: str):
 
 USER_DAILY_SQL = """
 SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
