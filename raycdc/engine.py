@@ -148,37 +148,44 @@ class MergeWorker:
             f"base-{self.round_id}.parquet",
         )
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        part = int(group["part"].iloc[0])
-        assert (group["part"] == part).all(), "map_groups gave a mixed group"
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        part = int(group.column("part")[0].as_py())
 
         ent = self.live_map.get(part) or {"base": None, "deltas": []}
-        frames = []
-        for p in ([ent["base"]] if ent["base"] else []) + list(ent["deltas"]):
-            frames.append(S.conform(pq.read_table(p), self.frag_schema).to_pandas())
-        state = M.fold_fragments(frames, self.payload)
+        frames = [
+            S.conform(pq.read_table(p), self.frag_schema)
+            for p in ([ent["base"]] if ent["base"] else []) + list(ent["deltas"])
+        ]
+        state = M.fold_fragments_table(frames, self.payload)
 
         t0 = time.perf_counter()
-        out = M.merge_partition(state, group, self.payload)
+        out = M.merge_partition_table(state, group, self.payload)
         merged_sec = time.perf_counter() - t0
 
-        out_tbl = pa.Table.from_pandas(out, preserve_index=False)
-        out_tbl = S.conform(out_tbl, self.frag_schema)
+        out_tbl = S.conform(out, self.frag_schema)
         path = self._frag_path(part)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         pq.write_table(out_tbl, tmp)
         os.replace(tmp, path)
 
-        return pd.DataFrame(
+        n_live = out_tbl.num_rows - int(
+            pc.sum(out_tbl.column(M.DELETED_COL)).as_py() or 0
+        )
+        max_cursor = (
+            int(pc.max(out_tbl.column("cursor")).as_py()) if out_tbl.num_rows else 0
+        )
+        return pa.table(
             {
-                "part": [part],
-                "kind": ["base"],  # the groupby path always compacts
-                "n_events": [len(group)],
-                "n_rows": [len(out)],
-                "n_live": [int((~out[M.DELETED_COL]).sum())],
-                "max_cursor": [int(out["cursor"].max()) if len(out) else 0],
-                "merge_sec": [merged_sec],
+                "part": pa.array([part], pa.int64()),
+                "kind": pa.array(["base"], pa.string()),  # groupby path compacts
+                "n_events": pa.array([group.num_rows], pa.int64()),
+                "n_rows": pa.array([out_tbl.num_rows], pa.int64()),
+                "n_live": pa.array([n_live], pa.int64()),
+                "max_cursor": pa.array([max_cursor], pa.int64()),
+                "merge_sec": pa.array([merged_sec], pa.float64()),
             }
         )
 
@@ -231,6 +238,11 @@ class MergerActor:
         self.buf.setdefault(round_id, []).append(tbl)  # list.append: GIL-atomic
         return tbl.num_rows
 
+    def ping(self) -> bool:
+        """Liveness probe: a dead actor raises RayActorError immediately,
+        turning a silent lost-slice push into fast round replay."""
+        return True
+
     def drop_cache(self) -> None:
         self.cache.clear()
         self.cache_order.clear()
@@ -258,6 +270,7 @@ class MergerActor:
         expected_slices: int = -1,
         round_cursor_lo: int = 0,
         compact_every: int = 8,
+        barrier_timeout: float = 60.0,
     ) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
@@ -271,12 +284,12 @@ class MergerActor:
             # (duplicates themselves are dropped by the merge kernel's
             # exact (key, cursor, seq) dedup; strict per-batch acks remain
             # the fallback for exchange paths that can't assume this).
-            deadline = time.monotonic() + 300
+            deadline = time.monotonic() + barrier_timeout
             while len(self.buf.get(round_id, ())) < expected_slices:
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"round {round_id}: {len(self.buf.get(round_id, ()))}"
-                        f"/{expected_slices} slices after 300s"
+                        f"/{expected_slices} slices after {barrier_timeout}s"
                     )
                 time.sleep(0.002)
             stable_since, count = time.monotonic(), len(self.buf.get(round_id, ()))
@@ -286,6 +299,8 @@ class MergerActor:
                 if now != count:
                     stable_since, count = time.monotonic(), now
 
+        import pyarrow.compute as pc
+
         change_schema = L._schema_from_str(schema_str)
         payload = M.payload_columns([f.name for f in change_schema])
         frag_schema = M.fragment_schema_for(change_schema)
@@ -293,33 +308,44 @@ class MergerActor:
         stats_rows = []
         round_buf = self.buf.pop(round_id, [])
         if round_buf:
+            # Arrow-native part grouping: one stable argsort + take, then
+            # zero-copy contiguous slices per partition (no pandas anywhere
+            # on the hot path — pandas object churn was the measured 2-4×
+            # slowdown on 16M-event runs in round 1)
             events = pa.concat_tables(round_buf, promote_options="permissive")
-            df = events.to_pandas()
+            part_np = events.column("part").to_numpy(zero_copy_only=False)
+            order = np.argsort(part_np, kind="stable")
+            events = events.take(pa.array(order, pa.int64()))
+            part_sorted = part_np[order]
+            uniq_parts, starts = np.unique(part_sorted, return_index=True)
+            bounds = np.append(starts, len(part_sorted))
             schema_key = schema_str
 
-            def read_frame(path):
-                return S.conform(pq.read_table(path), frag_schema).to_pandas()
-
-            for part, group in df.groupby("part", sort=True):
+            for i, part in enumerate(uniq_parts):
                 part = int(part)
+                group = events.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
                 ent = live_map.get(part) or {"base": None, "deltas": []}
                 state = None
                 cached = self.cache.get(part)
                 if cached is not None and cached[0] == schema_key:
                     state = cached[1]  # full folded state, already conformed
                 elif cached is not None:
-                    ftbl = pa.Table.from_pandas(cached[1], preserve_index=False)
-                    state = S.conform(ftbl, frag_schema).to_pandas()
+                    state = S.conform(cached[1], frag_schema)  # schema evolved
                 else:
                     # cold rebuild: arg-max fold of base + deltas
                     frames = []
                     if ent["base"]:
-                        frames.append(read_frame(ent["base"]))
-                    frames.extend(read_frame(d) for d in ent["deltas"])
-                    state = M.fold_fragments(frames, payload)
+                        frames.append(
+                            S.conform(pq.read_table(ent["base"]), frag_schema)
+                        )
+                    frames.extend(
+                        S.conform(pq.read_table(d), frag_schema)
+                        for d in ent["deltas"]
+                    )
+                    state = M.fold_fragments_table(frames, payload)
 
                 t0 = time.perf_counter()
-                out = M.merge_partition(state, group, payload)
+                out = M.merge_partition_table(state, group, payload)
                 merge_sec = time.perf_counter() - t0
 
                 # log-structured write policy: per-round DELTA (only rows
@@ -331,15 +357,15 @@ class MergerActor:
                     if ent["base"] is not None and (n_deltas + 1) < compact_every
                     else "base"
                 )
-                out_rows = (
-                    out
+                full_tbl = S.conform(out, frag_schema)
+                write_tbl = (
+                    full_tbl
                     if kind == "base"
-                    else out[out["cursor"].to_numpy() >= round_cursor_lo].reset_index(
-                        drop=True
+                    else full_tbl.filter(
+                        pc.greater_equal(
+                            full_tbl.column("cursor"), pa.scalar(round_cursor_lo)
+                        )
                     )
-                )
-                out_tbl = S.conform(
-                    pa.Table.from_pandas(out_rows, preserve_index=False), frag_schema
                 )
                 path = os.path.join(
                     self.lake_root,
@@ -349,17 +375,26 @@ class MergerActor:
                 )
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 tmp = path + f".tmp{self.actor_id}"
-                pq.write_table(out_tbl, tmp)
+                pq.write_table(write_tbl, tmp)
                 os.replace(tmp, path)
-                self._cache_put(part, (schema_key, out), out_tbl.nbytes)
+                # cache the FULL folded state and charge its real Arrow size
+                # (delta-only accounting undercounted by orders of magnitude)
+                self._cache_put(part, (schema_key, full_tbl), full_tbl.nbytes)
+                n_live = full_tbl.num_rows - int(
+                    pc.sum(full_tbl.column(M.DELETED_COL)).as_py() or 0
+                )
                 stats_rows.append(
                     {
                         "part": part,
                         "kind": kind,
-                        "n_events": len(group),
-                        "n_rows": len(out),
-                        "n_live": int((~out[M.DELETED_COL]).sum()),
-                        "max_cursor": int(out["cursor"].max()) if len(out) else 0,
+                        "n_events": group.num_rows,
+                        "n_rows": full_tbl.num_rows,
+                        "n_live": n_live,
+                        "max_cursor": (
+                            int(pc.max(full_tbl.column("cursor")).as_py())
+                            if full_tbl.num_rows
+                            else 0
+                        ),
                         "merge_sec": merge_sec,
                     }
                 )
@@ -382,20 +417,28 @@ class _PreFold:
         self.payload = M.payload_columns([f.name for f in schema])
         self.num_partitions = num_partitions
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        folded = M.merge_partition(None, group, self.payload, with_boundary=True)
-        op = np.where(
-            folded[M.DELETED_COL].to_numpy(),
-            "delete",
-            np.where(folded["_boundary"].to_numpy(), "insert", "update"),
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        folded = M.merge_partition_table(
+            None, group, self.payload, with_boundary=True
         )
-        out = folded.drop(columns=[M.DELETED_COL, "_boundary"])
-        out["op"] = op
+        op = pc.if_else(
+            folded.column(M.DELETED_COL),
+            pa.scalar("delete"),
+            pc.if_else(
+                folded.column("_boundary"), pa.scalar("insert"), pa.scalar("update")
+            ),
+        )
+        out = folded.drop_columns([M.DELETED_COL, "_boundary"]).append_column(
+            "op", op
+        )
         # a salt group spans many conversations → recompute each key's home
-        out["part"] = P.assign_part(
-            out["conv_id"].to_numpy(), self.num_partitions
+        part = P.assign_part(
+            out.column("conv_id").to_numpy(zero_copy_only=False),
+            self.num_partitions,
         )
-        return out
+        return out.append_column("part", pa.array(part, pa.int32()))
 
 
 class Engine:
@@ -425,7 +468,9 @@ class Engine:
         self.merge_actors = merge_actors
         self.cache_bytes = cache_bytes
         self.compact_every = compact_every
+        self.max_round_retries = 2
         self._pool: list | None = None
+        self._pool_gen = 0  # bumped by _rebuild_pool (failure recovery)
 
     # -- persistent merger pool (direct exchange) -------------------------
 
@@ -437,17 +482,28 @@ class Engine:
                 self.merge_actors = max(1, min(self.lake.num_partitions, int(cpus * 0.6)))
             # named actors keyed by the lake root: every Engine over the same
             # lake shares ONE merger set (single-writer discipline; also
-            # prevents pool-per-Engine CPU exhaustion in shared sessions)
+            # prevents pool-per-Engine CPU exhaustion in shared sessions).
+            # The generation suffix changes after a failure rebuild so a new
+            # pool never races the dying one for the actor names.
             import hashlib
 
             tag = hashlib.sha1(os.path.abspath(self.lake.root).encode()).hexdigest()[:10]
             self._pool = [
                 MergerActor.options(
-                    name=f"raycdc-merger-{tag}-{i}", get_if_exists=True
+                    name=f"raycdc-merger-{tag}-g{self._pool_gen}-{i}",
+                    get_if_exists=True,
                 ).remote(i, self.lake.root, self.cache_bytes)
                 for i in range(self.merge_actors)
             ]
         return self._pool
+
+    def _rebuild_pool(self) -> list:
+        """Failure recovery: kill the survivors, start a fresh generation.
+        The new actors have cold caches — they rebuild from the manifest's
+        committed fragments, which is exactly the crash-consistent state."""
+        self._teardown_pool()
+        self._pool_gen += 1
+        return self._ensure_pool()
 
     def warmup(self, sample_path: str | None = None) -> None:
         """Pre-start the merger pool and compile a trivial Dataset pipeline
@@ -492,7 +548,10 @@ class Engine:
     # -- one commit round --------------------------------------------------
 
     def apply_round(self, files: list[dict], round_id: str) -> dict:
-        if round_id in self.lake.committed_round_ids():
+        orphans = self.lake.orphaned_epochs()
+        if round_id in self.lake.committed_round_ids() or (
+            orphans and all(f["epoch"] in orphans for f in files)
+        ):
             return {"round_id": round_id, "skipped": True}  # epoch fence
 
         paths = [p for f in files for p in f["paths"]]
@@ -517,7 +576,7 @@ class Engine:
             ds = salted_ds.groupby("salt").map_groups(
                 _PreFold,
                 fn_constructor_args=(schema_str, nparts),
-                batch_format="pandas",
+                batch_format="pyarrow",
                 concurrency=self.merge_concurrency or (1, 16),
             )
 
@@ -530,7 +589,7 @@ class Engine:
                 schema_str,
                 nparts,
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
             concurrency=self.merge_concurrency or (1, 16),
         )
         stats = stats_ds.to_pandas()  # ≤ P rows
@@ -543,9 +602,9 @@ class Engine:
     ) -> pd.DataFrame:
         expected = self._push_round(paths, schema_str, nparts, round_id)
         t_fin = time.perf_counter()
-        stats = pd.concat(
-            ray.get(self._finalize_refs(round_id, schema_str, expected, cursor_lo)),
-            ignore_index=True,
+        refs = self._finalize_refs(round_id, schema_str, expected, cursor_lo)
+        stats = self._gather_with_recovery(
+            refs, paths, schema_str, nparts, round_id, cursor_lo
         )
         if os.environ.get("RAYCDC_STATS"):
             print(
@@ -555,8 +614,50 @@ class Engine:
             )
         return stats
 
+    @staticmethod
+    def _failure_is_retriable(exc: BaseException) -> bool:
+        """Retriable = an actor/worker died or a push barrier starved (its
+        slices died with an actor). Application errors (bad data, bugs)
+        re-raise immediately — the reference's retriable/crashable taxonomy
+        (``common/utils/exception_control.py``,
+        ``indexer/executors/batch_work_executor.py:113-149``)."""
+        if isinstance(exc, ray.exceptions.RayActorError):
+            return True
+        if isinstance(exc, ray.exceptions.RayTaskError):
+            cause = getattr(exc, "cause", None)
+            return isinstance(
+                cause, (TimeoutError, ray.exceptions.RayActorError)
+            )
+        return False
+
+    def _gather_with_recovery(
+        self,
+        refs: list,
+        paths: list,
+        schema_str: str,
+        nparts: int,
+        round_id: str,
+        cursor_lo: int,
+    ) -> pd.DataFrame:
+        """ray.get the per-actor merges; on merger death, rebuild the pool
+        and replay the WHOLE round (exactly-once holds because nothing is
+        committed yet and fragment writes are deterministic filenames —
+        replaying rewrites identical files)."""
+        for attempt in range(self.max_round_retries + 1):
+            try:
+                return pd.concat(ray.get(refs), ignore_index=True)
+            except Exception as e:
+                if attempt >= self.max_round_retries or not self._failure_is_retriable(e):
+                    raise
+                if os.environ.get("RAYCDC_STATS"):
+                    print(f"[recover] round {round_id} attempt {attempt}: {e!r}")
+                self._rebuild_pool()
+                expected = self._push_round(paths, schema_str, nparts, round_id)
+                refs = self._finalize_refs(round_id, schema_str, expected, cursor_lo)
+
     def _push_round(
-        self, paths: list, schema_str: str, nparts: int, round_id: str
+        self, paths: list, schema_str: str, nparts: int, round_id: str,
+        _retries: int = 2,
     ) -> None:
         """Scan + normalize + bucket-exchange one round's events into the
         merger pool (the Dataset consume is the push barrier)."""
@@ -598,7 +699,24 @@ class Engine:
             .map_batches(push, batch_format="pyarrow", batch_size=65536)
             .to_pandas()  # ≤ batches × K tiny rows
         )
-        expected = sent_df.groupby("actor")["slices"].sum().to_dict()
+        # a round whose epoch files contain zero rows yields a column-less
+        # frame — commit it as an empty round rather than KeyError
+        if len(sent_df) == 0 or "actor" not in sent_df.columns:
+            expected = {}
+        else:
+            expected = sent_df.groupby("actor")["slices"].sum().to_dict()
+        # fast liveness probe: a merger that died during the push took its
+        # buffered slices with it — rebuild and re-push NOW instead of
+        # letting the finalize count barrier time out
+        try:
+            ray.get([h.ping.remote() for h in handles], timeout=30)
+        except ray.exceptions.RayActorError:
+            if _retries <= 0:
+                raise
+            self._rebuild_pool()
+            return self._push_round(
+                paths, schema_str, nparts, round_id, _retries=_retries - 1
+            )
         if os.environ.get("RAYCDC_STATS"):
             print(f"[direct] push={time.perf_counter() - t_push:.2f}s")
         return expected
@@ -716,7 +834,15 @@ class Engine:
         return self._execute_plan_sequential(plan)
 
     def _rollback(self, to_cursor: int, epoch: int) -> dict:
-        self.lake.rollback(to_cursor)
+        if epoch in self.lake.applied_rollback_epochs():
+            # fence: this reorg was already applied — re-applying it would
+            # truncate the canonical replay rounds committed after it
+            return {
+                "round_id": f"rollback@{epoch}",
+                "rollback_to": to_cursor,
+                "skipped": True,
+            }
+        self.lake.rollback(to_cursor, rollback_epoch=epoch)
         if self._pool is not None:
             # cached fragments may predate the restore point
             ray.get([h.drop_cache.remote() for h in self._pool])
@@ -740,15 +866,17 @@ class Engine:
         manifest commit stays strictly sequential (single-writer fence);
         a rollback drains the pipeline first (barrier)."""
         results: list = []
-        pending = None  # (files, round_id, schema, t0, finalize_refs)
+        pending = None  # (files, round_id, schema, t0, refs, paths, schema_str, lo)
         prev_schema = self.lake.schema
 
         def finish_pending():
             nonlocal pending
             if pending is None:
                 return
-            files_p, rid, schema, t0, refs = pending
-            stats = pd.concat(ray.get(refs), ignore_index=True)
+            files_p, rid, schema, t0, refs, paths_p, schema_str_p, lo_p = pending
+            stats = self._gather_with_recovery(
+                refs, paths_p, schema_str_p, self.lake.num_partitions, rid, lo_p
+            )
             results.append(self._commit(files_p, rid, schema, stats, t0))
             pending = None
 
@@ -761,8 +889,14 @@ class Engine:
             _, files_g, rid = item
             # fence checked LIVE (not a start-of-replay snapshot): a replayed
             # rollback truncates later rounds from the manifest, and those
-            # must then be re-applied, not skipped
-            if rid in self.lake.committed_round_ids():
+            # must then be re-applied, not skipped. Epochs orphaned by an
+            # ALREADY-APPLIED rollback are also skipped: their effects were
+            # intentionally discarded (re-applying them is a guarded-LWW
+            # no-op, but skipping keeps the manifest's round list canonical).
+            orphans = self.lake.orphaned_epochs()
+            if rid in self.lake.committed_round_ids() or (
+                orphans and all(f["epoch"] in orphans for f in files_g)
+            ):
                 results.append({"round_id": rid, "skipped": True})
                 continue
             paths = [p for f in files_g for p in f["paths"]]
@@ -771,7 +905,14 @@ class Engine:
             schema_str = L._schema_to_str(schema)
             t0 = time.perf_counter()
             expected = self._push_round(paths, schema_str, self.lake.num_partitions, rid)
+            gen_at_push = self._pool_gen
             finish_pending()  # waits on round N-1 merges that ran during push
+            if self._pool_gen != gen_at_push:
+                # recovery replaced the pool while this round's slices were
+                # in the dead actors' buffers — re-push to the new pool
+                expected = self._push_round(
+                    paths, schema_str, self.lake.num_partitions, rid
+                )
             lo = min(f["cursor_lo"] for f in files_g)
             pending = (
                 files_g,
@@ -779,6 +920,9 @@ class Engine:
                 schema,
                 t0,
                 self._finalize_refs(rid, schema_str, expected, lo),
+                paths,
+                schema_str,
+                lo,
             )
         finish_pending()
         return results
@@ -834,7 +978,9 @@ class Engine:
             for p, ent in sorted(state_map.items())
         ]
 
-        def fold_batch(b: pd.DataFrame) -> pd.DataFrame:
+        def fold_batch(b: pd.DataFrame) -> pa.Table:
+            import pyarrow.compute as pc
+
             sch = L._schema_from_str(schema_str)
             fs = M.fragment_schema_for(sch)
             pay = M.payload_columns([f.name for f in sch])
@@ -843,17 +989,15 @@ class Engine:
             )
             outs = []
             for files in b["files"]:
-                frames = [
-                    S.conform(pq.read_table(p), fs).to_pandas() for p in files
-                ]
-                st = M.fold_fragments(frames, pay)
-                if st is None or not len(st):
+                frames = [S.conform(pq.read_table(p), fs) for p in files]
+                st = M.fold_fragments_table(frames, pay)
+                if st is None or not st.num_rows:
                     continue
-                st = st[~st[M.DELETED_COL].to_numpy(dtype=bool)]
-                outs.append(st[keep])
+                st = st.filter(pc.invert(st.column(M.DELETED_COL)))
+                outs.append(st.select(keep))
             if not outs:
-                return pd.DataFrame(columns=keep)
-            return pd.concat(outs, ignore_index=True)
+                return pa.schema([fs.field(c) for c in keep]).empty_table()
+            return pa.concat_tables(outs, promote_options="permissive")
 
         ds = ray.data.from_items(items).map_batches(
             fold_batch, batch_format="pandas", batch_size=1

@@ -65,6 +65,11 @@ class Lake:
                 "committed_rounds": [],
                 # part(str) -> list of {"round": str, "file": relpath} (oldest..live)
                 "partitions": {},
+                # applied reorg rollbacks: {"epoch", "to_cursor",
+                # "undone_epochs", "undone_rounds"} — makes rollback replay
+                # idempotent (a re-discovered rollback epoch is skipped) and
+                # lets the stream controller treat orphaned epochs as done
+                "applied_rollbacks": [],
             }
 
     # -- introspection -----------------------------------------------------
@@ -80,6 +85,33 @@ class Lake:
 
     def committed_round_ids(self) -> set:
         return {r["round_id"] for r in self.manifest["committed_rounds"]}
+
+    def applied_rollback_epochs(self) -> set:
+        return {
+            int(rb["epoch"])
+            for rb in self.manifest.get("applied_rollbacks", [])
+            if rb.get("epoch") is not None
+        }
+
+    def orphaned_epochs(self) -> set:
+        """Epochs whose effects were intentionally discarded by an applied
+        rollback (the non-canonical side of a reorg) — a replay must not
+        re-apply them once the rollback itself is fenced."""
+        out: set = set()
+        for rb in self.manifest.get("applied_rollbacks", []):
+            out.update(int(e) for e in rb.get("undone_epochs", []))
+        return out
+
+    def processed_epochs(self) -> set:
+        """Every epoch whose work is complete: committed with a round,
+        applied as a rollback, or orphaned by one. The stream controller's
+        pending-work predicate (raycdc.stream.follow)."""
+        done: set = set()
+        for r in self.manifest["committed_rounds"]:
+            done.update(int(e) for e in r["epochs"])
+        done |= self.applied_rollback_epochs()
+        done |= self.orphaned_epochs()
+        return done
 
     def last_cursor(self) -> int:
         rounds = self.manifest["committed_rounds"]
@@ -172,8 +204,14 @@ class Lake:
                 "metrics": metrics,
             }
         )
-        self._gc()
+        # manifest first, THEN delete newly-unreferenced files: a crash in
+        # between leaves harmless orphan files, never a manifest pointing at
+        # deleted fragments (crash-at-any-point contract, module docstring)
+        doomed = self._gc()
         self._write_manifest()
+        for path in doomed:
+            if os.path.exists(path):
+                os.remove(path)
 
     def _write_manifest(self) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -183,11 +221,13 @@ class Lake:
             os.fsync(f.fileno())
         os.replace(tmp, self.manifest_path)
 
-    def _gc(self) -> None:
+    def _gc(self) -> list:
         """Trim per-partition history to versions from the last
-        ``undo_window`` committed rounds; delete unreferenced fragments."""
+        ``undo_window`` committed rounds. Returns the now-unreferenced
+        fragment paths — the caller deletes them AFTER the manifest swap."""
         rounds = self.manifest["committed_rounds"]
         keep_rounds = {r["round_id"] for r in rounds[-self.manifest["undo_window"] :]}
+        doomed = []
         for p, versions in self.manifest["partitions"].items():
             if len(versions) <= 1:
                 continue
@@ -200,20 +240,21 @@ class Lake:
                 if v["round"] not in keep_rounds and v.get("kind", "base") == "base":
                     first_keep = i
             kept = versions[first_keep:]
-            for v in versions[:first_keep]:
-                path = os.path.join(self.root, v["file"])
-                if os.path.exists(path):
-                    os.remove(path)
+            doomed.extend(
+                os.path.join(self.root, v["file"]) for v in versions[:first_keep]
+            )
             self.manifest["partitions"][p] = kept
+        return doomed
 
     # -- rollback (reorg analog) ------------------------------------------
 
-    def rollback(self, to_cursor: int) -> None:
+    def rollback(self, to_cursor: int, rollback_epoch: int | None = None) -> None:
         """Restore lake state as of the committed round whose ``cursor_hi``
         equals ``to_cursor`` (rollbacks target committed boundaries — Hemera
         reorgs whole block ranges). Bounded by the undo window; older
         rollbacks raise, mirroring the reference's finite ``--ranges``
-        repair window."""
+        repair window. ``rollback_epoch`` (when the rollback came from a
+        stream epoch) is recorded so replaying the same log skips it."""
         rounds = self.manifest["committed_rounds"]
         if to_cursor == 0 and not rounds:
             return
@@ -236,16 +277,34 @@ class Lake:
                 f"{self.manifest['undo_window']}"
             )
         undone_ids = {r["round_id"] for r in undone}
+        doomed = []
         for p, versions in list(self.manifest["partitions"].items()):
             kept = [v for v in versions if v["round"] not in undone_ids]
-            for v in versions:
-                if v["round"] in undone_ids:
-                    path = os.path.join(self.root, v["file"])
-                    if os.path.exists(path):
-                        os.remove(path)
+            doomed.extend(
+                os.path.join(self.root, v["file"])
+                for v in versions
+                if v["round"] in undone_ids
+            )
             if kept:
                 self.manifest["partitions"][p] = kept
             else:
                 del self.manifest["partitions"][p]
         self.manifest["committed_rounds"] = rounds[: idx + 1]
+        self.manifest.setdefault("applied_rollbacks", []).append(
+            {
+                "epoch": int(rollback_epoch) if rollback_epoch is not None else None,
+                "to_cursor": int(to_cursor),
+                "undone_epochs": sorted(
+                    {int(e) for r in undone for e in r["epochs"]}
+                ),
+                "undone_rounds": sorted(undone_ids),
+                "applied_at": time.time(),
+            }
+        )
+        # manifest swap BEFORE deleting the undone fragments — a crash in
+        # between leaves orphan files, never a committed manifest whose live
+        # fragments are gone (they are rewritten deterministically anyway)
         self._write_manifest()
+        for path in doomed:
+            if os.path.exists(path):
+                os.remove(path)

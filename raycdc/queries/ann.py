@@ -28,8 +28,12 @@ def ann_bruteforce(sf_dir: str):
     top-k by sort+limit (deterministic vec_id tie-break)."""
     import ray
 
-    q_df = C.read_pandas(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = _emb_matrix(q_df[q_df["vec_id"] == QUERY_VEC_ID])[0]
+    # prune at the read: only the query row leaves storage
+    q_df = C.read_pandas(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "=", QUERY_VEC_ID)],
+    )
+    q = _emb_matrix(q_df)[0]
     q = q / np.linalg.norm(q)
     ref = ray.put(q)
 
@@ -109,16 +113,25 @@ def _kmeans(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
     return cent
 
 
+TRAIN_SAMPLE = 2000
+
+
 def ann_ivf(sf_dir: str):
-    """IVF: train a coarse quantizer on a driver-side sample, broadcast
-    centroids, assign rows to inverted lists in map_batches, then search
-    only the query's nearest ``nprobe=2`` lists."""
+    """IVF: train a coarse quantizer on a BOUNDED driver-side sample
+    (``Dataset.limit`` — never the full table), broadcast centroids, assign
+    rows to inverted lists in map_batches, then search only the query's
+    nearest ``nprobe=2`` lists."""
     import ray
 
-    sample = C.read_pandas(sf_dir, "embeddings", ["vec_id", "embedding"])
-    mat = _emb_matrix(sample)
-    cent = _kmeans(mat[: min(len(mat), 2000)], N_CENTROIDS, KMEANS_ITERS)
-    q = mat[sample["vec_id"].to_numpy() == QUERY_VEC_ID][0]
+    sample = (
+        C.read(sf_dir, "embeddings", ["embedding"]).limit(TRAIN_SAMPLE).to_pandas()
+    )
+    cent = _kmeans(_emb_matrix(sample), N_CENTROIDS, KMEANS_ITERS)
+    q_df = C.read_pandas(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "=", QUERY_VEC_ID)],
+    )
+    q = _emb_matrix(q_df)[0]
     qn = q / np.linalg.norm(q)
     probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:2]
     ref = ray.put((cent, qn, set(int(x) for x in probe)))
@@ -163,14 +176,24 @@ def embedding_neardup(sf_dir: str):
     At scale the pair space comes from LSH/IVF buckets instead."""
     import ray
 
-    base = C.read_pandas(sf_dir, "embeddings", ["vec_id", "embedding"])
-    base = base[base["vec_id"] < NEARDUP_LIMIT_IDS].sort_values("vec_id")
+    # both sides of the pair space are pruned AT THE READ (row-group
+    # predicate pushdown): neither the driver nor the scan touches rows
+    # outside vec_id < NEARDUP_LIMIT_IDS
+    base = C.read_pandas(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "<", NEARDUP_LIMIT_IDS)],
+    ).sort_values("vec_id")
     m = _emb_matrix(base)
     n = np.linalg.norm(m, axis=1)
     n[n == 0] = 1.0
     ref = ray.put((m / n[:, None], base["vec_id"].to_numpy()))
 
-    ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import pyarrow.dataset as pads
+
+    ds = C.read(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filter=(pads.field("vec_id") < NEARDUP_LIMIT_IDS),
+    )
 
     class Pairs:
         def __init__(self):

@@ -25,18 +25,33 @@ import ray.data
 ROUND_DIGITS = 4
 
 
-def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    filter=None,
+) -> ray.data.Dataset:
+    """Column-pruned (and optionally predicate-pushed) parquet scan.
+    ``filter`` is a ``pyarrow.dataset`` expression pushed into row-group
+    selection — rows that fail it never leave storage."""
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
     )
 
 
-def read_pandas(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:
-    """Driver-side read for SMALL dimension tables only."""
+def read_pandas(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    filters=None,
+) -> pd.DataFrame:
+    """Driver-side read for SMALL dimension tables / pruned row subsets
+    only. ``filters`` is the pyarrow.parquet DNF filter list — pruned at
+    the read, never materialized then filtered."""
     import pyarrow.parquet as pq
 
     return pq.read_table(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filters=filters
     ).to_pandas()
 
 
@@ -62,6 +77,16 @@ class MapJoin:
         if self.right_on != self.left_on and self.right_on in out.columns:
             out = out.drop(columns=[self.right_on])
         return out
+
+
+def join_partitions() -> int:
+    """Hash-join partition count sized to the cluster (one partition per
+    CPU, floor 8) instead of a hardcoded constant."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
 
 
 def round_cols(df: pd.DataFrame, cols: list[str], digits: int = ROUND_DIGITS) -> pd.DataFrame:

@@ -2,16 +2,20 @@
 n-gram Jaccard verification — the scale path for fuzzy dedup (task brief).
 
 Pipeline shape (MinHash): shingle+sign per batch (stateless, vectorized) →
-explode to (band_id, band_hash, doc_id, signature) rows → groupby bands →
-candidate pairs per bucket → signature-estimated Jaccard verify → distinct
-pairs. All shuffle keys are small ints/hashes; signatures ride along as
-fixed-size binary, never the text.
+explode to (band_id, band_hash, doc_id, signature) rows → bucket-occupancy
+count (distributed groupby over the key columns only) → broadcast the tiny
+collided-bucket set → distributed filter to candidates → per-bucket pair
+verify → distinct pairs. All shuffle keys are small ints/hashes; signatures
+ride along as fixed-size binary, never the text; nothing corpus-sized ever
+lands on the driver.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from ray.data.aggregate import Count, Max
 
 from raycdc.queries import common as C
 
@@ -117,57 +121,96 @@ class BucketPairs:
 
 
 def dedup_minhash_pairs(sf_dir: str):
-    """LSH candidate generation without a per-bucket Python call: almost
-    every (band, band_hash) bucket is a singleton, so first count bucket
-    occupancy with a vectorized aggregate, broadcast the (tiny) set of
-    collided buckets, filter the banded rows to candidates, and verify
-    signature-estimated Jaccard on just those. At larger scale the final
-    verify becomes one more (small) groupby instead of a driver gather."""
+    """Scale-safe LSH candidate resolution — no driver-side gather:
+
+      1. sign + band every doc (stateless vectorized map_batches);
+      2. bucket occupancy via a distributed groupby COUNT over the key
+         columns only (signatures pruned before the shuffle);
+      3. collided buckets (count ≥ 2) are a tiny set — broadcast it via
+         ``ray.put`` and filter banded rows to candidates in map_batches;
+      4. per-bucket signature verify (``groupby.map_groups``) runs only on
+         collided buckets, so there are no per-singleton Python calls;
+      5. distinct (doc_a, doc_b) via one last (small) groupby.
+
+    The only driver materialization is the collided-bucket key set, whose
+    size is O(near-duplicate docs × bands), not O(corpus)."""
+    import ray
+
     banded = C.read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lambda b: MinHashSigner()(b), batch_format="pandas"
     )
-    # candidate resolution: banded rows are tiny (doc_id + band key + 512B
-    # signature) — at this corpus scale gather them and resolve buckets
-    # vectorized on the driver. At lake scale the same logic runs as
-    # groupby(band).aggregate(Count) → broadcast-hot-bucket filter →
-    # small second groupby (no per-singleton-bucket Python calls either way).
-    cand = banded.to_pandas()
-    dupmask = cand.duplicated(["band_id", "band_hash"], keep=False)
-    cand = cand[dupmask]
-    if not len(cand):
+    # occupancy count: prune sig/doc_id before the shuffle (keys only)
+    counts = (
+        banded.select_columns(["band_id", "band_hash"])
+        .groupby(["band_id", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+    )
+    hot = counts.filter(lambda r: r["n"] >= 2).to_pandas()  # tiny: collided only
+    if not len(hot):
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "est_jaccard": pd.Series(dtype="float64")}
         )
-    pairs = []
-    bucket_pairs = BucketPairs()
-    for _, g in cand.groupby(["band_id", "band_hash"], sort=True):
-        pairs.append(bucket_pairs(g))
-    out = pd.concat(pairs, ignore_index=True)
-    out = out.drop_duplicates(["doc_a", "doc_b"]).sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True)
+    hot_ref = ray.put(
+        set(zip(hot["band_id"].astype(int), hot["band_hash"].astype(int)))
+    )
+
+    class FilterHot:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keys = list(zip(b["band_id"].astype(int), b["band_hash"].astype(int)))
+            mask = np.fromiter((k in self.hot for k in keys), bool, len(keys))
+            return b[mask]
+
+    cand = banded.map_batches(FilterHot, batch_format="pandas", concurrency=(1, 8))
+    pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
+        BucketPairs, batch_format="pandas", concurrency=(1, 8)
+    )
+    # distinct pairs across bands (est_jaccard is band-independent)
+    out = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        .sort(["doc_a", "doc_b"])
+    )
     return out
 
 
 # -- SimHash ---------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over word unigrams; vectorized bit-vote accumulation."""
+    """64-bit SimHash over word unigrams — batch-vectorized: hash every
+    token of the batch at once, expand to a bit matrix, one segmented
+    ``add.reduceat`` for the per-doc bit votes."""
+
+    _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(b), dtype=np.int64)
-        for i, text in enumerate(b["text"].to_numpy()):
-            toks = np.asarray(text.split(), dtype=object)
-            if len(toks) == 0:
-                out[i] = 0
-                continue
-            hs = pd.util.hash_array(toks).astype(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            val = int((votes > 0).astype(object) @ (1 << np.arange(64, dtype=object)))
-            out[i] = val - (1 << 64) if val >= (1 << 63) else val
-        return pd.DataFrame({"doc_id": b["doc_id"], "simhash": out})
+        texts = b["text"].to_numpy()
+        toks_per_doc: list = []
+        bounds = [0]
+        for t in texts:
+            toks_per_doc.extend(t.split())
+            bounds.append(len(toks_per_doc))
+        starts = np.asarray(bounds[:-1])
+        counts = np.diff(bounds)
+        if not toks_per_doc:
+            return pd.DataFrame(
+                {"doc_id": b["doc_id"], "simhash": np.zeros(len(b), np.int64)}
+            )
+        hs = pd.util.hash_array(
+            np.asarray(toks_per_doc, dtype=object)
+        ).astype(np.uint64)
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.int32)
+        votes = np.add.reduceat(2 * bits - 1, np.minimum(starts, len(hs) - 1), axis=0)
+        sig = ((votes > 0).astype(np.uint64) * self._POW2[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        sig[counts == 0] = 0  # reduceat misreads empty segments
+        return pd.DataFrame({"doc_id": b["doc_id"], "simhash": sig.view(np.int64)})
 
 
 def dedup_simhash(sf_dir: str):

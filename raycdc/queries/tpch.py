@@ -88,7 +88,11 @@ def q3_top_orders(sf_dir: str):
     orders = orders.map_batches(filter_building, batch_format="pandas")
     line = C.read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     j = line.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders,
+        join_type="inner",
+        num_partitions=C.join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
 
     def revenue(t: pa.Table) -> pa.Table:
@@ -97,13 +101,23 @@ def q3_top_orders(sf_dir: str):
         )
         return t.select(["l_orderkey", "o_orderdate"]).append_column("revenue", rev)
 
+    # round BEFORE the sort+limit so the top-k boundary ranks on the same
+    # values as the oracle (which orders by the rounded alias)
+    def round_rev(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(t.column("revenue"), ndigits=C.ROUND_DIGITS),
+        )
+
     agg = (
         j.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(round_rev, batch_format="pyarrow")
     )
     top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).to_pandas()
-    return C.round_cols(top, ["revenue"])[["l_orderkey", "o_orderdate", "revenue"]]
+    return top[["l_orderkey", "o_orderdate", "revenue"]]
 
 
 Q3_SQL = """
@@ -169,7 +183,11 @@ def order_priority_count(sf_dir: str):
     max_ship = line.groupby("l_orderkey").aggregate(Max("l_shipdate", alias_name="max_shipdate"))
     orders = C.read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
     j = orders.join(
-        max_ship, join_type="inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+        max_ship,
+        join_type="inner",
+        num_partitions=C.join_partitions(),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
     )
 
     def late(t: pa.Table) -> pa.Table:
@@ -209,6 +227,8 @@ def top_customers_by_revenue(sf_dir: str):
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             b["c_name"] = b["o_custkey"].map(self.lut)
+            # round BEFORE sort+limit: rank on the oracle's rounded values
+            b["revenue"] = b["revenue"].round(C.ROUND_DIGITS)
             return b
 
     top = (
@@ -217,7 +237,7 @@ def top_customers_by_revenue(sf_dir: str):
         .limit(10)
         .to_pandas()
     )
-    return C.round_cols(top, ["revenue"])[["o_custkey", "c_name", "revenue", "n_orders"]]
+    return top[["o_custkey", "c_name", "revenue", "n_orders"]]
 
 
 TOP_CUSTOMERS_SQL = """

@@ -53,18 +53,21 @@ CHANGE_SCHEMA = pa.schema(
 OPS = ("insert", "update", "delete", "rollback")
 
 
-def lake_schema_for(change_schema: pa.Schema) -> pa.Schema:
+def lake_schema_for(
+    change_schema: pa.Schema, key_cols: list[str] | None = None
+) -> pa.Schema:
     """Lake row schema induced by a change schema: key + payload columns plus
     the stored ``(cursor, seq)`` watermark used by the guarded-LWW merge
     (analog of the reference's ``block_number`` guard column,
     ``common/models/current_token_balances.py:28-36``)."""
+    keys = list(key_cols if key_cols is not None else KEY_COLS)
     fields = []
-    for name in ("conv_id", "turn_idx"):
+    for name in keys:
         fields.append(change_schema.field(name))
     for f in change_schema:
         if f.name in ("cursor", "seq", "epoch", "op", "rollback_to_cursor"):
             continue
-        if f.name in ("conv_id", "turn_idx"):
+        if f.name in keys:
             continue
         fields.append(f)
     fields.append(pa.field("cursor", pa.int64()))

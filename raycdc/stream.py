@@ -39,23 +39,29 @@ def follow(
         files = discover_epoch_files(log_dir)
         head = len(files) - delay_epochs  # watermark: confirmed epochs only
         ready = files[:head] if head > 0 else []
-        committed = engine.lake.committed_round_ids()
-        # any uncommitted, non-rollback epoch below the watermark = work
-        new = [
-            f
-            for f in ready
-            if f"r{f['epoch']:06d}-{f['epoch']:06d}" not in committed
-        ]
+        # pending work = any ready epoch the manifest doesn't account for:
+        # committed with a round, applied as a rollback, or orphaned by one.
+        # (Round ids can span several epochs and rollback epochs never
+        # commit a round id, so matching per-epoch round ids would loop
+        # forever — the manifest's epoch ledger is the real fence.)
+        done = engine.lake.processed_epochs()
+        new = [f for f in ready if f["epoch"] not in done]
         if not new:
             idle += 1
             time.sleep(period_seconds)
             continue
-        idle = 0
         # apply_log handles fencing/rollbacks; restrict to the watermark by
         # applying only the ready prefix (epoch files are append-only)
         batch = engine.apply_log_files(ready, epochs_per_round=epochs_per_round)
         applied = [r for r in batch if not r.get("skipped")]
         results.extend(applied)
+        if not applied:
+            # belt-and-suspenders: everything fenced → count as an idle poll
+            # so a ledger gap can never spin the loop
+            idle += 1
+            time.sleep(period_seconds)
+            continue
+        idle = 0
         if max_rounds is not None and len(results) >= max_rounds:
             break
     return results

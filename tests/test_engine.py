@@ -227,3 +227,62 @@ def test_delta_compaction_and_rollback(ray_session, tmp_path, make_lake):
     assert kinds == {"base", "delta"}, f"expected mixed layout, got {kinds}"
     assert_matches_oracle(eng, log)
     eng.close()
+
+
+# -- fault tolerance: merger death mid-replay ------------------------------
+
+def test_actor_death_between_rounds_recovers(ray_session, tmp_path, make_lake):
+    """Kill a merger actor between rounds (OOM analog): the next push's
+    liveness probe must detect it, rebuild the pool, re-push, and the final
+    lake must still match the oracle — the exactly-once-under-actor-death
+    contract (reference retry semantics:
+    ``indexer/executors/batch_work_executor.py:113-149``)."""
+    import ray
+
+    from raycdc.engine import discover_epoch_files
+
+    spec = gen.GenSpec(seed=55, n_convs=200, mean_turns=8, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, merge_actors=2)
+    files = discover_epoch_files(log)
+    eng.apply_log_files(files[:1])
+    gen_before = eng._pool_gen
+    ray.kill(eng._pool[0])  # one merger (half the partitions) dies
+    eng.apply_log_files(files)  # resumes at the epoch fence, must recover
+    assert eng._pool_gen > gen_before  # recovery actually rebuilt the pool
+    assert_matches_oracle(eng, log)
+    eng.close()
+
+
+def test_actor_death_after_push_replays_round(ray_session, tmp_path, make_lake):
+    """Kill a merger AFTER its slices were pushed but BEFORE finalize: the
+    finalize gather must rebuild the pool and replay the whole round."""
+    import ray
+
+    from raycdc import lake as L
+    from raycdc.engine import discover_epoch_files
+
+    spec = gen.GenSpec(seed=56, n_convs=150, mean_turns=8, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, merge_actors=2)
+    files = discover_epoch_files(log)
+    eng.apply_log_files(files[:1])
+
+    f = files[1]
+    rid = f"r{f['epoch']:06d}-{f['epoch']:06d}"
+    schema = eng._round_schema(f["paths"])
+    schema_str = L._schema_to_str(schema)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    expected = eng._push_round(f["paths"], schema_str, 8, rid)
+    ray.kill(eng._pool[1])  # dies with round slices in its buffer
+    refs = eng._finalize_refs(rid, schema_str, expected, f["cursor_lo"])
+    stats = eng._gather_with_recovery(
+        refs, f["paths"], schema_str, 8, rid, f["cursor_lo"]
+    )
+    eng._commit([f], rid, schema, stats, t0)
+    assert_matches_oracle(eng, log)
+    eng.close()

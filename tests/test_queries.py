@@ -141,3 +141,15 @@ def test_entry_smoke(ray_session):
     df = to_df(e.entry())
     assert len(df) > 0
     assert {"conv_id", "turn_idx", "text"} <= set(df.columns)
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    """IVF (nprobe=2 of 8 lists) must recover a meaningful fraction of the
+    exact top-k — the recall/throughput tradeoff is the point of IVF, but a
+    broken quantizer would show up as near-zero overlap."""
+    from raycdc.queries import QUERIES
+
+    bf = to_df(QUERIES["ann_bruteforce"](SF_DIR))
+    ivf = to_df(QUERIES["ann_ivf"](SF_DIR))
+    recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / len(bf)
+    assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
