@@ -1,0 +1,195 @@
+"""CLI entry points: ``python -m raycdc <command>``.
+
+Mirrors the reference's ``hemera.py`` command surface
+(``cli/stream.py:160-229`` — source/output URIs, batch sizing, start/end
+position, sync-recorder resume; ``cli/reorg.py:86-93`` — bounded repair)
+on the Ray engine:
+
+  stream    tail a change-log directory and apply new epochs as they land
+  replay    apply a complete change-log directory once (backfill)
+  export    write a lake table as ranged CSV/JSON/Parquet files
+  rollback  restore the lake to a committed cursor boundary
+  show      print lake state summary (manifest, rounds, metrics)
+
+The CLI owns the Ray session (guarded init, local by default); the library
+never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kw["num_cpus"] = num_cpus
+        ray.init(address="local", **kw)
+
+
+def _engine(args):
+    from raycdc.engine import Engine
+
+    tables = None
+    if getattr(args, "with_conv_latest", False):
+        from raycdc import tables as T
+
+        tables = [T.PRIMARY, T.conv_latest()]
+    return Engine(
+        args.lake,
+        num_partitions=args.partitions,
+        undo_window=args.undo_window,
+        salted=getattr(args, "salted", False),
+        tables=tables,
+    )
+
+
+def cmd_replay(args) -> int:
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    results = eng.apply_log(args.log_dir, epochs_per_round=args.epochs_per_round)
+    for r in results:
+        print(json.dumps({k: v for k, v in r.items() if k != "touched_parts"},
+                         default=str))
+    applied = [r for r in results if not r.get("skipped")]
+    print(json.dumps({
+        "rounds_applied": len(applied),
+        "events": sum(r.get("n_events", 0) for r in applied),
+        "last_cursor": eng.lake.last_cursor(),
+    }))
+    eng.close()
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from raycdc.stream import follow
+
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    results = follow(
+        eng,
+        args.log_dir,
+        epochs_per_round=args.epochs_per_round,
+        delay_epochs=args.delay,
+        period_seconds=args.period,
+        max_idle_polls=args.max_idle_polls,
+        max_rounds=args.max_rounds,
+    )
+    print(json.dumps({
+        "rounds_applied": len(results),
+        "last_cursor": eng.lake.last_cursor(),
+    }))
+    eng.close()
+    return 0
+
+
+def cmd_export(args) -> int:
+    from raycdc.exporters import export_ranged
+
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    ds = eng.read_lake(include_system=True, table=args.table)
+    paths = export_ranged(
+        ds,
+        args.out_dir,
+        table=args.table or "transcripts",
+        fmt=args.format,
+        rows_per_file=args.rows_per_file,
+    )
+    print(json.dumps({"files": len(paths), "out_dir": args.out_dir}))
+    eng.close()
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    # pure manifest surgery — no Ray needed (reorg_controller analog)
+    from raycdc.lake import Lake
+
+    lake = Lake(args.lake)
+    before = lake.last_cursor()
+    lake.rollback(args.to_cursor)
+    print(json.dumps({"rolled_back_from": before, "now_at": lake.last_cursor()}))
+    return 0
+
+
+def cmd_show(args) -> int:
+    from raycdc.lake import Lake
+
+    lake = Lake(args.lake)
+    rounds = lake.manifest["committed_rounds"]
+    print(json.dumps({
+        "num_partitions": lake.num_partitions,
+        "committed_rounds": len(rounds),
+        "last_cursor": lake.last_cursor(),
+        "applied_rollbacks": len(lake.manifest.get("applied_rollbacks", [])),
+        "live_fragments": len(lake.live_fragment_paths()),
+        "schema": [f.name for f in lake.schema] if lake.schema else None,
+        "recent_rounds": [
+            {"round_id": r["round_id"], "cursor_hi": r["cursor_hi"],
+             "events": r["metrics"].get("n_events")}
+            for r in rounds[-5:]
+        ],
+    }))
+    return 0
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--lake", required=True, help="lake directory")
+    p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--undo-window", type=int, default=8)
+    p.add_argument("--num-cpus", type=int, default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="raycdc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("replay", help="apply a complete change log (backfill)")
+    _common(p)
+    p.add_argument("log_dir")
+    p.add_argument("--epochs-per-round", type=int, default=1)
+    p.add_argument("--salted", action="store_true", help="skew pre-fold path")
+    p.add_argument("--with-conv-latest", action="store_true",
+                   help="also maintain the derived conv_latest table")
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("stream", help="tail a change-log dir (follow loop)")
+    _common(p)
+    p.add_argument("log_dir")
+    p.add_argument("--epochs-per-round", type=int, default=1)
+    p.add_argument("--delay", type=int, default=0,
+                   help="confirmation delay in epochs (chain-head - delay)")
+    p.add_argument("--period", type=float, default=0.5, help="poll seconds")
+    p.add_argument("--max-idle-polls", type=int, default=3)
+    p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--with-conv-latest", action="store_true")
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("export", help="ranged file export of a lake table")
+    _common(p)
+    p.add_argument("out_dir")
+    p.add_argument("--format", choices=["csv", "json", "parquet"], default="csv")
+    p.add_argument("--rows-per-file", type=int, default=100_000)
+    p.add_argument("--table", default=None, help="logical table (default primary)")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("rollback", help="restore lake to a cursor boundary")
+    p.add_argument("--lake", required=True)
+    p.add_argument("to_cursor", type=int)
+    p.set_defaults(fn=cmd_rollback)
+
+    p = sub.add_parser("show", help="lake state summary")
+    p.add_argument("--lake", required=True)
+    p.set_defaults(fn=cmd_show)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -97,19 +97,45 @@ def _read_rollback_cursor(path: str) -> int:
 class _Normalize:
     """Stateless per-batch transform: conform every batch to the round's
     unified change schema (schema evolution is per batch, not per epoch —
-    SURVEY.md §7.5.6) and assign the home partition."""
+    SURVEY.md §7.5.6) and assign the home partition.
 
-    def __init__(self, schema_str: str, num_partitions: int):
+    ``error_policy="record"`` diverts malformed rows to the lake's buffered
+    error sink (raycdc.errors) instead of failing the round — the
+    reference's ExceptionRecorder/FAST-mode behavior."""
+
+    def __init__(
+        self,
+        schema_str: str,
+        num_partitions: int,
+        error_policy: str = "fail",
+        lake_root: str | None = None,
+        round_id: str = "",
+    ):
         self.schema = L._schema_from_str(schema_str)
         self.num_partitions = num_partitions
+        self.error_policy = error_policy
+        self.lake_root = lake_root
+        self.round_id = round_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ok = pc.is_in(batch.column("op"), value_set=pa.array(["insert", "update", "delete"]))
-        if not pc.all(ok).as_py():
-            bad = batch.filter(pc.invert(ok)).column("op").to_pylist()[:3]
-            raise ValueError(f"unexpected op(s) in merge round: {bad}")
+        from raycdc import errors as E
+
+        if self.error_policy == "record":
+            batch, bad = E.split_bad_rows(batch)
+            if bad.num_rows:
+                E.record_bad_rows(
+                    self.lake_root, self.round_id, bad, "malformed_change_row"
+                )
+        else:
+            ok = pc.is_in(
+                batch.column("op"),
+                value_set=pa.array(["insert", "update", "delete"]),
+            )
+            if not pc.all(ok).as_py():
+                bad = batch.filter(pc.invert(ok)).column("op").to_pylist()[:3]
+                raise ValueError(f"unexpected op(s) in merge round: {bad}")
         batch = S.conform(batch, self.schema)
         part = P.assign_part(
             batch.column("conv_id").to_numpy(zero_copy_only=False),
@@ -234,9 +260,13 @@ class MergerActor:
         self.cache: dict = {}  # part -> pa.Table (live fragment)
         self.cache_order: list = []
 
-    def add_events(self, round_id: str, tbl: pa.Table) -> int:
-        self.buf.setdefault(round_id, []).append(tbl)  # list.append: GIL-atomic
+    def add_events(self, round_id: str, tbl: pa.Table, table_idx: int = 0) -> int:
+        r = self.buf.setdefault(round_id, {})  # round -> {table_idx: [tables]}
+        r.setdefault(table_idx, []).append(tbl)  # append: GIL-atomic
         return tbl.num_rows
+
+    def _slices(self, round_id: str) -> int:
+        return sum(len(v) for v in self.buf.get(round_id, {}).values())
 
     def ping(self) -> bool:
         """Liveness probe: a dead actor raises RayActorError immediately,
@@ -271,6 +301,7 @@ class MergerActor:
         round_cursor_lo: int = 0,
         compact_every: int = 8,
         barrier_timeout: float = 60.0,
+        tables_meta: dict | None = None,
     ) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
@@ -285,41 +316,50 @@ class MergerActor:
             # exact (key, cursor, seq) dedup; strict per-batch acks remain
             # the fallback for exchange paths that can't assume this).
             deadline = time.monotonic() + barrier_timeout
-            while len(self.buf.get(round_id, ())) < expected_slices:
+            while self._slices(round_id) < expected_slices:
                 if time.monotonic() > deadline:
                     raise TimeoutError(
-                        f"round {round_id}: {len(self.buf.get(round_id, ()))}"
+                        f"round {round_id}: {self._slices(round_id)}"
                         f"/{expected_slices} slices after {barrier_timeout}s"
                     )
                 time.sleep(0.002)
-            stable_since, count = time.monotonic(), len(self.buf.get(round_id, ()))
+            stable_since, count = time.monotonic(), self._slices(round_id)
             while time.monotonic() - stable_since < 0.05:
                 time.sleep(0.01)
-                now = len(self.buf.get(round_id, ()))
+                now = self._slices(round_id)
                 if now != count:
                     stable_since, count = time.monotonic(), now
 
         import pyarrow.compute as pc
 
-        change_schema = L._schema_from_str(schema_str)
-        payload = M.payload_columns([f.name for f in change_schema])
-        frag_schema = M.fragment_schema_for(change_schema)
+        if tables_meta is None:
+            tables_meta = {0: (schema_str, ("conv_id", "turn_idx"))}
 
         stats_rows = []
-        round_buf = self.buf.pop(round_id, [])
-        if round_buf:
+        round_buf = self.buf.pop(round_id, {})
+        for t_idx in sorted(round_buf):
+            bufs = round_buf[t_idx]
+            if not bufs:
+                continue
+            t_schema_str, key_cols = tables_meta[t_idx]
+            key_cols = list(key_cols)
+            change_schema = L._schema_from_str(t_schema_str)
+            payload = M.payload_columns(
+                [f.name for f in change_schema], key_cols=key_cols
+            )
+            frag_schema = M.fragment_schema_for(change_schema, key_cols=key_cols)
+            schema_key = t_schema_str
             # Arrow-native part grouping: one stable argsort + take, then
             # zero-copy contiguous slices per partition (no pandas anywhere
             # on the hot path — pandas object churn was the measured 2-4×
             # slowdown on 16M-event runs in round 1)
-            events = pa.concat_tables(round_buf, promote_options="permissive")
+            events = pa.concat_tables(bufs, promote_options="permissive")
             part_np = events.column("part").to_numpy(zero_copy_only=False)
             order = np.argsort(part_np, kind="stable")
             events = events.take(pa.array(order, pa.int64()))
             part_sorted = part_np[order]
             uniq_parts, starts = np.unique(part_sorted, return_index=True)
             bounds = np.append(starts, len(part_sorted))
-            schema_key = schema_str
 
             for i, part in enumerate(uniq_parts):
                 part = int(part)
@@ -342,10 +382,14 @@ class MergerActor:
                         S.conform(pq.read_table(d), frag_schema)
                         for d in ent["deltas"]
                     )
-                    state = M.fold_fragments_table(frames, payload)
+                    state = M.fold_fragments_table(
+                        frames, payload, key_cols=key_cols
+                    )
 
                 t0 = time.perf_counter()
-                out = M.merge_partition_table(state, group, payload)
+                out = M.merge_partition_table(
+                    state, group, payload, key_cols=key_cols
+                )
                 merge_sec = time.perf_counter() - t0
 
                 # log-structured write policy: per-round DELTA (only rows
@@ -456,18 +500,35 @@ class Engine:
         merge_actors: int | None = None,
         cache_bytes: int = 1 << 30,
         compact_every: int = 8,
+        tables: list | None = None,
+        error_policy: str = "fail",
+        progress: bool = False,
     ):
+        from raycdc import tables as T
+
         self.lake = L.Lake(lake_root, num_partitions, undo_window)
         self.merge_concurrency = merge_concurrency
         self.salted = salted
         self.salt_factor = salt_factor
+        # logical tables: tables[0] is the primary (identity); the rest are
+        # derived per-batch from the primary change stream (raycdc.tables)
+        self.tables = list(tables) if tables else [T.PRIMARY]
+        if self.tables[0].derive is not None:
+            raise ValueError("tables[0] must be the primary (derive=None)")
         # "direct": persistent merger actors fed straight from map_batches
         # (fast micro-batch path); "groupby": groupby(part).map_groups
         # (general path, always used when salted pre-fold is on)
         self.exchange = "groupby" if salted else exchange
+        if len(self.tables) > 1 and (salted or self.exchange != "direct"):
+            raise ValueError(
+                "derived tables require the direct exchange (salted "
+                "pre-fold folds only the primary key space)"
+            )
         self.merge_actors = merge_actors
         self.cache_bytes = cache_bytes
         self.compact_every = compact_every
+        self.error_policy = error_policy
+        self.progress = progress or bool(os.environ.get("RAYCDC_PROGRESS"))
         self.max_round_retries = 2
         self._pool: list | None = None
         self._pool_gen = 0  # bumped by _rebuild_pool (failure recovery)
@@ -567,7 +628,10 @@ class Engine:
 
         ds = ray.data.read_parquet(paths)
         ds = ds.map_batches(
-            _Normalize(schema_str, nparts), batch_format="pyarrow"
+            _Normalize(
+                schema_str, nparts, self.error_policy, self.lake.root, round_id
+            ),
+            batch_format="pyarrow",
         )
         if self.salted:
             salted_ds = ds.map_batches(
@@ -663,27 +727,51 @@ class Engine:
         merger pool (the Dataset consume is the push barrier)."""
         handles = self._ensure_pool()
 
+        specs = self.tables
+
+        error_policy, lake_root = self.error_policy, self.lake.root
+
         def push(batch: pa.Table, _norm=[None]) -> pa.Table:
             if _norm[0] is None:
-                _norm[0] = _Normalize(schema_str, nparts)
+                _norm[0] = _Normalize(
+                    schema_str, nparts, error_policy, lake_root, round_id
+                )
             batch = _norm[0](batch)
             k = len(handles)
-            part = batch.column("part").to_numpy(zero_copy_only=False)
-            owner = part % k
-            # one O(rows) gather, then zero-copy contiguous slices per owner
-            # (a filter() per actor would be K passes over the batch — the
-            # slicing cost would GROW with the pool size)
-            order = np.argsort(owner, kind="stable")
-            batch = batch.take(pa.array(order))
-            sorted_owner = owner[order]
-            bounds = np.searchsorted(sorted_owner, np.arange(k + 1))
             sent = []
-            for a in range(k):
-                lo, hi = int(bounds[a]), int(bounds[a + 1])
-                if hi > lo:
-                    # fire-and-forget; the finalize count barrier syncs
-                    handles[a].add_events.remote(round_id, batch.slice(lo, hi - lo))
-                    sent.append(a)
+
+            def send(tbl: pa.Table, t_idx: int) -> None:
+                part = tbl.column("part").to_numpy(zero_copy_only=False)
+                # derived tables live at parts [t*P, (t+1)*P): same actor
+                # owns primary partition p and every table's partition p
+                owner = (part % nparts) % k
+                # one O(rows) gather, then zero-copy contiguous slices per
+                # owner (a filter() per actor would be K passes over the
+                # batch — the slicing cost would GROW with the pool size)
+                order = np.argsort(owner, kind="stable")
+                tbl = tbl.take(pa.array(order))
+                sorted_owner = owner[order]
+                bounds = np.searchsorted(sorted_owner, np.arange(k + 1))
+                for a in range(k):
+                    lo, hi = int(bounds[a]), int(bounds[a + 1])
+                    if hi > lo:
+                        # fire-and-forget; the finalize count barrier syncs
+                        handles[a].add_events.remote(
+                            round_id, tbl.slice(lo, hi - lo), t_idx
+                        )
+                        sent.append(a)
+
+            send(batch, 0)
+            for t_idx, spec in enumerate(specs[1:], start=1):
+                d = spec.derive(batch)
+                dpart = (
+                    P.assign_part(
+                        d.column(spec.key_cols[0]).to_numpy(zero_copy_only=False),
+                        nparts,
+                    )
+                    + t_idx * nparts
+                )
+                send(d.append_column("part", pa.array(dpart, pa.int32())), t_idx)
             return pa.table(
                 {
                     "actor": pa.array(sent, pa.int32()),
@@ -721,11 +809,28 @@ class Engine:
             print(f"[direct] push={time.perf_counter() - t_push:.2f}s")
         return expected
 
+    def _tables_meta(self, schema_str: str) -> dict:
+        """Per-table (change schema, key cols) for one round: the derived
+        schemas are induced by running each spec's derive on an empty batch
+        of the round's primary schema (schema evolution therefore flows
+        through to derived tables automatically)."""
+        meta = {0: (schema_str, tuple(self.tables[0].key_cols))}
+        if len(self.tables) > 1:
+            schema = L._schema_from_str(schema_str)
+            empty = S.conform(schema.empty_table(), schema).append_column(
+                "part", pa.array([], pa.int32())
+            )
+            for i, spec in enumerate(self.tables[1:], start=1):
+                d_schema = spec.derive(empty).schema
+                meta[i] = (L._schema_to_str(d_schema), tuple(spec.key_cols))
+        return meta
+
     def _finalize_refs(
         self, round_id: str, schema_str: str, expected: dict, cursor_lo: int
     ) -> list:
         """Launch (don't wait) the per-actor merges for a pushed round."""
         live_map = self.lake.live_state_map()
+        tables_meta = self._tables_meta(schema_str)
         return [
             h.finalize_round.remote(
                 round_id,
@@ -734,6 +839,8 @@ class Engine:
                 int(expected.get(i, 0)),
                 int(cursor_lo),
                 self.compact_every,
+                60.0,
+                tables_meta,
             )
             for i, h in enumerate(self._ensure_pool())
         ]
@@ -744,6 +851,19 @@ class Engine:
             print("merge_sec per part: total",
                   round(stats["merge_sec"].sum(), 2), "max",
                   round(stats["merge_sec"].max(), 3))
+        if self.progress:
+            # live per-round progress (reference ProgressLogger analog,
+            # ``indexer/utils/progress_logger.py:22-65``): one line per
+            # commit, not just post-hoc manifest metrics
+            ne = int(stats["n_events"].sum()) if len(stats) else 0
+            print(
+                f"[raycdc] {round_id}: {ne} events, "
+                f"{int(stats['n_live'].sum()) if len(stats) else 0} live rows, "
+                f"{len(stats)} parts, {wall:.2f}s "
+                f"({ne / wall if wall > 0 else 0:,.0f} ev/s), "
+                f"cursor≤{max((f['cursor_hi'] for f in files), default=0)}",
+                flush=True,
+            )
 
         n_events = int(stats["n_events"].sum()) if len(stats) else 0
         metrics = {
@@ -811,13 +931,26 @@ class Engine:
                 plan.append(("round", list(group), rid))
                 group.clear()
 
+        # reorg DETECTION (the reference's parent-hash consensus check,
+        # ``indexer/jobs/check_block_consensus_job.py:30-79``): a fresh
+        # epoch whose cursor range re-enters already-applied territory is
+        # a re-emitted canonical chain without an explicit rollback event —
+        # inject the rollback it implies. ``sim_hi`` tracks the high-water
+        # cursor as the plan would leave it.
+        processed = self.lake.processed_epochs()
+        sim_hi = self.lake.last_cursor()
+
         for f in files:
             if f["epoch"] in rollback_epochs:
                 flush()
-                plan.append(
-                    ("rollback", _read_rollback_cursor(f["paths"][0]), f["epoch"])
-                )
+                target = _read_rollback_cursor(f["paths"][0])
+                plan.append(("rollback", target, f["epoch"]))
+                sim_hi = min(sim_hi, target)
                 continue
+            if f["epoch"] not in processed and f["cursor_lo"] <= sim_hi:
+                flush()
+                plan.append(("rollback", f["cursor_lo"] - 1, f["epoch"]))
+                sim_hi = f["cursor_lo"] - 1
             # schema evolution forces a round boundary: a round's files share
             # one change schema (the evolved schema commits with its round)
             if group and not pq.read_schema(f["paths"][0]).equals(
@@ -825,6 +958,7 @@ class Engine:
             ):
                 flush()
             group.append(f)
+            sim_hi = max(sim_hi, f["cursor_hi"])
             if len(group) >= epochs_per_round or f["cursor_hi"] in rollback_targets:
                 flush()
         flush()
@@ -929,27 +1063,50 @@ class Engine:
 
     # -- reads -------------------------------------------------------------
 
-    def read_lake(self, columns=None, include_system: bool = False):
-        """The lake as a Dataset of live transcript rows (tombstones and
-        system columns dropped unless requested).
+    def _table_index(self, table: str | None) -> int:
+        if table is None:
+            return 0
+        for i, s in enumerate(self.tables):
+            if s.name == table:
+                return i
+        raise KeyError(f"unknown lake table {table!r}")
+
+    def _table_schema(self, t_idx: int) -> pa.Schema | None:
+        base = self.lake.schema
+        if t_idx == 0 or base is None:
+            return base
+        meta = self._tables_meta(L._schema_to_str(base))
+        return L._schema_from_str(meta[t_idx][0])
+
+    def read_lake(self, columns=None, include_system: bool = False,
+                  table: str | None = None):
+        """A lake table as a Dataset of live rows (tombstones and system
+        columns dropped unless requested). ``table`` selects a logical
+        table (default: the primary).
 
         Base-only partitions stream straight from their fragments (already
-        sorted by (conv_id, turn_idx)); partitions with outstanding deltas
-        go through the per-partition arg-max fold (log-structured read
-        path) inside map_batches."""
-        state_map = self.lake.live_state_map()
-        schema = self.lake.schema
+        sorted by the table's key columns); partitions with outstanding
+        deltas go through the per-partition arg-max fold (log-structured
+        read path) inside map_batches."""
+        t_idx = self._table_index(table)
+        nparts = self.lake.num_partitions
+        prange = (t_idx * nparts, (t_idx + 1) * nparts)
+        state_map = self.lake.live_state_map(prange)
+        schema = self._table_schema(t_idx)
+        key_cols = list(self.tables[t_idx].key_cols)
         needs_fold = any(ent["deltas"] for ent in state_map.values())
         if needs_fold and schema is not None:
-            return self._read_lake_folded(state_map, schema, columns, include_system)
-        paths = self.lake.live_fragment_paths()
+            return self._read_lake_folded(
+                state_map, schema, columns, include_system, key_cols
+            )
+        paths = self.lake.live_fragment_paths(prange)
         if not paths:
-            schema = self.lake.schema or S.CHANGE_SCHEMA
+            schema = schema or S.CHANGE_SCHEMA
             empty = pa.Table.from_arrays(
                 [], schema=pa.schema([])
             )
             return ray.data.from_arrow(
-                S.conform(empty, M.fragment_schema_for(schema))
+                S.conform(empty, M.fragment_schema_for(schema, key_cols=key_cols))
             )
         import pyarrow.compute as pc
 
@@ -968,7 +1125,10 @@ class Engine:
             ds = ds.select_columns(columns)
         return ds
 
-    def _read_lake_folded(self, state_map, schema, columns, include_system):
+    def _read_lake_folded(
+        self, state_map, schema, columns, include_system, key_cols=None
+    ):
+        key_cols = list(key_cols if key_cols is not None else S.KEY_COLS)
         schema_str = L._schema_to_str(schema)
         items = [
             {
@@ -982,15 +1142,15 @@ class Engine:
             import pyarrow.compute as pc
 
             sch = L._schema_from_str(schema_str)
-            fs = M.fragment_schema_for(sch)
-            pay = M.payload_columns([f.name for f in sch])
+            fs = M.fragment_schema_for(sch, key_cols=key_cols)
+            pay = M.payload_columns([f.name for f in sch], key_cols=key_cols)
             keep = (
-                S.KEY_COLS + pay + (["cursor", "seq"] if include_system else [])
+                key_cols + pay + (["cursor", "seq"] if include_system else [])
             )
             outs = []
             for files in b["files"]:
                 frames = [S.conform(pq.read_table(p), fs) for p in files]
-                st = M.fold_fragments_table(frames, pay)
+                st = M.fold_fragments_table(frames, pay, key_cols=key_cols)
                 if st is None or not st.num_rows:
                     continue
                 st = st.filter(pc.invert(st.column(M.DELETED_COL)))

@@ -18,24 +18,6 @@ import pyarrow.csv as pacsv
 import pyarrow.parquet as pq
 
 
-def _chunks(ds, range_key: str, rows_per_file: int):
-    """Exact fixed-size chunks from a sorted Dataset (last chunk ragged)."""
-    buf, n = [], 0
-    for b in ds.iter_batches(batch_size=rows_per_file, batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        buf.append(b)
-        n += b.num_rows
-        while n >= rows_per_file:
-            t = pa.concat_tables(buf, promote_options="permissive")
-            yield t.slice(0, rows_per_file)
-            rest = t.slice(rows_per_file)
-            buf = [rest] if rest.num_rows else []
-            n = rest.num_rows
-    if n:
-        yield pa.concat_tables(buf, promote_options="permissive")
-
-
 def _write(tbl: pa.Table, path: str, fmt: str) -> None:
     if fmt == "csv":
         with pa.OSFile(path, "wb") as f:  # explicit truncate
@@ -58,28 +40,68 @@ def export_ranged(
     range_key: str = "cursor",
     rows_per_file: int = 100_000,
 ) -> list[str]:
-    """Deterministic ranged file export. Sorts by ``range_key`` (the
-    reference sorts by block number before splitting,
-    ``csv_file_item_exporter.py:46-49``), then writes fixed-size files
-    named by each file's actual key range; a ``-pN`` suffix disambiguates
-    the rare case of two chunks sharing an identical range."""
+    """Deterministic ranged file export, written by PARALLEL Ray tasks.
+
+    Sorts by ``range_key`` (the reference sorts by block number before
+    splitting, ``csv_file_item_exporter.py:46-49``), splits the sorted
+    Dataset's blocks into exact ``rows_per_file`` row windows by METADATA
+    (block row counts — no row ever passes through the driver), and writes
+    one file per window as an independent Ray task. Files are named
+    ``{table}-{lo}-{hi}-f{idx}.{ext}``: the actual key range for filename
+    range-pruning plus the global file index, which makes names unique and
+    deterministic — re-running a failed export rewrites identical files
+    (idempotent resume)."""
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
-    paths: list = []
-    used: set = set()
-    for tbl in _chunks(ds.sort(range_key), range_key, rows_per_file):
-        lo = tbl.column(range_key)[0].as_py()
-        hi = tbl.column(range_key)[tbl.num_rows - 1].as_py()
-        name = f"{table}-{lo}-{hi}"
-        if name in used:
-            i = 1
-            while f"{name}-p{i}" in used:
-                i += 1
-            name = f"{name}-p{i}"
-        used.add(name)
-        path = os.path.join(out_dir, f"{name}.{fmt}")
-        _write(tbl, path, fmt)
-        paths.append(path)
-    return paths
+    block_refs = ds.sort(range_key).to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _write_window(
+        path_prefix: str, fmt: str, range_key: str, file_idx: int,
+        skip: int, take: int, *blocks: pa.Table,
+    ) -> str:
+        t = pa.concat_tables(blocks, promote_options="permissive").slice(
+            skip, take
+        )
+        lo = t.column(range_key)[0].as_py()
+        hi = t.column(range_key)[t.num_rows - 1].as_py()
+        path = f"{path_prefix}-{lo}-{hi}-f{file_idx:05d}.{fmt}"
+        tmp = path + ".tmp"
+        _write(t, tmp, fmt)
+        os.replace(tmp, path)
+        return path
+
+    sizes = ray.get([_nrows.remote(r) for r in block_refs])
+    offsets = [0]
+    for s in sizes:
+        offsets.append(offsets[-1] + s)
+    total = offsets[-1]
+    if total == 0:
+        return []
+
+    import bisect
+
+    prefix = os.path.join(out_dir, table)
+    futs = []
+    n_files = -(-total // rows_per_file)
+    for f in range(n_files):
+        start = f * rows_per_file
+        stop = min(start + rows_per_file, total)
+        b0 = bisect.bisect_right(offsets, start) - 1
+        b1 = bisect.bisect_left(offsets, stop, lo=b0)  # exclusive block end
+        blocks = [block_refs[i] for i in range(b0, max(b1, b0 + 1))]
+        futs.append(
+            _write_window.remote(
+                prefix, fmt, range_key, f, start - offsets[b0], stop - start,
+                *blocks,
+            )
+        )
+    return ray.get(futs)
 
 
 def read_ranged_csv(paths_or_dir, lo: int | None = None, hi: int | None = None):
@@ -95,7 +117,7 @@ def read_ranged_csv(paths_or_dir, lo: int | None = None, hi: int | None = None):
         paths = sorted(_glob.glob(os.path.join(paths_or_dir, "*.csv")))
     else:
         paths = list(paths_or_dir)
-    rng = re.compile(r"-(\d+)-(\d+)(?:-p\d+)?\.csv$")
+    rng = re.compile(r"-(\d+)-(\d+)(?:-[pf]\d+)?\.csv$")
     kept = []
     for p in paths:
         m = rng.search(p)

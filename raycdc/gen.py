@@ -50,6 +50,10 @@ class GenSpec:
     n_epochs: int = 4
     zipf_a: float = 1.1  # conv popularity skew for updates/deletes
     rollback_epochs: tuple = ()  # epochs whose effects get rolled back + replayed
+    # implicit reorg: the orphaned range is re-emitted WITHOUT an explicit
+    # rollback event — the consumer must DETECT the overlap (the reference's
+    # parent-hash consensus check, indexer/jobs/check_block_consensus_job.py)
+    implicit_reorg: bool = False
     evolve_at_epoch: int | None = None  # epochs >= this add tool_meta + widen turn_idx
     shard_rows: int = 100_000  # rows per epoch shard file (read parallelism)
     roles: tuple = ("user", "assistant", "system", "tool")
@@ -193,23 +197,24 @@ def generate_events(spec: GenSpec) -> pd.DataFrame:
                 prev_max_cursor = int(
                     df.loc[df["epoch"] < e, "cursor"].max() if e > 0 else 0
                 )
-                rb = pd.DataFrame(
-                    {
-                        "op": ["rollback"],
-                        "conv_id": [None],
-                        "turn_idx": pd.array([None], dtype="Int32"),
-                        "role": [None],
-                        "text": [None],
-                        "tool": [None],
-                        "ts": [pd.NaT],
-                        "cursor": [int(part["cursor"].max())],
-                        "seq": np.int32(0),
-                        "epoch": [next_epoch],
-                        "rollback_to_cursor": pd.array([prev_max_cursor], dtype="Int64"),
-                    }
-                )
-                out_parts.append(rb)
-                next_epoch += 1
+                if not spec.implicit_reorg:
+                    rb = pd.DataFrame(
+                        {
+                            "op": ["rollback"],
+                            "conv_id": [None],
+                            "turn_idx": pd.array([None], dtype="Int32"),
+                            "role": [None],
+                            "text": [None],
+                            "tool": [None],
+                            "ts": [pd.NaT],
+                            "cursor": [int(part["cursor"].max())],
+                            "seq": np.int32(0),
+                            "epoch": [next_epoch],
+                            "rollback_to_cursor": pd.array([prev_max_cursor], dtype="Int64"),
+                        }
+                    )
+                    out_parts.append(rb)
+                    next_epoch += 1
                 replay = part.copy()
                 replay["epoch"] = next_epoch
                 repl_mask = replay["text"].notna().to_numpy()

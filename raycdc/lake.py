@@ -127,26 +127,30 @@ class Lake:
             if versions
         }
 
-    def live_state_map(self) -> dict:
+    def live_state_map(self, part_range: tuple | None = None) -> dict:
         """part -> {"base": abspath|None, "deltas": [abspaths]}: the current
         base fragment plus the delta fragments committed since it. The
         partition's state is the (cursor, seq) arg-max fold of all of them
         — the base+delta log-structured layout that keeps per-round write
-        volume O(round), not O(lake)."""
+        volume O(round), not O(lake). ``part_range`` (lo, hi) restricts to
+        one logical table's partition namespace (raycdc.tables)."""
         out = {}
         for p, versions in self.manifest["partitions"].items():
+            p = int(p)
+            if part_range is not None and not (part_range[0] <= p < part_range[1]):
+                continue
             base, deltas = None, []
             for v in versions:
                 if v.get("kind", "base") == "base":
                     base, deltas = os.path.join(self.root, v["file"]), []
                 else:
                     deltas.append(os.path.join(self.root, v["file"]))
-            out[int(p)] = {"base": base, "deltas": deltas}
+            out[p] = {"base": base, "deltas": deltas}
         return out
 
-    def live_fragment_paths(self) -> list:
+    def live_fragment_paths(self, part_range: tuple | None = None) -> list:
         paths = []
-        for ent in self.live_state_map().values():
+        for ent in self.live_state_map(part_range).values():
             if ent["base"]:
                 paths.append(ent["base"])
             paths.extend(ent["deltas"])
@@ -290,17 +294,23 @@ class Lake:
             else:
                 del self.manifest["partitions"][p]
         self.manifest["committed_rounds"] = rounds[: idx + 1]
-        self.manifest.setdefault("applied_rollbacks", []).append(
-            {
-                "epoch": int(rollback_epoch) if rollback_epoch is not None else None,
-                "to_cursor": int(to_cursor),
-                "undone_epochs": sorted(
-                    {int(e) for r in undone for e in r["epochs"]}
-                ),
-                "undone_rounds": sorted(undone_ids),
-                "applied_at": time.time(),
-            }
-        )
+        if rollback_epoch is not None:
+            # stream-driven reorg: record it so replaying the same log skips
+            # both the rollback epoch and the orphaned epochs (a canonical
+            # replay of the range follows in the stream). MANUAL repair
+            # rollbacks (CLI/reorg-controller analog) are deliberately NOT
+            # recorded — their whole point is that a re-replay re-applies.
+            self.manifest.setdefault("applied_rollbacks", []).append(
+                {
+                    "epoch": int(rollback_epoch),
+                    "to_cursor": int(to_cursor),
+                    "undone_epochs": sorted(
+                        {int(e) for r in undone for e in r["epochs"]}
+                    ),
+                    "undone_rounds": sorted(undone_ids),
+                    "applied_at": time.time(),
+                }
+            )
         # manifest swap BEFORE deleting the undone fragments — a crash in
         # between leaves orphan files, never a committed manifest whose live
         # fragments are gone (they are rewritten deterministically anyway)

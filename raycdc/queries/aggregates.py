@@ -103,30 +103,109 @@ FROM orders GROUP BY o_orderpriority
 
 # -- two-phase daily -> cumulative over the replayed CDC lake --------------
 
-def conv_daily_stats(sf_dir: str):
-    """Phase 1 (day-parallel partials): per (conv_id, day) turn counts and
-    role mix over the replayed transcript lake."""
-    from raycdc.queries.cdc import _replay
+def _conv_daily_ds(sf_dir: str):
+    """Phase 1 as a streaming Dataset: per (conv_id, day) turn counts and
+    role mix over the replayed transcript lake — distributed groupby over
+    ``Engine.read_lake()``, never driver pandas (the reference's
+    day-parallel disorder_job, ``indexer/aggr_jobs/disorder_jobs/
+    disorder_job.py:16-33``)."""
+    from raycdc.queries.cdc import _replayed_engine
 
-    lake = _replay(sf_dir, salted=False)
-    lake["day"] = lake["ts"].dt.floor("D")
-    agg = lake.groupby(["conv_id", "day"], as_index=False).agg(
-        n_turns=("turn_idx", "size"),
-        n_assistant=("role", lambda r: int((r == "assistant").sum())),
-        last_ts=("ts", "max"),
+    eng = _replayed_engine(sf_dir, salted=False)
+    ds = eng.read_lake(columns=["conv_id", "role", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                # role can be null (upsert-created keys whose updates never
+                # patched it) — null == 'assistant' is null, which Sum would
+                # drop; coalesce to false so it counts as 0 like the oracle
+                "is_assistant": pc.cast(
+                    pc.fill_null(pc.equal(t.column("role"), "assistant"), False),
+                    pa.int64(),
+                ),
+                "ts": t.column("ts"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(to_day, batch_format="pyarrow")
+        .groupby(["conv_id", "day"])
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Sum("is_assistant", alias_name="n_assistant"),
+            Max("ts", alias_name="last_ts"),
+        )
     )
-    return agg.sort_values(["conv_id", "day"]).reset_index(drop=True)
+
+    def pin_types(t: pa.Table) -> pa.Table:
+        # Sum() widens to float64 and day can come back second-resolution;
+        # pin both so the DuckDB oracle's BIGINT/timestamp compare exactly
+        for c, typ in (
+            ("n_turns", pa.int64()),
+            ("n_assistant", pa.int64()),
+            ("day", pa.timestamp("us")),
+        ):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t.column(c).cast(typ))
+        return t
+
+    return agg.map_batches(pin_types, batch_format="pyarrow")
+
+
+def conv_daily_stats(sf_dir: str):
+    return _conv_daily_ds(sf_dir)
 
 
 def conv_cumulative_stats(sf_dir: str):
     """Phase 2 (strictly ordered): fold daily partials into per-conv
-    running cumulative counts, day by day — the reference's order_job
-    semantics (each day folds into the previous cumulative row)."""
-    daily = conv_daily_stats(sf_dir)
-    daily = daily.sort_values(["conv_id", "day"], kind="stable")
-    daily["cum_turns"] = daily.groupby("conv_id")["n_turns"].cumsum()
-    daily["cum_assistant"] = daily.groupby("conv_id")["n_assistant"].cumsum()
-    return daily.reset_index(drop=True)
+    running cumulative counts, day by day — per-conversation ordered fold
+    inside ``groupby().map_groups`` (the reference's order_job semantics:
+    each day folds into the previous cumulative row,
+    ``indexer/aggr_jobs/order_jobs/order_job.py:13-24``)."""
+    daily = _conv_daily_ds(sf_dir)
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable")
+        g["cum_turns"] = g["n_turns"].cumsum()
+        g["cum_assistant"] = g["n_assistant"].cumsum()
+        return g
+
+    return daily.groupby("conv_id").map_groups(cum, batch_format="pandas")
+
+
+CONV_DAILY_SQL_TEMPLATE = """
+WITH replay AS ({replay})
+SELECT conv_id, date_trunc('day', ts) AS day,
+       count(*) AS n_turns,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+       max(ts) AS last_ts
+FROM replay GROUP BY conv_id, date_trunc('day', ts)
+"""
+
+CONV_CUMULATIVE_SQL_TEMPLATE = """
+WITH daily AS ({daily})
+SELECT *,
+       CAST(sum(n_turns) OVER w AS BIGINT) AS cum_turns,
+       CAST(sum(n_assistant) OVER w AS BIGINT) AS cum_assistant
+FROM daily
+WINDOW w AS (PARTITION BY conv_id ORDER BY day ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def build_aggregate_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """DuckDB oracles for the lake-derived aggregates (built on the replay
+    oracle SQL of raycdc.queries.cdc, same generated log path)."""
+    from raycdc.queries.cdc import build_cdc_oracle_sql
+
+    replay = build_cdc_oracle_sql(sf_dir)["cdc_replay"]
+    daily = CONV_DAILY_SQL_TEMPLATE.format(replay=replay)
+    return {
+        "conv_daily_stats": daily,
+        "conv_cumulative_stats": CONV_CUMULATIVE_SQL_TEMPLATE.format(daily=daily),
+    }
 
 
 QUERIES = {

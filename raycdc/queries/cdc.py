@@ -36,21 +36,31 @@ def _spec_for(sf_dir: str, **overrides) -> gen.GenSpec:
     return gen.GenSpec(seed=42, **base)
 
 
-def _replay(sf_dir: str, salted: bool) -> "pd.DataFrame":
+def _replayed_engine(sf_dir: str, salted: bool) -> Engine:
+    """Replay the sf tier's generated change log into a fresh /tmp lake and
+    return the Engine (its lake is then consumed as a streaming Dataset via
+    ``read_lake`` — never materialized driver-side by the callers)."""
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
     lake_dir = os.path.join(
         "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-{'s' if salted else 'h'}"
     )
     shutil.rmtree(lake_dir, ignore_errors=True)  # fresh deterministic replay
-    with Engine(lake_dir, num_partitions=32, salted=salted) as eng:
-        eng.apply_log(log_dir, epochs_per_round=2)
-        return eng.read_lake_pandas()
+    eng = Engine(lake_dir, num_partitions=32, salted=salted)
+    eng.apply_log(log_dir, epochs_per_round=2)
+    eng.close()  # release merger CPUs; the read path doesn't need the pool
+    return eng
+
+
+def _replay(sf_dir: str, salted: bool) -> "pd.DataFrame":
+    return _replayed_engine(sf_dir, salted).read_lake_pandas()
 
 
 def cdc_replay(sf_dir: str):
     """Flagship: full transcript CDC replay (insert/update/delete/dup +
-    one reorg rollback) through the engine; returns the final lake table."""
+    one reorg rollback) through the engine; returns the final lake table.
+    (The driver hashes the result, so this one query returns the full lake
+    as a DataFrame; every derived query streams via ``read_lake``.)"""
     return _replay(sf_dir, salted=False)
 
 
@@ -59,17 +69,52 @@ def cdc_replay_salted(sf_dir: str):
     return _replay(sf_dir, salted=True)
 
 
+def cdc_conv_latest(sf_dir: str):
+    """Two-table replay: the derived ``conv_latest`` current-state table
+    (key = conv_id, per-column last-non-null fold) maintained incrementally
+    in the same commit rounds as the primary — the reference's
+    ``current_*`` table pattern (``common/models/current_token_balances.py``)."""
+    from raycdc import tables as T
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    log_dir = gen.cached_change_log(spec)
+    lake_dir = os.path.join(
+        "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-2t"
+    )
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    eng = Engine(
+        lake_dir, num_partitions=32, tables=[T.PRIMARY, T.conv_latest()]
+    )
+    eng.apply_log(log_dir, epochs_per_round=2)
+    eng.close()
+    return eng.read_lake(table="conv_latest", include_system=True)
+
+
 def cdc_conv_stats(sf_dir: str):
     """Derived aggregate over the replayed lake (the reference's
-    `aggr_jobs` analog): per-conversation turn count / latest ts."""
-    df = _replay(sf_dir, salted=False)
-    agg = df.groupby("conv_id", as_index=False).agg(
-        n_turns=("turn_idx", "size"),
-        max_turn=("turn_idx", "max"),
-        last_ts=("ts", "max"),
-        max_cursor=("cursor", "max"),
+    `aggr_jobs` analog): per-conversation turn count / latest ts —
+    distributed groupby over the lake Dataset, not driver pandas."""
+    from ray.data.aggregate import Count, Max
+
+    eng = _replayed_engine(sf_dir, salted=False)
+    ds = eng.read_lake(
+        columns=["conv_id", "turn_idx", "ts", "cursor"], include_system=True
     )
-    return agg.sort_values("conv_id").reset_index(drop=True)
+    agg = ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"),
+        Max("turn_idx", alias_name="max_turn"),
+        Max("ts", alias_name="last_ts"),
+        Max("cursor", alias_name="max_cursor"),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        # pin integer widths so the DuckDB oracle's BIGINTs compare exactly
+        for c in ("n_turns", "max_turn", "max_cursor"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t.column(c).cast(pa.int64()))
+        return t
+
+    return agg.map_batches(cast, batch_format="pyarrow")
 
 
 # -- events-as-changelog: SQL-checkable CDC apply --------------------------
@@ -137,10 +182,127 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+# -- DuckDB oracle for the full replay (rollbacks + guarded LWW + patch
+# -- semantics as window functions over the generated change log) ----------
+
+# composite watermark: seq < CURSOR_GROUP (=4), 1e6 is safely larger
+_WM = 1_000_000
+
+# shared CTE prefix: raw stream -> reorg-resolved effective events with a
+# composite watermark (reused by the replay, conv_latest and aggregate
+# oracles)
+_EFF_CTES = f"""
+raw AS (
+    SELECT op, conv_id, turn_idx, role, text, tool, ts, cursor, seq, epoch,
+           rollback_to_cursor
+    FROM read_parquet('{{path}}')
+), ordered AS (
+    SELECT *,
+        MIN(CASE WHEN op = 'rollback' THEN rollback_to_cursor END) OVER (
+            ORDER BY epoch, cursor, seq
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rb_floor
+    FROM raw
+), eff AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts, op,
+           cursor * {_WM} + seq AS wm
+    FROM ordered
+    WHERE op <> 'rollback' AND (rb_floor IS NULL OR cursor <= rb_floor)
+)
+"""
+
+CONV_LATEST_SQL_TEMPLATE = f"""
+WITH {_EFF_CTES}
+SELECT conv_id,
+    CAST(arg_max(turn_idx, wm) FILTER (WHERE turn_idx IS NOT NULL) AS INTEGER) AS turn_idx,
+    arg_max(role, wm) FILTER (WHERE role IS NOT NULL) AS role,
+    arg_max(text, wm) FILTER (WHERE text IS NOT NULL) AS text,
+    arg_max(tool, wm) FILTER (WHERE tool IS NOT NULL) AS tool,
+    arg_max(ts, wm)   FILTER (WHERE ts IS NOT NULL)   AS ts,
+    CAST(max(wm) // {_WM} AS BIGINT) AS cursor,
+    CAST(max(wm) % {_WM} AS INTEGER) AS seq
+FROM eff GROUP BY conv_id
+"""
+
+CDC_REPLAY_SQL_TEMPLATE = f"""
+WITH raw AS (
+    SELECT op, conv_id, turn_idx, role, text, tool, ts, cursor, seq, epoch,
+           rollback_to_cursor
+    FROM read_parquet('{{path}}')
+), ordered AS (
+    -- reorg resolution: an event is orphaned iff ANY LATER rollback (in
+    -- stream order) targets a cursor below it. rb_floor = running min of
+    -- rollback targets over the remaining stream.
+    SELECT *,
+        MIN(CASE WHEN op = 'rollback' THEN rollback_to_cursor END) OVER (
+            ORDER BY epoch, cursor, seq
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rb_floor
+    FROM raw
+), eff AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts, op,
+           cursor * {_WM} + seq AS wm
+    FROM ordered
+    WHERE op <> 'rollback' AND (rb_floor IS NULL OR cursor <= rb_floor)
+), segged AS (
+    -- insert/delete start a new segment; only each key's LAST segment
+    -- survives (insert replaces the whole row, delete tombstones it)
+    SELECT *,
+        MAX(CASE WHEN op IN ('insert', 'delete') THEN wm END) OVER (
+            PARTITION BY conv_id, turn_idx) AS seg_start
+    FROM eff
+), seg AS (
+    SELECT * FROM segged WHERE seg_start IS NULL OR wm >= seg_start
+), folded AS (
+    -- per payload column: last NON-NULL value in the surviving segment
+    -- (update nulls mean "unchanged"); exact (key, cursor, seq)
+    -- re-deliveries carry identical payloads so arg_max needs no dedup
+    SELECT conv_id, turn_idx,
+        arg_max(role, wm) FILTER (WHERE role IS NOT NULL) AS role,
+        arg_max(text, wm) FILTER (WHERE text IS NOT NULL) AS text,
+        arg_max(tool, wm) FILTER (WHERE tool IS NOT NULL) AS tool,
+        arg_max(ts, wm)   FILTER (WHERE ts IS NOT NULL)   AS ts,
+        max(wm) AS last_wm,
+        arg_max(op, wm) AS last_op
+    FROM seg GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts,
+       CAST(last_wm // {_WM} AS BIGINT) AS cursor,
+       CAST(last_wm % {_WM} AS INTEGER) AS seq
+FROM folded WHERE last_op <> 'delete'
+"""
+
+CDC_CONV_STATS_SQL_TEMPLATE = """
+WITH replay AS ({replay})
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn,
+       max(ts) AS last_ts,
+       CAST(max(cursor) AS BIGINT) AS max_cursor
+FROM replay GROUP BY conv_id
+"""
+
+
+def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """DuckDB oracles for the replay queries at ``sf_dir``'s tier. The SQL
+    reads the SAME generated change-log parquet the Ray queries replay
+    (path embedded), so this also GENERATES the log if absent — the SQL
+    must be runnable the moment it is handed out."""
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    log_dir = gen.cached_change_log(spec)
+    path = os.path.join(log_dir, "changes-*.parquet")
+    replay = CDC_REPLAY_SQL_TEMPLATE.format(path=path)
+    return {
+        "cdc_replay": replay,
+        "cdc_replay_salted": replay,  # salted path must be bit-identical
+        "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
+        "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
+    }
+
+
 QUERIES = {
     "cdc_replay": cdc_replay,
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_conv_stats": cdc_conv_stats,
+    "cdc_conv_latest": cdc_conv_latest,
     "cdc_apply_events": cdc_apply_events,
 }
 

@@ -80,13 +80,14 @@ class MapJoin:
 
 
 def join_partitions() -> int:
-    """Hash-join partition count sized to the cluster (one partition per
-    CPU, floor 8) instead of a hardcoded constant."""
+    """Hash-join partition count sized to the cluster instead of a
+    hardcoded constant (cpus/2 measured fastest at bench scale: enough
+    parallelism without per-partition overhead dominating; floor 8)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, cpus)
+    return max(8, cpus // 2)
 
 
 def round_cols(df: pd.DataFrame, cols: list[str], digits: int = ROUND_DIGITS) -> pd.DataFrame:

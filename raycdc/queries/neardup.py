@@ -15,8 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Count, Max
-
 from raycdc.queries import common as C
 
 NUM_PERM = 64
@@ -53,14 +51,14 @@ _BAND_MIX = np.random.RandomState(99).randint(
 
 
 class MinHashSigner:
-    """Per-batch shingle → signature → banded rows, fully vectorized: one
-    output DataFrame per batch (doc_id × band rows). The band bucket key is
-    a polynomial mix of the band's minhashes (collisions only cost an extra
-    candidate check — the verify stage rechecks full signatures)."""
+    """Per-batch shingle → one signature row per doc, fully vectorized.
+    Output: (doc_id, sig) — 512 B of minhashes per doc, computed ONCE; the
+    banded key rows are derived from the signature downstream (8 B/key),
+    so the expensive shingle pass never re-runs and signatures never ride
+    through a shuffle."""
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
-        rows_per_band = NUM_PERM // NUM_BANDS
         texts = b["text"].to_numpy()
         # batch-vectorized: hash ALL shingles of the batch at once, then one
         # (K × total_shingles) permutation pass + per-doc segment minima
@@ -84,18 +82,32 @@ class MinHashSigner:
         for k in range(NUM_PERM):
             vals = (_A[k] * sh + _B[k]) % _MERSENNE
             sigs[:, k] = np.minimum.reduceat(vals, starts)
-        bands = sigs.reshape(n, NUM_BANDS, rows_per_band)
-        band_hash = (bands * _BAND_MIX[None, None, :]).sum(axis=2, dtype=np.uint64)
-        band_hash ^= band_hash >> np.uint64(31)
         sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
-        return pd.DataFrame(
-            {
-                "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
-                "band_hash": band_hash.reshape(-1).view(np.int64),
-                "doc_id": np.repeat(b["doc_id"].to_numpy(), NUM_BANDS),
-                "sig": np.repeat(sig_bytes, NUM_BANDS),
-            }
-        )
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "sig": sig_bytes})
+
+
+def _band_hashes(sig_col) -> np.ndarray:
+    """(n, NUM_BANDS) int64 bucket keys derived from signature bytes — a
+    polynomial mix of each band's minhashes (collisions only cost an extra
+    candidate check; the verify stage rechecks full signatures)."""
+    rows_per_band = NUM_PERM // NUM_BANDS
+    mat = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(
+        len(sig_col), NUM_BANDS, rows_per_band
+    )
+    bh = (mat * _BAND_MIX[None, None, :]).sum(axis=2, dtype=np.uint64)
+    bh ^= bh >> np.uint64(31)
+    return bh.view(np.int64)
+
+
+_BUCKET_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_key(band_hash_i64: np.ndarray, band_id: np.ndarray) -> np.ndarray:
+    """Fold (band_id, band_hash) into one int64 bucket key (uint64 wrap
+    arithmetic; a cross-band collision only adds a candidate check)."""
+    bh = np.ascontiguousarray(band_hash_i64, dtype=np.int64).view(np.uint64)
+    salt = (band_id.astype(np.uint64) + np.uint64(1)) * _BUCKET_MIX
+    return (bh ^ salt).view(np.int64)
 
 
 class BucketPairs:
@@ -121,60 +133,122 @@ class BucketPairs:
 
 
 def dedup_minhash_pairs(sf_dir: str):
-    """Scale-safe LSH candidate resolution — no driver-side gather:
+    """Scale-safe LSH candidate resolution — no corpus-sized driver gather:
 
-      1. sign + band every doc (stateless vectorized map_batches);
-      2. bucket occupancy via a distributed groupby COUNT over the key
-         columns only (signatures pruned before the shuffle);
-      3. collided buckets (count ≥ 2) are a tiny set — broadcast it via
-         ``ray.put`` and filter banded rows to candidates in map_batches;
-      4. per-bucket signature verify (``groupby.map_groups``) runs only on
-         collided buckets, so there are no per-singleton Python calls;
+      1. sign every doc ONCE (vectorized map_batches) → a materialized
+         (doc_id, sig) index — the one deliberate mid-pipeline
+         materialization, 512 B/doc, the LSH analog of persisting a
+         signature index;
+      2. band keys (pure ints) derive from the signature; bucket occupancy
+         is a distributed groupby COUNT over int keys only;
+      3. collided buckets (count ≥ 2) are a tiny set — broadcast, filter
+         the banded keys to candidate docs in map_batches (vectorized
+         isin on the mixed key, no per-row Python);
+      4. signatures of candidate docs only are re-exploded to hot-bucket
+         rows and verified per bucket (``groupby.map_groups`` — no
+         per-singleton-bucket Python calls, only collided buckets exist);
       5. distinct (doc_a, doc_b) via one last (small) groupby.
 
-    The only driver materialization is the collided-bucket key set, whose
-    size is O(near-duplicate docs × bands), not O(corpus)."""
+    Driver materializations: the collided-bucket key set and the candidate
+    doc_id set — both O(near-duplicate docs), never O(corpus)."""
     import ray
 
-    banded = C.read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        lambda b: MinHashSigner()(b), batch_format="pandas"
+    sigs = (
+        C.read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(MinHashSigner, batch_format="pandas", concurrency=(1, 8))
+        .materialize()
     )
-    # occupancy count: prune sig/doc_id before the shuffle (keys only)
-    counts = (
-        banded.select_columns(["band_id", "band_hash"])
-        .groupby(["band_id", "band_hash"])
-        .aggregate(Count(alias_name="n"))
+    def bucket_keys(b: pd.DataFrame) -> pd.DataFrame:
+        # bucket-key column ONLY (8 B/row): the occupancy scan needs no
+        # doc ids, so none ride through the sort
+        bh = _band_hashes(b["sig"].to_numpy())
+        band_ids = np.broadcast_to(
+            np.arange(NUM_BANDS, dtype=np.int64)[None, :], bh.shape
+        )
+        return pd.DataFrame(
+            {"bucket": _bucket_key(bh.reshape(-1), band_ids.reshape(-1))}
+        )
+
+    keyed = sigs.map_batches(bucket_keys, batch_format="pandas")
+    # occupancy WITHOUT a groupby: Dataset.groupby iterates groups in
+    # Python — catastrophic with ~n_docs×bands near-unique keys. A global
+    # SORT stays fully vectorized (sample + range partition + arrow sort);
+    # duplicates are then adjacent, so each block reports its internal
+    # duplicated keys plus its two edge keys, and the driver unions
+    # internal dups with edge keys seen in ≥2 places (a bucket spanning a
+    # block boundary). Output is O(collided + 2×blocks), never O(corpus).
+    srt = keyed.sort("bucket")
+
+    def block_dups(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["bucket"].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"),
+                 "kind": pd.Series(dtype="object")}
+            )
+        dup_mask = np.zeros(len(v), dtype=bool)
+        dup_mask[1:] = v[1:] == v[:-1]
+        dups = np.unique(v[dup_mask])
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([dups, [v[0], v[-1]]]),
+                "kind": ["dup"] * len(dups) + ["edge", "edge"],
+            }
+        )
+
+    info = srt.map_batches(block_dups, batch_format="pandas").to_pandas()
+    edge = info.loc[info["kind"] == "edge", "bucket"]
+    edge_hot = edge[edge.duplicated(keep=False)].to_numpy()
+    hot = np.unique(
+        np.concatenate(
+            [info.loc[info["kind"] == "dup", "bucket"].to_numpy(), edge_hot]
+        )
     )
-    hot = counts.filter(lambda r: r["n"] >= 2).to_pandas()  # tiny: collided only
     if not len(hot):
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "est_jaccard": pd.Series(dtype="float64")}
         )
-    hot_ref = ray.put(
-        set(zip(hot["band_id"].astype(int), hot["band_hash"].astype(int)))
-    )
+    hot_ref = ray.put(hot)  # sorted → np.isin can binary-search
 
-    class FilterHot:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
+    def hot_band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """Signatures → hot-bucket candidate rows (sig attached); plain
+        task fn — the broadcast array is a zero-copy local object-store
+        get per batch, no actor pool spin-up."""
+        hot_arr = ray.get(hot_ref)
+        if not len(b):
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "sig": pd.Series(dtype="object")}
+            )
+        bh = _band_hashes(b["sig"].to_numpy())
+        band_ids = np.broadcast_to(
+            np.arange(NUM_BANDS, dtype=np.int64)[None, :], bh.shape
+        )
+        key = _bucket_key(bh.reshape(-1), band_ids.reshape(-1))
+        out = pd.DataFrame(
+            {
+                "bucket": key,
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), NUM_BANDS),
+                "sig": np.repeat(b["sig"].to_numpy(), NUM_BANDS),
+            }
+        )
+        return out[np.isin(out["bucket"].to_numpy(), hot_arr)]
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            keys = list(zip(b["band_id"].astype(int), b["band_hash"].astype(int)))
-            mask = np.fromiter((k in self.hot for k in keys), bool, len(keys))
-            return b[mask]
-
-    cand = banded.map_batches(FilterHot, batch_format="pandas", concurrency=(1, 8))
-    pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
-        BucketPairs, batch_format="pandas", concurrency=(1, 8)
+    cand = sigs.map_batches(hot_band_rows, batch_format="pandas")
+    pairs = cand.groupby("bucket").map_groups(
+        lambda g: BucketPairs()(g), batch_format="pandas"
     )
-    # distinct pairs across bands (est_jaccard is band-independent)
-    out = (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-        .sort(["doc_a", "doc_b"])
+    # distinct pairs across bands (est_jaccard is band-independent). The
+    # verified pair list IS the query result — the caller materializes it
+    # either way — so the final dedup runs on the already-small output.
+    out = pairs.to_pandas()
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
-    return out
 
 
 # -- SimHash ---------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""Multi-table lake: per-table (key columns, derivation, merge policy).
+
+The reference maintains dozens of logical tables from one item stream, each
+with its own primary key and upsert policy — the domain→model map built in
+``common/converter/pg_converter.py:5-25`` and the per-table
+``conflict_do_update``/``update_strategy`` application in
+``indexer/exporters/postgres_item_exporter.py:37-58`` (/root/reference).
+
+Here a :class:`TableSpec` names a logical table, its key columns, and an
+optional vectorized ``derive`` transform that maps the PRIMARY change batch
+(already normalized to the round's change schema) to this table's change
+events. Derived events flow through the SAME partition→merger→fragment→
+manifest machinery, so commit atomicity, rollback, undo-window and resume
+cover every table at once (one round commits all tables or none).
+
+Partition namespacing: table ``i`` owns global partitions
+``[i*P, (i+1)*P)`` — one manifest, one undo buffer, zero schema changes to
+the commit path.
+
+Co-partitioning contract: a derived table's key must hash-partition by its
+FIRST key column using the same ``assign_part`` as the primary, so a
+derived row lands on the same merger pool (not necessarily the same actor).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from raycdc import schema as S
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One logical lake table.
+
+    ``derive`` is None for the primary table (identity). For derived
+    tables it maps a normalized primary change batch (Arrow) to this
+    table's change batch: columns = key_cols + payload + op/cursor/seq.
+    It must be schema-stable (same output schema for any input batch,
+    including empty) and row-wise independent (it runs per batch inside
+    ``map_batches``)."""
+
+    name: str
+    key_cols: tuple
+    derive: Callable | None = None
+
+
+PRIMARY = TableSpec(name="turns", key_cols=tuple(S.KEY_COLS), derive=None)
+
+
+def _derive_conv_latest(batch: pa.Table) -> pa.Table:
+    """Current-state exemplar (the reference's ``current_token_balances``
+    analog, ``common/models/current_token_balances.py:28-36``): per
+    conversation, the latest non-null value of every column across all its
+    turn events, at the conversation's high-water (cursor, seq).
+
+    Every event maps to an ``update`` keyed by conv_id alone — the merge
+    kernel's last-non-null patch fold then maintains the current row
+    incrementally. Deletes contribute only their watermark (null payload).
+    """
+    n = batch.num_rows
+    cols: dict = {
+        "op": pa.array(np.repeat("update", n), pa.string()),
+        "conv_id": batch.column("conv_id"),
+    }
+    for f in batch.schema:
+        if f.name in ("op", "conv_id", "part", "epoch", "rollback_to_cursor"):
+            continue
+        cols[f.name] = batch.column(f.name)
+    return pa.table(cols)
+
+
+def conv_latest() -> TableSpec:
+    return TableSpec(
+        name="conv_latest", key_cols=("conv_id",), derive=_derive_conv_latest
+    )

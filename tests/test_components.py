@@ -160,7 +160,7 @@ def test_ranged_csv_export_and_pruned_reread(ray_session, tmp_path):
     lo_file = sorted(paths)[0]
     import re
 
-    lo, hi = map(int, re.search(r"-(\d+)-(\d+)\.csv$", lo_file).groups())
+    lo, hi = map(int, re.search(r"-(\d+)-(\d+)(?:-f\d+)?\.csv$", lo_file).groups())
     narrow = read_ranged_csv(out, lo=lo, hi=hi)
     df = narrow.to_pandas()
     assert len(df) > 0
@@ -212,3 +212,50 @@ def test_epoch_to_timestamp_and_json_safe():
         {"a": np.int64(3), "b": pd.Timestamp("2024-01-01"), "c": b"\x01", "d": [np.float64(1.5)]}
     )
     assert safe == {"a": 3, "b": "2024-01-01T00:00:00", "c": "0x01", "d": [1.5]}
+
+
+# -- CLI ------------------------------------------------------------------
+
+def test_cli_end_to_end(tmp_path):
+    """`python -m raycdc replay/show/export/rollback` driven on a tmp log —
+    the reference's hemera.py command surface (cli/stream.py, cli/reorg.py)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "raycdc", *args],
+            capture_output=True, text=True, cwd=repo, timeout=180,
+            env={**os.environ, "RAY_ADDRESS": "local"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+
+    spec = gen.GenSpec(seed=21, n_convs=60, mean_turns=4, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    lake = str(tmp_path / "lake")
+
+    out = cli("replay", log, "--lake", lake, "--partitions", "4", "--num-cpus", "4")
+    assert out[-1]["rounds_applied"] == 2 and out[-1]["events"] > 0
+
+    show = cli("show", "--lake", lake)[-1]
+    assert show["committed_rounds"] == 2
+    assert show["last_cursor"] == out[-1]["last_cursor"]
+
+    exp = cli("export", str(tmp_path / "csv"), "--lake", lake,
+              "--rows-per-file", "100", "--num-cpus", "4")[-1]
+    assert exp["files"] >= 1
+
+    # roll back the last committed round at its boundary
+    boundary = show["recent_rounds"][-2]["cursor_hi"]
+    rb = cli("rollback", "--lake", lake, str(boundary))[-1]
+    assert rb["now_at"] == boundary
+
+    # resumable: re-replay re-applies only the rolled-back round
+    out2 = cli("replay", log, "--lake", lake, "--partitions", "4", "--num-cpus", "4")
+    assert out2[-1]["rounds_applied"] == 1
+    assert out2[-1]["last_cursor"] == out[-1]["last_cursor"]

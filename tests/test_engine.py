@@ -286,3 +286,179 @@ def test_actor_death_after_push_replays_round(ray_session, tmp_path, make_lake):
     eng._commit([f], rid, schema, stats, t0)
     assert_matches_oracle(eng, log)
     eng.close()
+
+
+# -- multi-table lake: derived current-state table -------------------------
+
+def test_two_table_replay_matches_oracles(ray_session, tmp_path, make_lake):
+    """Primary `turns` table plus the derived `conv_latest` current-state
+    table (reference: per-table update strategies,
+    ``common/converter/pg_converter.py:5-25`` +
+    ``common/models/current_token_balances.py:28-36``) maintained in the
+    SAME commit rounds: one replay, two tables, both matching oracles —
+    including across a reorg rollback."""
+    import numpy as np
+
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(
+        seed=77, n_convs=150, mean_turns=6, n_epochs=5, rollback_epochs=(2,)
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(
+        str(tmp_path / "lake"),
+        num_partitions=8,
+        tables=[T.PRIMARY, T.conv_latest()],
+    )
+    eng.apply_log(log)
+
+    # primary table unchanged vs the stream oracle
+    assert_matches_oracle(eng, log)
+
+    # conv_latest oracle: per conv, last non-null value per column over the
+    # effective (post-rollback) stream ordered by (cursor, seq)
+    events = oracle.resolve_rollbacks(load_log_df(log))
+    events = events.sort_values(["cursor", "seq"], kind="stable")
+    rows = []
+    for conv, g in events.groupby("conv_id", sort=True):
+        r = {"conv_id": conv}
+        for c in ("turn_idx", "role", "text", "tool", "ts"):
+            nn = g[c][g[c].notna()]
+            r[c] = nn.iloc[-1] if len(nn) else None
+        r["cursor"] = int(g["cursor"].iloc[-1])
+        r["seq"] = int(g["seq"].iloc[-1])
+        rows.append(r)
+    expect = pd.DataFrame(rows).reset_index(drop=True)
+
+    got = (
+        eng.read_lake(table="conv_latest", include_system=True)
+        .to_pandas()
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    got = got[expect.columns.tolist()]
+    for c in ("turn_idx", "cursor"):
+        got[c] = got[c].astype("int64")
+        expect[c] = expect[c].astype("int64")
+    got["seq"] = got["seq"].astype("int64")
+    expect["seq"] = expect["seq"].astype("int64")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    eng.close()
+
+
+def test_two_table_resume_fencing(ray_session, tmp_path, make_lake):
+    """Re-replaying a two-table lake is a committed-round no-op for BOTH
+    tables (one manifest fences them together)."""
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(seed=78, n_convs=100, mean_turns=5, n_epochs=3)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+
+    def mk():
+        return Engine(
+            str(tmp_path / "lake"), num_partitions=4,
+            tables=[T.PRIMARY, T.conv_latest()],
+        )
+
+    eng = mk()
+    eng.apply_log(log)
+    turns = eng.read_lake_pandas()
+    latest = eng.read_lake(table="conv_latest").to_pandas().sort_values(
+        "conv_id").reset_index(drop=True)
+    eng.close()
+
+    eng2 = mk()
+    r = eng2.apply_log(log)
+    assert all(x.get("skipped") for x in r)
+    pd.testing.assert_frame_equal(eng2.read_lake_pandas(), turns)
+    pd.testing.assert_frame_equal(
+        eng2.read_lake(table="conv_latest").to_pandas().sort_values(
+            "conv_id").reset_index(drop=True),
+        latest,
+    )
+    eng2.close()
+
+
+# -- buffered error sink ---------------------------------------------------
+
+def test_error_policy_record_diverts_bad_rows(ray_session, tmp_path, make_lake):
+    """error_policy='record': malformed rows land in the lake's errors/
+    side channel (ExceptionRecorder analog) instead of failing the round;
+    the good rows still replay to the oracle state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from raycdc import errors as E
+
+    spec = gen.GenSpec(seed=91, n_convs=80, mean_turns=5, n_epochs=2,
+                       frac_update=0, frac_delete=0, frac_dup=0)
+    log = str(tmp_path / "log")
+    paths = gen.write_change_log(spec, log)
+
+    # corrupt one epoch file: one unknown-op row + one null-key row
+    t = pq2.read_table(paths[0])
+    bad = t.slice(0, 2).to_pydict()
+    bad["op"] = ["garbage", "insert"]
+    bad["conv_id"] = [bad["conv_id"][0], None]
+    t2 = pa.concat_tables([t, pa.Table.from_pydict(bad, schema=t.schema)])
+    pq2.write_table(t2, paths[0])
+
+    # strict mode fails the round
+    strict = Engine(str(tmp_path / "lake_strict"), num_partitions=4)
+    with pytest.raises(Exception):
+        strict.apply_log(log)
+    strict.close()
+
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4, error_policy="record")
+    eng.apply_log(log)
+    errs = E.read_errors(str(tmp_path / "lake"))
+    edf = errs.to_pandas()
+    assert len(edf) == 2
+    assert set(edf["error_reason"]) == {"malformed_change_row"}
+    # good rows (incl. the 2 legit duplicated source rows) replayed fine
+    got = eng.read_lake_pandas()
+    expect = oracle.replay(load_log_df(log)[lambda d: (
+        d["op"].isin(["insert", "update", "delete"]) & d["conv_id"].notna()
+    )])
+    assert len(got) == len(expect)
+    eng.close()
+
+
+# -- reorg detection (no explicit rollback event) --------------------------
+
+def test_implicit_reorg_detected_and_repaired(ray_session, tmp_path, make_lake):
+    """The canonical range is re-emitted WITHOUT a rollback event (the
+    reference's consensus-check scenario: a parent-hash break detected
+    across batches, ``indexer/jobs/check_block_consensus_job.py:30-79``).
+    The engine must detect the cursor-range overlap, roll back to the
+    boundary, and apply the canonical chain."""
+    spec = gen.GenSpec(
+        seed=92, n_convs=120, mean_turns=6, n_epochs=5,
+        rollback_epochs=(2,), implicit_reorg=True,
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, undo_window=16)
+    results = eng.apply_log(log)
+    assert any("rollback" in str(r.get("round_id")) for r in results)
+
+    # oracle: the orphan epoch (2) is superseded by the canonical re-emit
+    events = load_log_df(log)
+    expect = oracle.replay(events[events["epoch"] != 2])
+    got = eng.read_lake_pandas()[expect.columns.tolist()].reset_index(drop=True)
+    for c in ("turn_idx", "cursor"):
+        got[c] = got[c].astype("int64")
+        expect[c] = expect[c].astype("int64")
+    got["seq"] = got["seq"].astype("int32")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    assert got["text"].str.endswith(":canon").any()
+
+    # convergent resume: a second replay is a no-op
+    eng2 = make_lake(num_partitions=8, undo_window=16)
+    r2 = eng2.apply_log(log)
+    assert all(r.get("skipped") for r in r2)
+    pd.testing.assert_frame_equal(eng2.read_lake_pandas(), eng.read_lake_pandas())
+    eng.close()
+    eng2.close()

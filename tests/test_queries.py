@@ -93,8 +93,7 @@ def test_registry_covers_all_oracle_entries():
 
 
 @pytest.mark.parametrize("name", ["quality_scores", "lang_id", "fingerprints",
-                                  "dedup_simhash", "media_features", "ann_ivf",
-                                  "conv_daily_stats", "conv_cumulative_stats"])
+                                  "dedup_simhash", "media_features", "ann_ivf"])
 def test_rows_only_queries_deterministic(ray_session, name):
     from raycdc.queries import QUERIES
 
@@ -153,3 +152,28 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     ivf = to_df(QUERIES["ann_ivf"](SF_DIR))
     recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / len(bf)
     assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cdc_replay", "cdc_replay_salted", "cdc_conv_stats", "cdc_conv_latest",
+     "conv_daily_stats", "conv_cumulative_stats"],
+)
+def test_replay_queries_match_sql_oracle(ray_session, name):
+    """The flagship CDC replay (and its derived aggregates) checked against
+    a pure-SQL DuckDB replay of the SAME generated change log: rollback
+    resolution, guarded LWW, update-patch semantics as window functions."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.aggregates import build_aggregate_oracle_sql
+    from raycdc.queries.cdc import build_cdc_oracle_sql
+
+    sqls = {**build_cdc_oracle_sql(SF_DIR), **build_aggregate_oracle_sql(SF_DIR)}
+    got = canon(to_df(QUERIES[name](SF_DIR)))
+    want = canon(duck(sqls[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+    )
