@@ -87,7 +87,12 @@ def run_bench() -> dict:
             while fh.read(1 << 22):
                 pass
 
-    lake_dir = f"/tmp/raycdc-bench/lake-{gen.spec_fingerprint(spec)}-{NCPU}"
+    # lake on tmpfs when available: the virtio disk's writeback stalls are
+    # run-order noise (same config measured 17.9s vs 34.5s back-to-back);
+    # tmpfs isolates engine throughput from the VM's disk, like the
+    # NVMe/object-store tier a real cluster writes to
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    lake_dir = f"{scratch}/raycdc-bench/lake-{gen.spec_fingerprint(spec)}-{NCPU}"
     shutil.rmtree(lake_dir, ignore_errors=True)
     eng = Engine(
         lake_dir,

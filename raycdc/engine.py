@@ -44,6 +44,21 @@ from raycdc import schema as S
 _FILE_RE = re.compile(r"changes-(\d+)-(\d+)-(\d+)(?:-s(\d+))?\.parquet$")
 
 
+def _limit_arrow_threads(n: int = 2) -> None:
+    """Cap Arrow's per-process thread pools inside Ray workers/actors.
+    Every Ray worker process otherwise spawns an arrow pool sized to ALL
+    machine cores — 19 merger actors × 32 arrow threads oversubscribes a
+    32-core node ~20× and was measured inflating per-op wall times ~5-10×
+    at high parallelism. Each worker has 1 logical CPU; give it that."""
+    try:
+        if pa.cpu_count() > n:
+            pa.set_cpu_count(n)
+        if pa.io_thread_count() > n:
+            pa.set_io_thread_count(n)
+    except Exception:
+        pass
+
+
 def discover_epoch_files(log_dir: str) -> list[dict]:
     """Parse ``changes-{epoch}-{lo}-{hi}[-sNN].parquet`` names and group
     shards per epoch; file-level range pruning straight from the filename,
@@ -253,6 +268,7 @@ class MergerActor:
     """
 
     def __init__(self, actor_id: int, lake_root: str, cache_bytes: int):
+        _limit_arrow_threads()
         self.actor_id = actor_id
         self.lake_root = lake_root
         self.cache_bytes = cache_bytes
@@ -365,32 +381,28 @@ class MergerActor:
                 part = int(part)
                 group = events.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
                 ent = live_map.get(part) or {"base": None, "deltas": []}
-                state = None
+                # cache = list of RUNS (tbl, key_codes): the in-memory LSM
+                # mirror of the base+delta fragment layout. Delta rounds
+                # merge ONLY the keys this round touches (isin on cached
+                # int codes — no string gather over untouched state), so
+                # per-round work is O(round + touched), not O(lake).
                 cached = self.cache.get(part)
                 if cached is not None and cached[0] == schema_key:
-                    state = cached[1]  # full folded state, already conformed
+                    runs = cached[1]
                 elif cached is not None:
-                    state = S.conform(cached[1], frag_schema)  # schema evolved
+                    # schema evolved: re-conform tables; key codes unchanged
+                    runs = [
+                        (S.conform(t, frag_schema), codes)
+                        for t, codes in cached[1]
+                    ]
                 else:
-                    # cold rebuild: arg-max fold of base + deltas
-                    frames = []
-                    if ent["base"]:
-                        frames.append(
-                            S.conform(pq.read_table(ent["base"]), frag_schema)
-                        )
-                    frames.extend(
-                        S.conform(pq.read_table(d), frag_schema)
-                        for d in ent["deltas"]
-                    )
-                    state = M.fold_fragments_table(
-                        frames, payload, key_cols=key_cols
-                    )
-
-                t0 = time.perf_counter()
-                out = M.merge_partition_table(
-                    state, group, payload, key_cols=key_cols
-                )
-                merge_sec = time.perf_counter() - t0
+                    # cold rebuild: load base + deltas as runs
+                    runs = []
+                    for p in ([ent["base"]] if ent["base"] else []) + list(
+                        ent["deltas"]
+                    ):
+                        t = S.conform(pq.read_table(p), frag_schema)
+                        runs.append((t, M.key_hash(t, key_cols)))
 
                 # log-structured write policy: per-round DELTA (only rows
                 # this round touched -> O(round) write volume), full BASE on
@@ -401,16 +413,47 @@ class MergerActor:
                     if ent["base"] is not None and (n_deltas + 1) < compact_every
                     else "base"
                 )
-                full_tbl = S.conform(out, frag_schema)
-                write_tbl = (
-                    full_tbl
-                    if kind == "base"
-                    else full_tbl.filter(
+
+                t0 = time.perf_counter()
+                if kind == "base":
+                    # compaction: full fold of all runs + this round's events
+                    state = M.fold_fragments_table(
+                        [t for t, _ in runs], payload, key_cols=key_cols
+                    )
+                    out = M.merge_partition_table(
+                        state, group, payload, key_cols=key_cols
+                    )
+                    write_tbl = S.conform(out, frag_schema)
+                    runs = [(write_tbl, M.key_hash(write_tbl, key_cols))]
+                else:
+                    ev_codes = np.unique(M.key_hash(group, key_cols))
+                    subsets = []
+                    for t, codes in runs:
+                        mask = np.isin(codes, ev_codes)
+                        if mask.any():
+                            subsets.append(t.filter(pa.array(mask)))
+                    state = M.fold_fragments_table(
+                        subsets, payload, key_cols=key_cols
+                    )
+                    out = M.merge_partition_table(
+                        state, group, payload, key_cols=key_cols
+                    )
+                    full = S.conform(out, frag_schema)
+                    # rows whose watermark predates the round were touched
+                    # by stale/duplicate events only — already in older
+                    # fragments, excluded from the delta
+                    write_tbl = full.filter(
                         pc.greater_equal(
-                            full_tbl.column("cursor"), pa.scalar(round_cursor_lo)
+                            full.column("cursor"), pa.scalar(round_cursor_lo)
                         )
                     )
-                )
+                    # the new run IS the delta fragment (stale-only touches
+                    # stay represented by earlier runs) — in-memory runs
+                    # mirror the on-disk base+delta layout exactly, so a
+                    # cache eviction rebuilds identical state
+                    runs = runs + [(write_tbl, M.key_hash(write_tbl, key_cols))]
+                merge_sec = time.perf_counter() - t0
+
                 path = os.path.join(
                     self.lake_root,
                     L.FRAGMENT_DIR,
@@ -421,22 +464,25 @@ class MergerActor:
                 tmp = path + f".tmp{self.actor_id}"
                 pq.write_table(write_tbl, tmp)
                 os.replace(tmp, path)
-                # cache the FULL folded state and charge its real Arrow size
-                # (delta-only accounting undercounted by orders of magnitude)
-                self._cache_put(part, (schema_key, full_tbl), full_tbl.nbytes)
-                n_live = full_tbl.num_rows - int(
-                    pc.sum(full_tbl.column(M.DELETED_COL)).as_py() or 0
+                # charge the cache for every resident run (real Arrow size)
+                self._cache_put(
+                    part,
+                    (schema_key, runs),
+                    sum(t.nbytes + codes.nbytes for t, codes in runs),
+                )
+                n_live = write_tbl.num_rows - int(
+                    pc.sum(write_tbl.column(M.DELETED_COL)).as_py() or 0
                 )
                 stats_rows.append(
                     {
                         "part": part,
                         "kind": kind,
                         "n_events": group.num_rows,
-                        "n_rows": full_tbl.num_rows,
+                        "n_rows": write_tbl.num_rows,
                         "n_live": n_live,
                         "max_cursor": (
-                            int(pc.max(full_tbl.column("cursor")).as_py())
-                            if full_tbl.num_rows
+                            int(pc.max(write_tbl.column("cursor")).as_py())
+                            if write_tbl.num_rows
                             else 0
                         ),
                         "merge_sec": merge_sec,
@@ -483,6 +529,62 @@ class _PreFold:
             self.num_partitions,
         )
         return out.append_column("part", pa.array(part, pa.int32()))
+
+
+@ray.remote
+def _push_shard(
+    path: str,
+    schema_str: str,
+    nparts: int,
+    round_id: str,
+    handles: list,
+    specs: list,
+    error_policy: str,
+    lake_root: str,
+) -> list:
+    """One epoch shard file → normalized + derived change batches →
+    owner-contiguous slices fire-and-forgotten into the merger pool.
+    Returns the list of actor ids sent to (one entry per slice) for the
+    finalize count barrier."""
+    _limit_arrow_threads()
+    batch = pq.read_table(path)
+    batch = _Normalize(schema_str, nparts, error_policy, lake_root, round_id)(
+        batch
+    )
+    k = len(handles)
+    sent: list = []
+
+    def send(tbl: pa.Table, t_idx: int) -> None:
+        part = tbl.column("part").to_numpy(zero_copy_only=False)
+        # derived tables live at parts [t*P, (t+1)*P): the same actor owns
+        # primary partition p and every table's partition p
+        owner = (part % nparts) % k
+        # one O(rows) gather, then zero-copy contiguous slices per owner
+        order = np.argsort(owner, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        sorted_owner = owner[order]
+        bounds = np.searchsorted(sorted_owner, np.arange(k + 1))
+        for a in range(k):
+            lo, hi = int(bounds[a]), int(bounds[a + 1])
+            if hi > lo:
+                # fire-and-forget; the finalize count barrier syncs
+                handles[a].add_events.remote(
+                    round_id, tbl.slice(lo, hi - lo), t_idx
+                )
+                sent.append(a)
+
+    send(batch, 0)
+    for t_idx, spec in enumerate(specs[1:], start=1):
+        d = spec.derive(batch)
+        dpart = (
+            P.assign_part(
+                d.column(spec.key_cols[0]).to_numpy(zero_copy_only=False),
+                nparts,
+            )
+            + t_idx * nparts
+        )
+        send(d.append_column("part", pa.array(dpart, pa.int32())), t_idx)
+    return sent
 
 
 class Engine:
@@ -724,75 +826,28 @@ class Engine:
         _retries: int = 2,
     ) -> None:
         """Scan + normalize + bucket-exchange one round's events into the
-        merger pool (the Dataset consume is the push barrier)."""
+        merger pool: one raw Ray task per epoch shard file (read →
+        normalize → derive → owner-sliced actor sends). Raw tasks, not a
+        Dataset: the exchange already bypasses the Dataset shuffle, and the
+        per-round Dataset launch/drain (~0.5-1 s) was pure fixed cost on
+        the round critical path. Memory stays bounded by shard size ×
+        concurrent tasks (shards are written ≤100k rows)."""
         handles = self._ensure_pool()
-
         specs = self.tables
-
         error_policy, lake_root = self.error_policy, self.lake.root
 
-        def push(batch: pa.Table, _norm=[None]) -> pa.Table:
-            if _norm[0] is None:
-                _norm[0] = _Normalize(
-                    schema_str, nparts, error_policy, lake_root, round_id
-                )
-            batch = _norm[0](batch)
-            k = len(handles)
-            sent = []
-
-            def send(tbl: pa.Table, t_idx: int) -> None:
-                part = tbl.column("part").to_numpy(zero_copy_only=False)
-                # derived tables live at parts [t*P, (t+1)*P): same actor
-                # owns primary partition p and every table's partition p
-                owner = (part % nparts) % k
-                # one O(rows) gather, then zero-copy contiguous slices per
-                # owner (a filter() per actor would be K passes over the
-                # batch — the slicing cost would GROW with the pool size)
-                order = np.argsort(owner, kind="stable")
-                tbl = tbl.take(pa.array(order))
-                sorted_owner = owner[order]
-                bounds = np.searchsorted(sorted_owner, np.arange(k + 1))
-                for a in range(k):
-                    lo, hi = int(bounds[a]), int(bounds[a + 1])
-                    if hi > lo:
-                        # fire-and-forget; the finalize count barrier syncs
-                        handles[a].add_events.remote(
-                            round_id, tbl.slice(lo, hi - lo), t_idx
-                        )
-                        sent.append(a)
-
-            send(batch, 0)
-            for t_idx, spec in enumerate(specs[1:], start=1):
-                d = spec.derive(batch)
-                dpart = (
-                    P.assign_part(
-                        d.column(spec.key_cols[0]).to_numpy(zero_copy_only=False),
-                        nparts,
-                    )
-                    + t_idx * nparts
-                )
-                send(d.append_column("part", pa.array(dpart, pa.int32())), t_idx)
-            return pa.table(
-                {
-                    "actor": pa.array(sent, pa.int32()),
-                    "slices": pa.array([1] * len(sent), pa.int64()),
-                }
-            )
-
-        # batch size balances push-task parallelism (rows/32k tasks) against
-        # per-call fan-out (each push call makes ≤K actor RPCs)
         t_push = time.perf_counter()
-        sent_df = (
-            ray.data.read_parquet(paths)
-            .map_batches(push, batch_format="pyarrow", batch_size=65536)
-            .to_pandas()  # ≤ batches × K tiny rows
-        )
-        # a round whose epoch files contain zero rows yields a column-less
-        # frame — commit it as an empty round rather than KeyError
-        if len(sent_df) == 0 or "actor" not in sent_df.columns:
-            expected = {}
-        else:
-            expected = sent_df.groupby("actor")["slices"].sum().to_dict()
+        refs = [
+            _push_shard.remote(
+                p, schema_str, nparts, round_id, handles, specs,
+                error_policy, lake_root,
+            )
+            for p in paths
+        ]
+        expected: dict = {}
+        for sent in ray.get(refs):
+            for a in sent:
+                expected[a] = expected.get(a, 0) + 1
         # fast liveness probe: a merger that died during the push took its
         # buffered slices with it — rebuild and re-push NOW instead of
         # letting the finalize count barrier time out

@@ -255,6 +255,33 @@ def fold_fragments_table(
     return merge_partition_table(None, ev, payload, key_cols=key_cols)
 
 
+def key_hash(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """uint64 hash of the key columns per row — the membership code for
+    incremental (touched-keys-only) merging. Equal keys always hash equal;
+    a cross-key collision only pulls an extra row into the touched subset
+    (it folds to itself and, with an unchanged watermark, is filtered out
+    of the delta write) — never a correctness issue."""
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for k in key_cols:
+        col = tbl.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            v = (
+                col.cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .view(np.uint64)
+            )
+        else:
+            v = pd.util.hash_array(
+                np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+            ).astype(np.uint64)
+        h = h * prime ^ v
+    return h
+
+
 # -- pandas entry points (tests / map_groups paths) -------------------------
 
 

@@ -154,15 +154,31 @@ def cdc_apply_events(sf_dir: str):
         part = P.assign_part(conv, 16)
         return out.append_column("part", pa.array(part, pa.int32()))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = M.merge_partition(None, g, payload)
-        out = out[~out[M.DELETED_COL]]
-        return out[["conv_id", "turn_idx", "role", "text", "ts", "cursor"]]
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("cursor", pa.int64()),
+        ]
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from raycdc import schema as S
+
+        out = M.merge_partition_table(None, g, payload)
+        out = out.filter(pc.invert(out.column(M.DELETED_COL)))
+        # fixed output schema per group: an all-null column must not drift
+        # the block schema (the round-1 RefBundle-schema warning source)
+        return S.conform(out, out_schema)
 
     return (
         ds.map_batches(to_changes, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
