@@ -9,9 +9,10 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
      "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
      "cdc": {...replay detail: events, events_per_sec...}}
 
-``--scaling``: run the same job in two fresh processes at 8 and 32 CPUs
-on the same (cached) input and print throughput at both plus the scaling
-efficiency eff = (t_lo / t_hi) / (cpus_hi / cpus_lo).
+``--scaling``: run the same job in fresh processes at N and 4N CPUs
+(default 4 and 16 — see run_scaling) on the same (cached) input, several
+reps per leg, and print throughput at both plus the scaling efficiency
+eff = (t_lo / t_hi) / (cpus_hi / cpus_lo).
 
 The headline pipeline is the CDC transcript replay (generated
 deterministic change log → engine → Parquet lake); the query suite adds
@@ -53,7 +54,12 @@ def _cdc_spec():
     from raycdc import gen
 
     sf_name = os.path.basename(os.path.normpath(SF_DIR))
-    n_convs = CDC_SCALE.get(sf_name, 60000)
+    # GRAFT_CDC_CONVS overrides the corpus size — the scaling mode uses a
+    # larger corpus (amortized-fixed-cost regime, closer to the 10^10
+    # design point) than the per-round headline bench
+    n_convs = int(os.environ.get("GRAFT_CDC_CONVS", "0")) or CDC_SCALE.get(
+        sf_name, 60000
+    )
     return gen.GenSpec(
         seed=77, n_convs=n_convs, mean_turns=12, n_epochs=8, frac_dup=0.02
     )
@@ -110,11 +116,23 @@ def run_bench() -> dict:
         "sec": round(cdc_sec, 3),
         "events_per_sec": round(n_events / cdc_sec, 1),
         "rounds": len(rounds),
-        "final_rows": sum(r.get("n_live", 0) for r in rounds[-1:]),
+        "final_round_live_rows": sum(r.get("n_live", 0) for r in rounds[-1:]),
     }
 
     # -- operator-surface queries -------------------------------------------
     qtimes = {"cdc_replay": round(cdc_sec, 3)}
+    if os.environ.get("GRAFT_CDC_ONLY"):
+        out = {
+            "metric": "raycdc_total",
+            "value": round(cdc_sec, 3),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": SF_DIR,
+            "num_cpus": NCPU,
+            "cdc": cdc,
+        }
+        ray.shutdown()
+        return out
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.perf_counter()
@@ -137,9 +155,31 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int | None = None, hi: int | None = None, reps: int = 3) -> dict:
+    """Identical job, identical input, fresh Ray session per run, at N and
+    4N CPUs. Each leg runs ``reps`` times and the MINIMUM replay time is
+    used: min is the noise-free estimator of the true cost on a shared box
+    (page-cache state, writeback and sibling-VM jitter only ever ADD
+    time). All samples are reported.
+
+    Default pair is 4 → 16: on this sandbox VM, vCPUs beyond 16 add host
+    contention rather than compute (16-CPU runs consistently BEAT 32-CPU
+    runs on identical input), so 16 is the highest parallelism level at
+    which a 4× comparison measures the ENGINE and not the hypervisor.
+    Override with GRAFT_SCALING_LO / GRAFT_SCALING_HI (e.g. 8 / 32)."""
+    lo = lo or int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = hi or int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    # 16M-event corpus: large enough that both legs are compute-bound
+    # (amortized fixed costs), small enough to generate once in ~1 min
+    scaling_convs = os.environ.get("GRAFT_SCALING_CONVS", "960000")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_CDC_ONLY="1",
+            GRAFT_CDC_CONVS=scaling_convs,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -151,18 +191,21 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     run(lo)  # untimed warm-up pass: generates+caches the log, warms the cache
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["cdc"]["sec"], r_hi["cdc"]["sec"]
+    lo_runs = [run(lo) for _ in range(reps)]
+    hi_runs = [run(hi) for _ in range(reps)]
+    lo_secs = [r["cdc"]["sec"] for r in lo_runs]
+    hi_secs = [r["cdc"]["sec"] for r in hi_runs]
+    t_lo, t_hi = min(lo_secs), min(hi_secs)
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
         "cdc_sec": [t_lo, t_hi],
+        "cdc_sec_samples": {"lo": lo_secs, "hi": hi_secs},
         "cdc_events_per_sec": [
-            r_lo["cdc"]["events_per_sec"],
-            r_hi["cdc"]["events_per_sec"],
+            round(max(r["cdc"]["events_per_sec"] for r in lo_runs), 1),
+            round(max(r["cdc"]["events_per_sec"] for r in hi_runs), 1),
         ],
-        "total_sec": [r_lo["value"], r_hi["value"]],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
     }

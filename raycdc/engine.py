@@ -537,8 +537,7 @@ def _push_shard(
     schema_str: str,
     nparts: int,
     round_id: str,
-    handles: list,
-    specs: list,
+    ctx,
     error_policy: str,
     lake_root: str,
 ) -> list:
@@ -547,6 +546,7 @@ def _push_shard(
     Returns the list of actor ids sent to (one entry per slice) for the
     finalize count barrier."""
     _limit_arrow_threads()
+    handles, specs = ctx  # broadcast once per pool generation (ray.put)
     batch = pq.read_table(path)
     batch = _Normalize(schema_str, nparts, error_policy, lake_root, round_id)(
         batch
@@ -833,13 +833,21 @@ class Engine:
         the round critical path. Memory stays bounded by shard size ×
         concurrent tasks (shards are written ≤100k rows)."""
         handles = self._ensure_pool()
-        specs = self.tables
+        # broadcast (handles, table specs) ONCE per pool generation: the
+        # per-task submission then carries only small scalars, not a fresh
+        # serialization of 19 actor handles per shard per round
+        if (
+            getattr(self, "_push_ctx_ref", None) is None
+            or getattr(self, "_push_ctx_gen", -1) != self._pool_gen
+        ):
+            self._push_ctx_ref = ray.put((handles, self.tables))
+            self._push_ctx_gen = self._pool_gen
         error_policy, lake_root = self.error_policy, self.lake.root
 
         t_push = time.perf_counter()
         refs = [
             _push_shard.remote(
-                p, schema_str, nparts, round_id, handles, specs,
+                p, schema_str, nparts, round_id, self._push_ctx_ref,
                 error_policy, lake_root,
             )
             for p in paths

@@ -3,8 +3,15 @@
 Replaces the reference's "end-to-end job runs against live RPC at pinned
 block numbers" test inputs (``indexer/tests/jobs/test_export_blocks_job.py:14-33``
 in /root/reference) with seeded synthetic CDC streams over the transcript
-schema (FIXTURES.md). Fully vectorized (numpy/pandas) so bench-scale logs
-generate quickly.
+schema (FIXTURES.md).
+
+Architecture (v3): all ORDERING work (stream placement, versioning,
+duplicates, reorg construction, epoch/cursor assignment) happens on a
+numeric core — int columns only, so the 10^7-10^8-event bench corpora sort
+and shuffle at numpy speed — and the payload strings are materialized
+per-epoch at write time with Arrow kernels (compact UTF-8, C loops; numpy
+unicode would be UTF-32 and pandas object strings were measured at
+~31 µs/event end-to-end).
 
 Stream contract (documented; the engine's salted path relies on it):
   * ``cursor`` is assigned from stream position and is monotone
@@ -18,23 +25,30 @@ Stream contract (documented; the engine's salted path relies on it):
     epoch boundary cursor (Hemera reorgs whole blocks,
     ``indexer/controller/reorg_controller.py:28-93``); the rolled-back cursor
     range is then re-emitted with different payloads (the "canonical chain").
+    With ``implicit_reorg`` the rollback event itself is omitted — the
+    consumer must DETECT the overlap (consensus-check analog).
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from raycdc.schema import CHANGE_SCHEMA
 
 CURSOR_GROUP = 4  # events per cursor value (multiple statements per "block")
 _BASE_TS = np.int64(1_700_000_000_000_000)  # 2023-11-14 UTC, microseconds
+
+_OPS = np.asarray(["insert", "update", "delete", "rollback"], dtype=object)
+_N_PADS = 16  # quantized text padding lengths (50..380 chars)
+_PADS = ["x" * (50 + 22 * i) for i in range(_N_PADS)]
 
 
 @dataclass
@@ -60,36 +74,27 @@ class GenSpec:
     tools: tuple = ("search", "code", "browser", "calc")
 
 
-def _text_col(conv: np.ndarray, turn: np.ndarray, version: np.ndarray, rng) -> pd.Series:
-    """Deterministic text: ``{conv}:{turn}:{digest}`` padded to a seeded
-    length in [50, 400). Content is a pure function of (conv, turn, version)."""
-    base = (
-        pd.Series(conv).astype(str)
-        + ":"
-        + pd.Series(turn).astype(str)
-        + ":v"
-        + pd.Series(version).astype(str)
-    )
-    digest = pd.util.hash_array((conv.astype(np.int64) * 1_000_003 + turn) * 31 + version)
-    pad_len = (digest % 350 + 50).astype(np.int64)
-    filler = "x" * 512
-    return base + ":" + pd.Series([filler[:n] for n in pad_len])
+# -- numeric core -----------------------------------------------------------
 
 
-def _conv_ids(conv_num: np.ndarray) -> pd.Series:
-    return "conv-" + pd.Series(conv_num).astype(str).str.zfill(6)
-
-
-def generate_events(spec: GenSpec) -> pd.DataFrame:
-    """Build the full event stream as a DataFrame in stream order, with
-    ``cursor``/``seq``/``epoch`` assigned. Rollback construction included."""
+def _numeric_events(spec: GenSpec) -> pd.DataFrame:
+    """The full event stream as NUMERIC columns in stream order:
+    conv / turn / version / opc (0=ins 1=upd 2=del 3=rollback) /
+    keep_role / keep_tool / canon / cursor / seq / epoch / rbc."""
     rng = np.random.default_rng(spec.seed)
 
     # -- base inserts: conv c has turns 0..T_c-1
     turns_per_conv = 1 + rng.geometric(1.0 / spec.mean_turns, size=spec.n_convs)
-    conv_of_insert = np.repeat(np.arange(spec.n_convs), turns_per_conv)
-    turn_of_insert = np.concatenate([np.arange(t) for t in turns_per_conv]).astype(np.int64)
-    n_ins = len(conv_of_insert)
+    conv_of_insert = np.repeat(
+        np.arange(spec.n_convs, dtype=np.int64), turns_per_conv
+    )
+    total = int(turns_per_conv.sum())
+    # turn index within conv: arange minus each conv's start offset
+    starts = np.repeat(
+        np.concatenate(([0], np.cumsum(turns_per_conv)[:-1])), turns_per_conv
+    )
+    turn_of_insert = np.arange(total, dtype=np.int64) - starts
+    n_ins = total
 
     # -- updates/deletes target existing keys, Zipf-skewed over conversations
     n_upd = int(n_ins * spec.frac_update)
@@ -97,15 +102,17 @@ def generate_events(spec: GenSpec) -> pd.DataFrame:
     weights = 1.0 / np.arange(1, spec.n_convs + 1) ** spec.zipf_a
     weights /= weights.sum()
     tgt_conv = rng.choice(spec.n_convs, size=n_upd + n_del, p=weights)
-    tgt_turn = (rng.random(n_upd + n_del) * turns_per_conv[tgt_conv]).astype(np.int64)
+    tgt_turn = (rng.random(n_upd + n_del) * turns_per_conv[tgt_conv]).astype(
+        np.int64
+    )
 
     conv = np.concatenate([conv_of_insert, tgt_conv])
     turn = np.concatenate([turn_of_insert, tgt_turn])
-    op = np.concatenate(
+    opc = np.concatenate(
         [
-            np.full(n_ins, "insert"),
-            np.full(n_upd, "update"),
-            np.full(n_del, "delete"),
+            np.zeros(n_ins, np.int8),
+            np.ones(n_upd, np.int8),
+            np.full(n_del, 2, np.int8),
         ]
     )
     # stream placement: inserts early-ish, mutations later-ish (so most
@@ -117,108 +124,96 @@ def generate_events(spec: GenSpec) -> pd.DataFrame:
         ]
     )
     order = np.argsort(u, kind="stable")
-    conv, turn, op = conv[order], turn[order], op[order]
+    conv, turn, opc = conv[order], turn[order], opc[order]
     n = len(conv)
 
-    version = np.zeros(n, dtype=np.int64)
-    is_upd = op == "update"
-    # version of an update = 1 + how many updates to the same key came before
-    df_v = pd.DataFrame({"c": conv, "t": turn, "i": np.arange(n)})
-    upd_rank = df_v[is_upd].groupby(["c", "t"]).cumcount() + 1
-    version[np.flatnonzero(is_upd)] = upd_rank.to_numpy()
+    # version of an update = 1 + how many updates to the same key came
+    # before (stream order) — numpy rank-within-key, no pandas groupby
+    version = np.zeros(n, dtype=np.int32)
+    upd_idx = np.flatnonzero(opc == 1)
+    if len(upd_idx):
+        key = conv[upd_idx] * np.int64(1 << 32) + turn[upd_idx]
+        o = np.argsort(key, kind="stable")
+        ks = key[o]
+        newk = np.ones(len(ks), dtype=bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        gstart = np.flatnonzero(newk)
+        counts = np.diff(np.append(gstart, len(ks)))
+        pos = np.arange(len(ks)) - np.repeat(gstart, counts)
+        v = np.empty(len(ks), np.int32)
+        v[o] = pos.astype(np.int32) + 1
+        version[upd_idx] = v
 
-    role = np.asarray(spec.roles)[turn % len(spec.roles)]
-    tool = np.where(
-        role == "tool", np.asarray(spec.tools)[(conv + turn) % len(spec.tools)], ""
-    )
-    text = _text_col(conv, turn, version, rng)
-    ts = pd.to_datetime(
-        _BASE_TS + conv.astype(np.int64) * 3_600_000_000 + turn * 60_000_000 + version,
-        unit="us",
-    )
-
-    df = pd.DataFrame(
-        {
-            "op": op,
-            "conv_id": _conv_ids(conv),
-            "turn_idx": turn.astype(np.int32),
-            "role": role,
-            "text": text,
-            "tool": tool,
-            "ts": ts,
-        }
-    )
-    # deletes carry no payload; updates set a random subset (nulls = unchanged)
-    del_mask = (df["op"] == "delete").to_numpy()
-    for c in ("role", "text", "tool", "ts"):
-        df.loc[del_mask, c] = None
-    upd_mask = (df["op"] == "update").to_numpy()
-    keep_role = rng.random(n) < 0.3
+    keep_role = rng.random(n) < 0.3  # update patch masks (nulls = unchanged)
     keep_tool = rng.random(n) < 0.2
-    df.loc[upd_mask & ~keep_role, "role"] = None
-    df.loc[upd_mask & ~keep_tool, "tool"] = None  # text/ts always set on update
 
-    # -- cursor / seq / epoch from stream position
     pos = np.arange(n)
-    df["cursor"] = (pos // CURSOR_GROUP + 1).astype(np.int64)
-    df["seq"] = (pos % CURSOR_GROUP).astype(np.int32)
+    cursor = (pos // CURSOR_GROUP + 1).astype(np.int64)
+    seq = (pos % CURSOR_GROUP).astype(np.int32)
     # epoch boundaries MUST align to cursor-group boundaries: a rollback
     # targets a cursor, and a cursor split across two epochs would make
     # "state as of cursor c" ambiguous (Hemera reorgs whole blocks)
     per_epoch = -(-n // spec.n_epochs)
     per_epoch += (-per_epoch) % CURSOR_GROUP
-    df["epoch"] = (pos // per_epoch).astype(np.int64)
-    df["rollback_to_cursor"] = pd.array([None] * n, dtype="Int64")
+    epoch = (pos // per_epoch).astype(np.int64)
+
+    df = pd.DataFrame(
+        {
+            "conv": conv,
+            "turn": turn,
+            "version": version,
+            "opc": opc,
+            "keep_role": keep_role,
+            "keep_tool": keep_tool,
+            "canon": np.zeros(n, np.int8),
+            "cursor": cursor,
+            "seq": seq,
+            "epoch": epoch,
+            "rbc": np.full(n, -1, np.int64),
+        }
+    )
 
     # -- at-least-once duplicates: re-emit originals later in the SAME epoch
     n_dup = int(n * spec.frac_dup)
     if n_dup:
         src = rng.choice(n, size=n_dup, replace=False)
-        dups = df.iloc[src].copy()
-        # place each dup at the end of its epoch (stream order within the
-        # epoch file is by (cursor, seq) anyway; position only affects split)
-        df = (
-            pd.concat([df, dups], ignore_index=True)
-            .sort_values(["epoch", "cursor", "seq"], kind="stable")
-            .reset_index(drop=True)
+        df = pd.concat([df, df.iloc[src]], ignore_index=True)
+        o = np.lexsort(
+            (df["seq"].to_numpy(), df["cursor"].to_numpy(), df["epoch"].to_numpy())
         )
+        df = df.iloc[o].reset_index(drop=True)
 
     # -- reorg construction: for each rollback epoch r, emit
-    #    [epoch r orphaned] [rollback epoch] [epoch replay with new payload]
+    #    [epoch r orphaned] [rollback epoch] [epoch replay, canon payload]
     if spec.rollback_epochs:
         out_parts = []
         next_epoch = 0
+        epoch_np = df["epoch"].to_numpy()
         for e in range(spec.n_epochs):
-            part = df[df["epoch"] == e].copy()
+            part = df[epoch_np == e].copy()
             part["epoch"] = next_epoch
             out_parts.append(part)
             next_epoch += 1
             if e in spec.rollback_epochs:
                 prev_max_cursor = int(
-                    df.loc[df["epoch"] < e, "cursor"].max() if e > 0 else 0
+                    df.loc[epoch_np < e, "cursor"].max() if e > 0 else 0
                 )
                 if not spec.implicit_reorg:
                     rb = pd.DataFrame(
                         {
-                            "op": ["rollback"],
-                            "conv_id": [None],
-                            "turn_idx": pd.array([None], dtype="Int32"),
-                            "role": [None],
-                            "text": [None],
-                            "tool": [None],
-                            "ts": [pd.NaT],
+                            "conv": [-1], "turn": [-1], "version": [0],
+                            "opc": np.int8(3), "keep_role": [False],
+                            "keep_tool": [False], "canon": np.int8(0),
                             "cursor": [int(part["cursor"].max())],
-                            "seq": np.int32(0),
-                            "epoch": [next_epoch],
-                            "rollback_to_cursor": pd.array([prev_max_cursor], dtype="Int64"),
+                            "seq": np.int32(0), "epoch": [next_epoch],
+                            "rbc": [prev_max_cursor],
                         }
                     )
                     out_parts.append(rb)
                     next_epoch += 1
                 replay = part.copy()
                 replay["epoch"] = next_epoch
-                repl_mask = replay["text"].notna().to_numpy()
-                replay.loc[repl_mask, "text"] = replay.loc[repl_mask, "text"] + ":canon"
+                replay["canon"] = np.int8(1)
                 out_parts.append(replay)
                 next_epoch += 1
         df = pd.concat(out_parts, ignore_index=True)
@@ -226,23 +221,131 @@ def generate_events(spec: GenSpec) -> pd.DataFrame:
     return df
 
 
-def _epoch_table(part: pd.DataFrame, evolved: bool, rng) -> pa.Table:
-    part = part.sort_values(["cursor", "seq"], kind="stable")
-    tbl = pa.Table.from_pandas(part, preserve_index=False)
-    tbl = tbl.select([f.name for f in CHANGE_SCHEMA])
-    tbl = tbl.cast(CHANGE_SCHEMA)
+# -- payload materialization (Arrow kernels) --------------------------------
+
+
+def _materialize_table(spec: GenSpec, num: pd.DataFrame) -> pa.Table:
+    """Numeric rows → change-event Arrow table (CHANGE_SCHEMA order/type).
+    All string building is Arrow compute (UTF-8, C kernels)."""
+    n = len(num)
+    conv = num["conv"].to_numpy()
+    turn = num["turn"].to_numpy()
+    version = num["version"].to_numpy()
+    opc = num["opc"].to_numpy()
+    canon = num["canon"].to_numpy().astype(bool)
+    keep_role = num["keep_role"].to_numpy()
+    keep_tool = num["keep_tool"].to_numpy()
+    is_rb = opc == 3
+    is_del = opc == 2
+    is_upd = opc == 1
+    nulls = pa.nulls(n, pa.string())
+
+    op = pa.DictionaryArray.from_arrays(
+        pa.array(opc.astype(np.int8)), pa.array(_OPS, pa.string())
+    ).cast(pa.string())
+
+    conv_digits = pc.utf8_lpad(
+        pc.cast(pa.array(np.maximum(conv, 0)), pa.string()), 6, padding="0"
+    )
+    conv_id = pc.binary_join_element_wise("conv-", conv_digits, "")
+    conv_id = pc.if_else(pa.array(is_rb), nulls, conv_id)
+
+    # role/tool from small lookup tables
+    role_idx = (turn % len(spec.roles)).astype(np.int8)
+    role = pa.DictionaryArray.from_arrays(
+        pa.array(role_idx), pa.array(list(spec.roles), pa.string())
+    ).cast(pa.string())
+    tool_idx = ((conv + turn) % len(spec.tools)).astype(np.int8)
+    tool_full = pa.DictionaryArray.from_arrays(
+        pa.array(tool_idx), pa.array(list(spec.tools), pa.string())
+    ).cast(pa.string())
+    is_tool_role = role_idx == (
+        spec.roles.index("tool") if "tool" in spec.roles else -1
+    )
+    tool = pc.if_else(pa.array(is_tool_role), tool_full, pa.scalar(""))
+
+    # deterministic text: {conv}:{turn}:v{version}:{pad}[:canon] — content a
+    # pure function of (conv, turn, version); pad length from a quantized
+    # digest bucket
+    digest = pd.util.hash_array(
+        (conv.astype(np.int64) * 1_000_003 + turn) * 31 + version
+    )
+    pad_idx = (digest % _N_PADS).astype(np.int8)
+    pad = pa.DictionaryArray.from_arrays(
+        pa.array(pad_idx), pa.array(_PADS, pa.string())
+    ).cast(pa.string())
+    ver_s = pc.binary_join_element_wise(
+        "v", pc.cast(pa.array(version), pa.string()), ""
+    )
+    text = pc.binary_join_element_wise(
+        pc.cast(pa.array(conv), pa.string()),
+        pc.cast(pa.array(turn), pa.string()),
+        ver_s,
+        pad,
+        ":",
+    )
+    text = pc.if_else(
+        pa.array(canon),
+        pc.binary_join_element_wise(text, "canon", ":"),
+        text,
+    )
+
+    ts_us = _BASE_TS + conv * 3_600_000_000 + turn * 60_000_000 + version
+    ts = pa.array(ts_us).cast(pa.timestamp("us"))
+
+    # null rules: deletes carry no payload; updates set a random subset
+    # (nulls = unchanged; text/ts always set on update); rollbacks carry
+    # only the target cursor
+    void = pa.array(is_del | is_rb)
+    role = pc.if_else(pc.or_(pa.array(is_upd & ~keep_role), void), nulls, role)
+    tool = pc.if_else(pc.or_(pa.array(is_upd & ~keep_tool), void), nulls, tool)
+    text = pc.if_else(void, nulls, text)
+    ts = pc.if_else(void, pa.nulls(n, pa.timestamp("us")), ts)
+
+    rbc_np = num["rbc"].to_numpy()
+    rbc = pa.array(rbc_np, pa.int64(), mask=(rbc_np < 0))
+    turn_arr = pa.array(
+        turn.astype(np.int32), pa.int32(), mask=is_rb
+    )
+
+    return pa.table(
+        {
+            "cursor": pa.array(num["cursor"].to_numpy(), pa.int64()),
+            "seq": pa.array(num["seq"].to_numpy(), pa.int32()),
+            "epoch": pa.array(num["epoch"].to_numpy(), pa.int64()),
+            "op": op,
+            "conv_id": conv_id,
+            "turn_idx": turn_arr,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+            "rollback_to_cursor": rbc,
+        }
+    ).cast(CHANGE_SCHEMA)
+
+
+def generate_events(spec: GenSpec) -> pd.DataFrame:
+    """Full materialized event stream as a DataFrame in stream order
+    (tests / oracle input). Bench-scale writers should use
+    :func:`write_change_log`, which materializes per epoch."""
+    return _materialize_table(spec, _numeric_events(spec)).to_pandas()
+
+
+def _epoch_table(tbl: pa.Table, evolved: bool) -> pa.Table:
     if evolved:
         # schema evolution: widen turn_idx int32→int64, add tool_meta:string
         idx = tbl.schema.get_field_index("turn_idx")
         tbl = tbl.set_column(
             idx, pa.field("turn_idx", pa.int64()), tbl.column("turn_idx").cast(pa.int64())
         )
-        meta = pa.array(
-            [
-                None if t is None or t == "" else f"meta:{t}"
-                for t in tbl.column("tool").to_pylist()
-            ],
-            pa.string(),
+        tool = tbl.column("tool")
+        meta = pc.if_else(
+            pc.or_kleene(
+                pc.is_null(tool), pc.equal(tool, pa.scalar(""))
+            ),
+            pa.nulls(tbl.num_rows, pa.string()),
+            pc.binary_join_element_wise("meta:", tool.combine_chunks(), ""),
         )
         tbl = tbl.append_column("tool_meta", meta)
     return tbl
@@ -256,12 +359,15 @@ def write_change_log(spec: GenSpec, out_dir: str) -> list[str]:
     a real log's many files per commit range and gives the scan its read
     parallelism). Returns paths."""
     os.makedirs(out_dir, exist_ok=True)
-    df = generate_events(spec)
-    rng = np.random.default_rng(spec.seed + 1)
+    num = _numeric_events(spec)
     paths = []
-    for e, part in df.groupby("epoch", sort=True):
+    epoch_np = num["epoch"].to_numpy()
+    for e in np.unique(epoch_np):
+        part = num[epoch_np == e]
+        o = np.lexsort((part["seq"].to_numpy(), part["cursor"].to_numpy()))
+        part = part.iloc[o]
         evolved = spec.evolve_at_epoch is not None and e >= spec.evolve_at_epoch
-        tbl = _epoch_table(part, evolved, rng)
+        tbl = _epoch_table(_materialize_table(spec, part), evolved)
         n_shards = max(1, -(-tbl.num_rows // spec.shard_rows))
         for s in range(n_shards):
             shard = tbl.slice(s * spec.shard_rows, spec.shard_rows)
@@ -276,7 +382,7 @@ def write_change_log(spec: GenSpec, out_dir: str) -> list[str]:
     return paths
 
 
-GEN_VERSION = 2  # bump when generation semantics change (invalidates caches)
+GEN_VERSION = 3  # bump when generation semantics change (invalidates caches)
 
 
 def spec_fingerprint(spec: GenSpec) -> str:

@@ -124,3 +124,82 @@ class Pipeline:
                 raise ValueError(f"{cls.__name__} produced undeclared {unexpected}")
             ns.update(produced)
         return {o: ns[o] for o in wanted_outputs}
+
+
+# -- auto-discovery + per-step config (reference parity) --------------------
+
+
+def discover(registry: StepRegistry, package) -> list:
+    """Import every submodule of ``package`` and register the Step
+    subclasses found — the analog of the reference's
+    ``import_submodules("indexer.modules")`` + metaclass registry
+    (``indexer/controller/scheduler/job_scheduler.py:24``,
+    ``indexer/jobs/base_job.py:65-88``). Already-registered classes (e.g.
+    via the ``@registry.register`` decorator at import time) are skipped.
+    Returns the newly registered classes."""
+    import importlib
+    import inspect
+    import pkgutil
+
+    if isinstance(package, str):
+        package = importlib.import_module(package)
+    modules = [package]
+    if hasattr(package, "__path__"):
+        for info in pkgutil.iter_modules(package.__path__):
+            modules.append(
+                importlib.import_module(f"{package.__name__}.{info.name}")
+            )
+    added = []
+    have = set(registry._steps)
+    for mod in modules:
+        for _, obj in inspect.getmembers(mod, inspect.isclass):
+            if (
+                issubclass(obj, Step)
+                and obj is not Step
+                and obj.__module__ == mod.__name__
+                and obj not in have
+            ):
+                registry.register(obj)
+                have.add(obj)
+                added.append(obj)
+    return added
+
+
+def load_step_config(path: str) -> dict:
+    """Per-step config file (YAML or JSON), keyed by snake-case step name —
+    the reference's ``config/indexer-config-*.yaml`` per-job sections
+    (``indexer/jobs/base_job.py:131-132``)."""
+    import json
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(text) or {}
+    return json.loads(text or "{}")
+
+
+class ConfiguredPipeline(Pipeline):
+    """Pipeline whose steps receive their config section at construction:
+    a step may define ``__init__(self, **config)`` (or accept none). The
+    section key is the step's snake-case name."""
+
+    def __init__(self, registry: StepRegistry, config: dict | None = None):
+        super().__init__(registry)
+        self.config = config or {}
+
+    def run(self, tables: dict, wanted_outputs: list) -> dict:
+        available = set(tables)
+        steps = self.registry.required_steps(wanted_outputs, available)
+        order = self.registry.topo_sort(steps, available)
+        ns = dict(tables)
+        for cls in order:
+            kwargs = self.config.get(cls.name(), {})
+            inst = cls(**kwargs) if kwargs else cls()
+            produced = inst.transform(ns)
+            unexpected = set(produced) - set(cls.outputs)
+            if unexpected:
+                raise ValueError(f"{cls.__name__} produced undeclared {unexpected}")
+            ns.update(produced)
+        return {o: ns[o] for o in wanted_outputs}

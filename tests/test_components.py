@@ -259,3 +259,45 @@ def test_cli_end_to_end(tmp_path):
     out2 = cli("replay", log, "--lake", lake, "--partitions", "4", "--num-cpus", "4")
     assert out2[-1]["rounds_applied"] == 1
     assert out2[-1]["last_cursor"] == out[-1]["last_cursor"]
+
+
+# -- auto-discovery + per-step config --------------------------------------
+
+def test_step_discovery_and_config(ray_session, tmp_path):
+    """Auto-discovery of Step subclasses from a module + per-step config
+    injection (reference: import_submodules + YAML job sections)."""
+    import importlib.util
+    import sys
+
+    import ray.data
+
+    from raycdc.steps import ConfiguredPipeline, StepRegistry, discover, load_step_config
+
+    mod_path = tmp_path / "usermod.py"
+    mod_path.write_text(
+        "from raycdc.steps import Step\n"
+        "class ScaleStep(Step):\n"
+        "    inputs = ['numbers']\n"
+        "    outputs = ['scaled']\n"
+        "    def __init__(self, factor=1):\n"
+        "        self.factor = factor\n"
+        "    def transform(self, t):\n"
+        "        f = self.factor\n"
+        "        return {'scaled': t['numbers'].map_batches(lambda b: {'x': b['x'] * f})}\n"
+    )
+    spec = importlib.util.spec_from_file_location("usermod", str(mod_path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["usermod"] = spec.loader.exec_module(mod) or mod
+
+    reg = StepRegistry()
+    added = discover(reg, mod)
+    assert [c.__name__ for c in added] == ["ScaleStep"]
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text("scale_step:\n  factor: 10\n")
+    cfg = load_step_config(str(cfg_path))
+    out = ConfiguredPipeline(reg, cfg).run(
+        {"numbers": ray.data.range(3).map_batches(lambda b: {"x": b["id"]})},
+        ["scaled"],
+    )
+    assert sorted(r["x"] for r in out["scaled"].take_all()) == [0, 10, 20]
