@@ -1142,10 +1142,19 @@ class Engine:
         return L._schema_from_str(meta[t_idx][0])
 
     def read_lake(self, columns=None, include_system: bool = False,
-                  table: str | None = None):
+                  table: str | None = None, predicate=None):
         """A lake table as a Dataset of live rows (tombstones and system
         columns dropped unless requested). ``table`` selects a logical
         table (default: the primary).
+
+        ``predicate`` is a ``pyarrow.dataset`` expression. On base-only
+        partitions it is pushed INTO the parquet read (row groups that
+        cannot match never leave storage — the reference's
+        ``pg_source_job`` predicate pushdown,
+        ``indexer/jobs/source_job/pg_source_job.py:73-176``); on
+        partitions with outstanding deltas it is applied AFTER the
+        per-partition fold (filtering before the fold could resurrect a
+        superseded row version).
 
         Base-only partitions stream straight from their fragments (already
         sorted by the table's key columns); partitions with outstanding
@@ -1160,7 +1169,7 @@ class Engine:
         needs_fold = any(ent["deltas"] for ent in state_map.values())
         if needs_fold and schema is not None:
             return self._read_lake_folded(
-                state_map, schema, columns, include_system, key_cols
+                state_map, schema, columns, include_system, key_cols, predicate
             )
         paths = self.lake.live_fragment_paths(prange)
         if not paths:
@@ -1173,7 +1182,7 @@ class Engine:
             )
         import pyarrow.compute as pc
 
-        ds = ray.data.read_parquet(paths)
+        ds = ray.data.read_parquet(paths, filter=predicate)
 
         def _live(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t.column(M.DELETED_COL), False))
@@ -1189,7 +1198,8 @@ class Engine:
         return ds
 
     def _read_lake_folded(
-        self, state_map, schema, columns, include_system, key_cols=None
+        self, state_map, schema, columns, include_system, key_cols=None,
+        predicate=None,
     ):
         key_cols = list(key_cols if key_cols is not None else S.KEY_COLS)
         schema_str = L._schema_to_str(schema)
@@ -1217,6 +1227,8 @@ class Engine:
                 if st is None or not st.num_rows:
                     continue
                 st = st.filter(pc.invert(st.column(M.DELETED_COL)))
+                if predicate is not None:
+                    st = st.filter(predicate)  # post-fold: version-safe
                 outs.append(st.select(keep))
             if not outs:
                 return pa.schema([fs.field(c) for c in keep]).empty_table()

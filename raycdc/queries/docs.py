@@ -119,6 +119,15 @@ class QualityScorer:
         self.word = re.compile(r"[a-zA-Z']+")
         self.punct = re.compile(r"[^\w\s]")
 
+    @staticmethod
+    def _r6(x):
+        # explicit half-up to 6 decimals: numpy's round is banker's while
+        # SQL round is half-away — on 6-decimal-rounded inputs the
+        # composite lands on exact .5e-6 boundaries often enough to break
+        # hash-exact oracle comparison; floor(x*1e6+0.5) is identical on
+        # both sides
+        return np.floor(np.asarray(x, dtype="float64") * 1e6 + 0.5) / 1e6
+
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         texts = b["text"]
         n_chars = texts.str.len().clip(lower=1)
@@ -131,17 +140,17 @@ class QualityScorer:
             {
                 "doc_id": b["doc_id"],
                 "n_words": words.str.len().astype("int64"),
-                "stopword_ratio": (stop / n_words).round(6),
-                "punct_ratio": (punct / n_chars).round(6),
-                "mean_word_len": pd.Series(mean_word_len).round(6),
+                "stopword_ratio": self._r6(stop / n_words),
+                "punct_ratio": self._r6(punct / n_chars),
+                "mean_word_len": self._r6(mean_word_len),
             }
         )
         # composite score in [0,1]: long-enough, punctuation-light, has glue words
-        out["quality"] = (
+        out["quality"] = self._r6(
             0.4 * np.clip(out["n_words"] / 100.0, 0, 1)
             + 0.3 * (1 - np.clip(out["punct_ratio"] * 5, 0, 1))
             + 0.3 * np.clip(out["stopword_ratio"] * 3, 0, 1)
-        ).round(6)
+        )
         return out
 
 
@@ -217,6 +226,71 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
+_STOPWORDS_SQL = ",".join(
+    f"'{w}'" for w in sorted(QualityScorer.STOPWORDS)
+)
+
+QUALITY_SQL = f"""
+WITH w AS (
+    SELECT doc_id, text,
+           regexp_extract_all(text, '[a-zA-Z'']+') AS words,
+           GREATEST(len(text), 1) AS n_chars
+    FROM documents
+), s AS (
+    SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        GREATEST(len(words), 1) AS n_words1,
+        len(list_filter(words,
+            x -> list_contains([{_STOPWORDS_SQL}], lower(x)))) AS n_stop,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        n_chars,
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE list_aggregate(
+                 list_transform(words, x -> CAST(len(x) AS DOUBLE)), 'avg')
+        END AS mwl
+    FROM w
+)
+SELECT doc_id, n_words,
+    floor(CAST(n_stop AS DOUBLE) / n_words1 * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+    floor(CAST(n_punct AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 AS punct_ratio,
+    floor(mwl * 1000000 + 0.5) / 1000000 AS mean_word_len,
+    floor((0.4 * LEAST(n_words / 100.0, 1.0)
+        + 0.3 * (1 - LEAST(floor(CAST(n_punct AS DOUBLE) / n_chars * 1000000 + 0.5) / 1000000 * 5, 1.0))
+        + 0.3 * LEAST(floor(CAST(n_stop AS DOUBLE) / n_words1 * 1000000 + 0.5) / 1000000 * 3, 1.0))
+        * 1000000 + 0.5) / 1000000 AS quality
+FROM s
+"""
+
+
+def _profile_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{g}'" for g in sorted(LangId.PROFILES[lang])) + "]"
+
+
+LANG_ID_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+        list_distinct([substr(t, i, 3)
+                       for i in generate_series(1, GREATEST(len(t) - 2, 0))]) AS grams
+    FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents)
+), sc AS (
+    SELECT doc_id,
+        len(list_intersect(grams, {_profile_sql('de')})) AS s_de,
+        len(list_intersect(grams, {_profile_sql('en')})) AS s_en,
+        len(list_intersect(grams, {_profile_sql('es')})) AS s_es,
+        len(list_intersect(grams, {_profile_sql('fr')})) AS s_fr
+    FROM g
+)
+SELECT doc_id,
+    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+         WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS lang_guess,
+    CAST(GREATEST(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_score
+FROM sc
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
@@ -230,4 +304,6 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "lang_stats": LANG_STATS_SQL,
+    "quality_scores": QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
 }

@@ -345,10 +345,38 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, CAST(doc_id // 2 AS BIGINT) AS pair_key,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+    FROM documents
+), tris AS (
+    -- word trigrams as STRINGS: equal iff the Ray side's hashed trigrams
+    -- are equal (64-bit hash collisions aside), so set Jaccard matches
+    SELECT doc_id, pair_key,
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in generate_series(1, len(t) - 2)])
+        END AS s
+    FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          GREATEST(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+FROM tris a
+JOIN tris b ON a.pair_key = b.pair_key AND a.doc_id % 2 = 0
+           AND b.doc_id = a.doc_id + 1
+"""
+
 QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 
-ORACLE_SQL: dict = {}  # signature-based near-dup is not SQL-expressible
+# MinHash/SimHash signatures derive from a Python-side hash family and are
+# not SQL-expressible; exact n-gram Jaccard IS (the hashes cancel out under
+# set operations)
+ORACLE_SQL = {
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+}

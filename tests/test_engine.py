@@ -462,3 +462,38 @@ def test_implicit_reorg_detected_and_repaired(ray_session, tmp_path, make_lake):
     pd.testing.assert_frame_equal(eng2.read_lake_pandas(), eng.read_lake_pandas())
     eng.close()
     eng2.close()
+
+
+# -- predicate pushdown into the lake read ---------------------------------
+
+def test_read_lake_predicate_pushdown(ray_session, tmp_path, make_lake):
+    """read_lake(predicate=...): pushed into the parquet read on base-only
+    partitions, applied post-fold on delta partitions — both paths must
+    agree with a driver-side filter of the full read (pg_source_job
+    pushdown analog)."""
+    import pyarrow.dataset as pads
+
+    spec = gen.GenSpec(seed=93, n_convs=120, mean_turns=6, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    # compact_every=2 with 4 rounds -> mix of base-only and delta partitions
+    eng = make_lake(num_partitions=4, compact_every=3)
+    eng.apply_log(log)
+
+    full = eng.read_lake(include_system=True).to_pandas()
+    cut = int(full["cursor"].quantile(0.5))
+    pred = pads.field("cursor") > cut
+    got = (
+        eng.read_lake(include_system=True, predicate=pred)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        full[full["cursor"] > cut]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    eng.close()
