@@ -158,15 +158,20 @@ def dedup_minhash_pairs(sf_dir: str):
         .map_batches(MinHashSigner, batch_format="pandas", concurrency=(1, 8))
         .materialize()
     )
-    def bucket_keys(b: pd.DataFrame) -> pd.DataFrame:
+    def bucket_keys(b: pd.DataFrame):
         # bucket-key column ONLY (8 B/row): the occupancy scan needs no
-        # doc ids, so none ride through the sort
+        # doc ids, so none ride through the sort. Arrow out → the sort
+        # shuffle stays arrow-native end to end.
+        import pyarrow as pa
+
         bh = _band_hashes(b["sig"].to_numpy())
         band_ids = np.broadcast_to(
             np.arange(NUM_BANDS, dtype=np.int64)[None, :], bh.shape
         )
-        return pd.DataFrame(
-            {"bucket": _bucket_key(bh.reshape(-1), band_ids.reshape(-1))}
+        return pa.table(
+            {"bucket": pa.array(
+                _bucket_key(bh.reshape(-1), band_ids.reshape(-1)), pa.int64()
+            )}
         )
 
     keyed = sigs.map_batches(bucket_keys, batch_format="pandas")
@@ -179,24 +184,30 @@ def dedup_minhash_pairs(sf_dir: str):
     # block boundary). Output is O(collided + 2×blocks), never O(corpus).
     srt = keyed.sort("bucket")
 
-    def block_dups(b: pd.DataFrame) -> pd.DataFrame:
-        v = b["bucket"].to_numpy()
+    def block_dups(b):
+        import pyarrow as pa
+
+        v = (
+            b.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        )
         if len(v) == 0:
-            return pd.DataFrame(
-                {"bucket": pd.Series(dtype="int64"),
-                 "kind": pd.Series(dtype="object")}
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.string())}
             )
         dup_mask = np.zeros(len(v), dtype=bool)
         dup_mask[1:] = v[1:] == v[:-1]
         dups = np.unique(v[dup_mask])
-        return pd.DataFrame(
+        return pa.table(
             {
-                "bucket": np.concatenate([dups, [v[0], v[-1]]]),
-                "kind": ["dup"] * len(dups) + ["edge", "edge"],
+                "bucket": pa.array(
+                    np.concatenate([dups, [v[0], v[-1]]]), pa.int64()
+                ),
+                "kind": pa.array(["dup"] * len(dups) + ["edge", "edge"]),
             }
         )
 
-    info = srt.map_batches(block_dups, batch_format="pandas").to_pandas()
+    info = srt.map_batches(block_dups, batch_format="pyarrow").to_pandas()
     edge = info.loc[info["kind"] == "edge", "bucket"]
     edge_hot = edge[edge.duplicated(keep=False)].to_numpy()
     hot = np.unique(
