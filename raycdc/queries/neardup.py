@@ -110,6 +110,49 @@ def _bucket_key(band_hash_i64: np.ndarray, band_id: np.ndarray) -> np.ndarray:
     return (bh ^ salt).view(np.int64)
 
 
+def _collided_buckets(keyed) -> np.ndarray:
+    """Buckets with occupancy ≥ 2, WITHOUT a groupby: Dataset.groupby
+    iterates groups in Python — catastrophic with near-unique keys. A
+    global SORT stays fully vectorized (sample + range partition + arrow
+    sort); duplicates are then adjacent, so each block reports its internal
+    duplicated keys plus its two edge keys, and the driver unions internal
+    dups with edge keys seen in ≥2 places (a bucket spanning a block
+    boundary). Driver receives O(collided + 2×blocks), never O(corpus)."""
+    import pyarrow as pa
+
+    srt = keyed.sort("bucket")
+
+    def block_dups(b):
+        v = (
+            b.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        if len(v) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.string())}
+            )
+        dup_mask = np.zeros(len(v), dtype=bool)
+        dup_mask[1:] = v[1:] == v[:-1]
+        dups = np.unique(v[dup_mask])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.concatenate([dups, [v[0], v[-1]]]), pa.int64()
+                ),
+                "kind": pa.array(["dup"] * len(dups) + ["edge", "edge"]),
+            }
+        )
+
+    info = srt.map_batches(block_dups, batch_format="pyarrow").to_pandas()
+    edge = info.loc[info["kind"] == "edge", "bucket"]
+    edge_hot = edge[edge.duplicated(keep=False)].to_numpy()
+    return np.unique(
+        np.concatenate(
+            [info.loc[info["kind"] == "dup", "bucket"].to_numpy(), edge_hot]
+        )
+    )
+
+
 class BucketPairs:
     """Candidate pairs inside one (band_id, band_hash) bucket, verified by
     signature-estimated Jaccard (fraction of equal minhashes)."""
@@ -175,46 +218,7 @@ def dedup_minhash_pairs(sf_dir: str):
         )
 
     keyed = sigs.map_batches(bucket_keys, batch_format="pandas")
-    # occupancy WITHOUT a groupby: Dataset.groupby iterates groups in
-    # Python — catastrophic with ~n_docs×bands near-unique keys. A global
-    # SORT stays fully vectorized (sample + range partition + arrow sort);
-    # duplicates are then adjacent, so each block reports its internal
-    # duplicated keys plus its two edge keys, and the driver unions
-    # internal dups with edge keys seen in ≥2 places (a bucket spanning a
-    # block boundary). Output is O(collided + 2×blocks), never O(corpus).
-    srt = keyed.sort("bucket")
-
-    def block_dups(b):
-        import pyarrow as pa
-
-        v = (
-            b.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        if len(v) == 0:
-            return pa.table(
-                {"bucket": pa.array([], pa.int64()),
-                 "kind": pa.array([], pa.string())}
-            )
-        dup_mask = np.zeros(len(v), dtype=bool)
-        dup_mask[1:] = v[1:] == v[:-1]
-        dups = np.unique(v[dup_mask])
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    np.concatenate([dups, [v[0], v[-1]]]), pa.int64()
-                ),
-                "kind": pa.array(["dup"] * len(dups) + ["edge", "edge"]),
-            }
-        )
-
-    info = srt.map_batches(block_dups, batch_format="pyarrow").to_pandas()
-    edge = info.loc[info["kind"] == "edge", "bucket"]
-    edge_hot = edge[edge.duplicated(keep=False)].to_numpy()
-    hot = np.unique(
-        np.concatenate(
-            [info.loc[info["kind"] == "dup", "bucket"].to_numpy(), edge_hot]
-        )
-    )
+    hot = _collided_buckets(keyed)
     if not len(hot):
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
@@ -318,6 +322,125 @@ def dedup_simhash(sf_dir: str):
     return sigs.groupby("simhash").map_groups(group_dups, batch_format="pandas")
 
 
+HAMMING_K = 3
+_SUB_BANDS = 4  # 4 × 16-bit sub-keys: hamming ≤ 3 → ≥1 identical sub-key
+
+
+def _simhash_subkeys(sim_i64: np.ndarray) -> np.ndarray:
+    """(n, 4) int64 bucket keys — one per 16-bit sub-band of the 64-bit
+    SimHash (pigeonhole: two signatures within hamming distance 3 must
+    agree on at least one of the 4 sub-bands)."""
+    v = np.ascontiguousarray(sim_i64, dtype=np.int64).view(np.uint64)
+    parts = np.stack(
+        [
+            ((v >> np.uint64(16 * i)) & np.uint64(0xFFFF)).view(np.int64)
+            for i in range(_SUB_BANDS)
+        ],
+        axis=1,
+    )
+    band_ids = np.broadcast_to(
+        np.arange(_SUB_BANDS, dtype=np.int64)[None, :], parts.shape
+    )
+    return _bucket_key(parts.reshape(-1), band_ids.reshape(-1)).reshape(
+        -1, _SUB_BANDS
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR — no numpy>=2 bit_count needed)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
+
+
+def dedup_simhash_hamming(sf_dir: str):
+    """Hamming-≤k SimHash near-dup pairs at scale: the pigeonhole-banded
+    search the plain `dedup_simhash` docstring promises. Sign once →
+    4 × 16-bit sub-band bucket keys → collided buckets via the sorted
+    occupancy scan → per-bucket pairwise XOR-popcount verify → distinct
+    pairs. Same no-driver-gather shape as MinHash LSH."""
+    import ray
+
+    sigs = (
+        C.read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+        .materialize()
+    )
+
+    def sub_keys(b: pd.DataFrame):
+        import pyarrow as pa
+
+        keys = _simhash_subkeys(b["simhash"].to_numpy())
+        return pa.table({"bucket": pa.array(keys.reshape(-1), pa.int64())})
+
+    hot = _collided_buckets(sigs.map_batches(sub_keys, batch_format="pandas"))
+    if not len(hot):
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    hot_ref = ray.put(hot)
+
+    def hot_rows(b: pd.DataFrame) -> pd.DataFrame:
+        hot_arr = ray.get(hot_ref)
+        keys = _simhash_subkeys(b["simhash"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "bucket": keys.reshape(-1),
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), _SUB_BANDS),
+                "simhash": np.repeat(b["simhash"].to_numpy(), _SUB_BANDS),
+            }
+        )
+        return out[np.isin(out["bucket"].to_numpy(), hot_arr)]
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) > 4096:
+            # non-discriminative sub-band (16-bit space saturates on large
+            # corpora with skewed bit distributions): skip — a true
+            # hamming≤k pair still collides on one of the other 3 bands
+            # unless every band saturates; standard LSH bucket capping
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        ids = g["doc_id"].to_numpy()
+        sims = np.ascontiguousarray(
+            g["simhash"].to_numpy(), dtype=np.int64
+        ).view(np.uint64)
+        rows = []
+        for i in range(len(ids) - 1):
+            d = _popcount64(np.bitwise_xor(sims[i + 1 :], sims[i]))
+            for j in np.flatnonzero(d <= HAMMING_K):
+                rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+    pairs = (
+        sigs.map_batches(hot_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(lambda g: bucket_pairs(g), batch_format="pandas")
+    )
+    out = pairs.to_pandas()
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 # -- exact n-gram Jaccard on a deterministic candidate set -----------------
 
 def ngram_jaccard_pairs(sf_dir: str):
@@ -382,6 +505,7 @@ JOIN tris b ON a.pair_key = b.pair_key AND a.doc_id % 2 = 0
 QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 

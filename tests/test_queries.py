@@ -178,3 +178,26 @@ def test_replay_queries_match_sql_oracle(ray_session, name):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )
+
+
+def test_simhash_hamming_finds_planted_near_dups(ray_session, tmp_path):
+    """Pigeonhole-banded hamming-k search surfaces near-identical docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+    dup = base.head(5).copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    planted = pd.concat([base, dup], ignore_index=True)  # EXACT copies: hamming 0
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(planted, preserve_index=False),
+                   str(d / "documents.parquet"))
+
+    from raycdc.queries import QUERIES
+
+    pairs = to_df(QUERIES["dedup_simhash_hamming"](str(d)))
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    expected = {(int(i), int(i) + 1_000_000) for i in base.head(5)["doc_id"]}
+    assert expected <= found, f"missing planted near-dups: {expected - found}"
+    assert (pairs["hamming"] <= 3).all()
