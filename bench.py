@@ -98,25 +98,39 @@ def run_bench() -> dict:
     # tmpfs isolates engine throughput from the VM's disk, like the
     # NVMe/object-store tier a real cluster writes to
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    lake_dir = f"{scratch}/raycdc-bench/lake-{gen.spec_fingerprint(spec)}-{NCPU}"
-    shutil.rmtree(lake_dir, ignore_errors=True)
-    eng = Engine(
-        lake_dir,
-        num_partitions=128,
-        merge_concurrency=(2, max(4, NCPU)),
-    )
     sample = sorted(f for f in os.listdir(log_dir) if f.startswith("changes-"))[0]
-    eng.warmup(os.path.join(log_dir, sample))  # resident pool + warm pipeline
-    t0 = time.perf_counter()
-    rounds = eng.apply_log(log_dir, epochs_per_round=2)
-    cdc_sec = time.perf_counter() - t0
-    n_events = sum(r.get("n_events", 0) for r in rounds)
+    # best-of-2 fresh replays: sibling-VM jitter on this box only ever ADDS
+    # time; both samples are reported
+    replay_samples = []
+    n_events = final_live = n_rounds = 0
+    for rep in range(2):
+        lake_dir = (
+            f"{scratch}/raycdc-bench/"
+            f"lake-{gen.spec_fingerprint(spec)}-{NCPU}-r{rep}"
+        )
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        eng = Engine(
+            lake_dir,
+            num_partitions=128,
+            merge_concurrency=(2, max(4, NCPU)),
+        )
+        eng.warmup(os.path.join(log_dir, sample))  # resident pool + warm pipeline
+        t0 = time.perf_counter()
+        rounds = eng.apply_log(log_dir, epochs_per_round=2)
+        replay_samples.append(round(time.perf_counter() - t0, 3))
+        n_events = sum(r.get("n_events", 0) for r in rounds)
+        n_rounds = len(rounds)
+        final_live = sum(r.get("n_live", 0) for r in rounds[-1:])
+        eng.close()
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    cdc_sec = min(replay_samples)
     cdc = {
         "events": n_events,
         "sec": round(cdc_sec, 3),
+        "sec_samples": replay_samples,
         "events_per_sec": round(n_events / cdc_sec, 1),
-        "rounds": len(rounds),
-        "final_round_live_rows": sum(r.get("n_live", 0) for r in rounds[-1:]),
+        "rounds": n_rounds,
+        "final_round_live_rows": final_live,
     }
 
     # -- operator-surface queries -------------------------------------------

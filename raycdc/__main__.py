@@ -106,6 +106,32 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_aggregate(args) -> int:
+    """Materialize the derived daily + cumulative aggregate tables from an
+    existing lake (the reference's ``aggregates`` CLI / aggr_job_scheduler,
+    ``indexer/aggr_jobs/aggr_job_scheduler.py:10-26``)."""
+    import os
+
+    from raycdc.queries.aggregates import (
+        conv_cumulative_from_daily,
+        conv_daily_from_engine,
+    )
+
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    daily = conv_daily_from_engine(eng)
+    daily.write_parquet(os.path.join(args.out_dir, "conv_daily_stats"))
+    # re-derive for the second consumer: Datasets are lazy and single-use
+    cum = conv_cumulative_from_daily(conv_daily_from_engine(eng))
+    cum.write_parquet(os.path.join(args.out_dir, "conv_cumulative_stats"))
+    print(json.dumps({
+        "out_dir": args.out_dir,
+        "tables": ["conv_daily_stats", "conv_cumulative_stats"],
+    }))
+    eng.close()
+    return 0
+
+
 def cmd_rollback(args) -> int:
     # pure manifest surgery — no Ray needed (reorg_controller analog)
     from raycdc.lake import Lake
@@ -177,6 +203,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rows-per-file", type=int, default=100_000)
     p.add_argument("--table", default=None, help="logical table (default primary)")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("aggregate", help="materialize derived aggregate tables")
+    _common(p)
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_aggregate)
 
     p = sub.add_parser("rollback", help="restore lake to a cursor boundary")
     p.add_argument("--lake", required=True)

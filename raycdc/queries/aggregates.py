@@ -104,14 +104,18 @@ FROM orders GROUP BY o_orderpriority
 # -- two-phase daily -> cumulative over the replayed CDC lake --------------
 
 def _conv_daily_ds(sf_dir: str):
-    """Phase 1 as a streaming Dataset: per (conv_id, day) turn counts and
-    role mix over the replayed transcript lake — distributed groupby over
-    ``Engine.read_lake()``, never driver pandas (the reference's
-    day-parallel disorder_job, ``indexer/aggr_jobs/disorder_jobs/
-    disorder_job.py:16-33``)."""
     from raycdc.queries.cdc import _replayed_engine
 
-    eng = _replayed_engine(sf_dir, salted=False)
+    return conv_daily_from_engine(_replayed_engine(sf_dir, salted=False))
+
+
+def conv_daily_from_engine(eng):
+    """Phase 1 as a streaming Dataset: per (conv_id, day) turn counts and
+    role mix over a transcript lake — distributed groupby over
+    ``Engine.read_lake()``, never driver pandas (the reference's
+    day-parallel disorder_job, ``indexer/aggr_jobs/disorder_jobs/
+    disorder_job.py:16-33``). Takes any Engine (the CLI materializes this
+    over an existing lake — aggr_job_scheduler analog)."""
     ds = eng.read_lake(columns=["conv_id", "role", "ts"])
 
     def to_day(t: pa.Table) -> pa.Table:
@@ -159,13 +163,12 @@ def conv_daily_stats(sf_dir: str):
     return _conv_daily_ds(sf_dir)
 
 
-def conv_cumulative_stats(sf_dir: str):
+def conv_cumulative_from_daily(daily):
     """Phase 2 (strictly ordered): fold daily partials into per-conv
     running cumulative counts, day by day — per-conversation ordered fold
     inside ``groupby().map_groups`` (the reference's order_job semantics:
     each day folds into the previous cumulative row,
     ``indexer/aggr_jobs/order_jobs/order_job.py:13-24``)."""
-    daily = _conv_daily_ds(sf_dir)
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("day", kind="stable")
@@ -174,6 +177,10 @@ def conv_cumulative_stats(sf_dir: str):
         return g
 
     return daily.groupby("conv_id").map_groups(cum, batch_format="pandas")
+
+
+def conv_cumulative_stats(sf_dir: str):
+    return conv_cumulative_from_daily(_conv_daily_ds(sf_dir))
 
 
 CONV_DAILY_SQL_TEMPLATE = """

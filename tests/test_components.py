@@ -260,6 +260,13 @@ def test_cli_end_to_end(tmp_path):
     assert out2[-1]["rounds_applied"] == 1
     assert out2[-1]["last_cursor"] == out[-1]["last_cursor"]
 
+    # derived aggregates materialized from the existing lake
+    agg = cli("aggregate", str(tmp_path / "agg"), "--lake", lake,
+              "--num-cpus", "4")[-1]
+    import glob as _glob
+    daily = _glob.glob(os.path.join(agg["out_dir"], "conv_daily_stats", "*.parquet"))
+    assert daily, "no daily aggregate parquet written"
+
 
 # -- auto-discovery + per-step config --------------------------------------
 
