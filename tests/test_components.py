@@ -308,3 +308,33 @@ def test_step_discovery_and_config(ray_session, tmp_path):
         ["scaled"],
     )
     assert sorted(r["x"] for r in out["scaled"].take_all()) == [0, 10, 20]
+
+
+def test_stream_follow_terminates_with_rollback_epochs(ray_session, tmp_path):
+    """Regression (round-1 ADVICE high): a followed log containing a reorg
+    rollback epoch must not spin the follow loop forever (rollback epochs
+    never commit a round id; the manifest's epoch ledger is the fence).
+    follow() must apply everything once, then go idle, and a second follow
+    call must be a pure no-op."""
+    from raycdc.stream import follow
+
+    spec = gen.GenSpec(
+        seed=17, n_convs=60, mean_turns=4, n_epochs=4, rollback_epochs=(1,)
+    )
+    live = str(tmp_path / "live")
+    gen.write_change_log(spec, live)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4)
+
+    import time as _t
+
+    t0 = _t.monotonic()
+    r1 = follow(eng, live, period_seconds=0.05, max_idle_polls=2)
+    assert _t.monotonic() - t0 < 60, "follow() did not go idle"
+    assert any("rollback" in str(x.get("round_id")) for x in r1)
+    state = eng.read_lake_pandas()
+    assert state["text"].str.endswith(":canon").any()
+
+    r2 = follow(eng, live, period_seconds=0.05, max_idle_polls=2)
+    assert r2 == []  # fully fenced: no work, no re-applied rollback
+    pd.testing.assert_frame_equal(eng.read_lake_pandas(), state)
+    eng.close()
