@@ -1,22 +1,36 @@
-"""The Ray Data CDC pipeline: change-log Parquet → normalized Arrow batches
-→ hash-partitioned shuffle → actor-pool sorted-merge → committed lake round.
+"""The Ray CDC pipeline: change-log Parquet → normalized Arrow batches →
+hash-partitioned actor exchange → incremental sorted-merge → committed
+lake round.
 
 Replaces the reference's JobScheduler + StreamController + PostgresItemExporter
 triple (``indexer/controller/stream_controller.py:50-161``,
 ``indexer/controller/scheduler/job_scheduler.py:260-300``,
-``indexer/exporters/postgres_item_exporter.py:37-133`` in /root/reference)
-with a streaming `ray.data` pipeline per commit round:
+``indexer/exporters/postgres_item_exporter.py:37-133`` in /root/reference).
 
-    read_parquet(epoch files)                 # parallel, column-complete scan
-      .map_batches(normalize, "pyarrow")      # conform/evolve schema, assign part
-      [.groupby(salt).map_groups(prefold)]    # optional skew pre-fold (combiner)
-      .groupby("part")                        # THE shuffle (one key, reused)
-      .map_groups(MergeWorker, concurrency=k) # actor pool: sorted-merge vs fragment
-    → driver commits the manifest             # epoch fence, single writer
+Default ("direct") exchange, per commit round:
+
+    _push_shard tasks (one per epoch shard file)   # parallel raw Ray tasks:
+      read → normalize/evolve → derive tables       #   zero-copy Arrow slices
+      → owner-contiguous slices → MergerActor pool  #   fire-and-forget sends
+    MergerActor.finalize_round (per actor)          # count barrier, then per
+      touched-keys incremental merge vs cached runs #   partition: O(round),
+      → base/delta fragment write (tmp+rename)      #   not O(lake)
+    driver commits the manifest                     # epoch fence, one writer
+
+Why not ``groupby(part).map_groups`` for the exchange: a micro-batch CDC
+round is latency-sensitive and Ray Data's general sort/hash shuffle costs
+seconds of fixed sampling/barrier work per round (measured); the fallback
+``exchange="groupby"`` path (also used by the salted skew pre-fold) keeps
+that shape for generality. Rounds pipeline: push of round N+1 overlaps the
+pool's finalize of round N; commit is the only barrier. Merger death is
+detected (push liveness probe / finalize gather) and the round replayed on
+a rebuilt pool — deterministic fragment names make replay idempotent.
 
 Rounds are groups of ``epochs_per_round`` epoch files (Hemera's
 ``--block-batch-size`` analog); a rollback epoch forces a barrier and is
-applied as a manifest restore from the undo buffer.
+applied as a manifest restore from the undo buffer; an uncommitted epoch
+whose cursor range re-enters applied territory triggers implicit reorg
+DETECTION (consensus-check analog).
 
 NOTE: never calls ``ray.init`` — the caller owns the Ray session.
 """
