@@ -169,7 +169,7 @@ def run_bench() -> dict:
     return out
 
 
-def run_scaling(lo: int | None = None, hi: int | None = None, reps: int = 3) -> dict:
+def run_scaling(lo: int | None = None, hi: int | None = None, reps: int = 4) -> dict:
     """Identical job, identical input, fresh Ray session per run, at N and
     4N CPUs. Each leg runs ``reps`` times and the MINIMUM replay time is
     used: min is the noise-free estimator of the true cost on a shared box
