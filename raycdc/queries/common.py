@@ -90,6 +90,21 @@ def join_partitions() -> int:
     return max(8, cpus // 2)
 
 
+def segment_sum(vals: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Per-segment sums for contiguous segments ``[bounds[i], bounds[i+1])``
+    — the vectorized replacement for a per-row Python loop. A sentinel zero
+    element makes ``start == len(vals)`` (trailing empty segments) a valid
+    ``reduceat`` index; empty segments sum to 0."""
+    starts = np.asarray(bounds[:-1])
+    counts = np.diff(bounds)
+    if len(vals) == 0:
+        return np.zeros(len(starts), dtype=vals.dtype)
+    padded = np.concatenate([vals, np.zeros(1, dtype=vals.dtype)])
+    out = np.add.reduceat(padded, starts)
+    out[counts == 0] = 0
+    return out
+
+
 def round_cols(df: pd.DataFrame, cols: list[str], digits: int = ROUND_DIGITS) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].astype(float).round(digits)

@@ -25,23 +25,31 @@ from raycdc.queries import common as C
 # -- exact dedup (hash-partition + per-group first) ------------------------
 
 def dedup_exact(sf_dir: str):
-    """Group by exact text, keep the row with min doc_id. The groupby key
-    is a 64-bit content hash (cheap shuffle key); the winner inside each
-    hash group is picked on the full text to be collision-safe."""
+    """Group by exact text, keep the row with min doc_id. The shuffle key
+    is ``hash(text) % NPART`` — a BOUNDED partition id, so the per-group
+    callable runs once per partition on a vectorized pandas kernel, never
+    once per distinct text (Dataset.groupby iterates groups in Python —
+    catastrophic on the near-unique text key at corpus scale). The winner
+    inside each partition is picked on the full text (collision-safe)."""
     ds = C.read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    nparts = C.join_partitions()
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_part(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t.column("text").to_numpy(zero_copy_only=False))
-        return t.append_column("text_hash", pa.array(h.astype("int64")))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(nparts)).astype("int32"))
+        )
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values("doc_id", kind="stable").groupby("text", as_index=False).first()
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"), lang=("lang", "min")
+        )
         return out[["doc_id", "text", "lang"]]
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(first_per_text, batch_format="pandas")
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(winners, batch_format="pandas")
     )
 
 
@@ -129,13 +137,24 @@ class QualityScorer:
         return np.floor(np.asarray(x, dtype="float64") * 1e6 + 0.5) / 1e6
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
         texts = b["text"]
         n_chars = texts.str.len().clip(lower=1)
         words = texts.str.findall(self.word)
         n_words = words.str.len().clip(lower=1)
-        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in self.STOPWORDS))
         punct = texts.str.count(self.punct)
-        mean_word_len = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        # vectorized per-word stats: ONE flat token series for the whole
+        # batch (C-speed lower/isin/len), segment-summed back per doc —
+        # no per-row Python lambdas in the hottest text stage
+        counts = words.str.len().to_numpy()
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        flat = pd.Series(list(chain.from_iterable(words)), dtype="object")
+        is_stop = flat.str.lower().isin(self.STOPWORDS).to_numpy()
+        word_lens = flat.str.len().to_numpy()
+        stop = C.segment_sum(is_stop.astype("int64"), bounds)
+        sum_len = C.segment_sum(word_lens.astype("int64"), bounds)
+        mean_word_len = np.where(counts > 0, sum_len / np.maximum(counts, 1), 0.0)
         out = pd.DataFrame(
             {
                 "doc_id": b["doc_id"],
@@ -201,29 +220,42 @@ def lang_id(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
 
 
-# -- document fingerprint (rolling hash) -----------------------------------
+# -- document fingerprint (rolling-window winnowing hash) ------------------
+
+FP_W, FP_S, FP_CAP = 32, 16, 4096
+
 
 def fingerprints(sf_dir: str):
-    """Karp-Rabin-style rolling-hash fingerprint: min of rolling window
-    hashes (a 1-perm winnowing sketch) + full-content hash, vectorized."""
+    """Winnowing-style fingerprint over the portable poly-hash family
+    (raycdc.phash): ``content_hash`` = H(first 4096 chars), and
+    ``min_rolling_hash`` = min over H(window) for 32-char windows at
+    stride 16 — a 1-perm winnowing sketch. Fully vectorized (one strided
+    slice-multiply per window offset, no per-doc Python) and reproduced
+    exactly by the DuckDB oracle."""
+    from raycdc import phash as H
+
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
-    W = 16
-    MOD = np.uint64(0xFFFFFFFFFFFFFFC5)
 
     def fp(b: pd.DataFrame) -> pd.DataFrame:
-        full = pd.util.hash_array(b["text"].to_numpy()).astype("int64")
-        mins = np.empty(len(b), dtype="int64")
-        for i, t in enumerate(b["text"].to_numpy()):
-            raw = np.frombuffer(t.encode()[: 4096], dtype=np.uint8)
-            if len(raw) < W:
-                mins[i] = int(full[i])
-                continue
-            cum = np.cumsum(raw.astype(np.uint64) * np.uint64(1099511628211))
-            win = cum[W - 1 :] - np.concatenate(([np.uint64(0)], cum[:-W]))
-            mins[i] = int((win % MOD).min())
-        return pd.DataFrame({"doc_id": b["doc_id"], "content_hash": full, "min_rolling_hash": mins})
+        capped = [t[:FP_CAP] for t in b["text"].to_numpy()]
+        full = H.poly_hash(capped).astype("int64")
+        mins = H.window_min_hash(capped, FP_W, FP_S).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "content_hash": full, "min_rolling_hash": mins}
+        )
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+def _fingerprints_sql() -> str:
+    from raycdc import phash as H
+
+    return f"""
+WITH c AS (SELECT doc_id, substr(text, 1, {FP_CAP}) AS t FROM documents)
+SELECT doc_id, {H.sql_poly('t')} AS content_hash,
+       {H.sql_window_min('t', FP_W, FP_S)} AS min_rolling_hash
+FROM c
+"""
 
 
 _STOPWORDS_SQL = ",".join(
@@ -306,4 +338,5 @@ ORACLE_SQL = {
     "lang_stats": LANG_STATS_SQL,
     "quality_scores": QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
+    "fingerprints": _fingerprints_sql(),
 }

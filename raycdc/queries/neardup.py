@@ -3,11 +3,16 @@ n-gram Jaccard verification — the scale path for fuzzy dedup (task brief).
 
 Pipeline shape (MinHash): shingle+sign per batch (stateless, vectorized) →
 explode to (band_id, band_hash, doc_id, signature) rows → bucket-occupancy
-count (distributed groupby over the key columns only) → broadcast the tiny
-collided-bucket set → distributed filter to candidates → per-bucket pair
-verify → distinct pairs. All shuffle keys are small ints/hashes; signatures
-ride along as fixed-size binary, never the text; nothing corpus-sized ever
-lands on the driver.
+count (distributed sorted scan over the key columns only) → broadcast the
+tiny collided-bucket set → distributed filter to candidates → per-bucket
+pair verify → distinct pairs. All shuffle keys are small ints/hashes;
+signatures ride along as fixed-size binary, never the text; nothing
+corpus-sized ever lands on the driver.
+
+Every signature derives from the portable polynomial hash family
+(raycdc.phash), so the FULL LSH semantics — signatures, band collisions,
+estimated Jaccard — are reproduced exactly by the DuckDB oracle SQL below
+(driver-verifiable, not just planted-dup tested).
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from raycdc import phash as H
 from raycdc.queries import common as C
 
 NUM_PERM = 64
@@ -22,26 +28,14 @@ NUM_BANDS = 16  # 4 rows/band
 SHINGLE_W = 3
 JACCARD_THRESHOLD = 0.5
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-_rng = np.random.RandomState(1234)  # fixed: the permutation family is part of the spec
-_A = _rng.randint(1, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
-_B = _rng.randint(0, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
+_P = np.uint64(H.P)
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
+def _shingle_strings(text: str) -> list:
     toks = text.split()
     if len(toks) < SHINGLE_W:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
-    return pd.util.hash_array(np.asarray(shingles, dtype=object))
-
-
-def _minhash_sig(text: str) -> np.ndarray:
-    sh = _shingle_hashes(text).astype(np.uint64) & _MERSENNE
-    # K permutations at once: (K, n) = a[:,None]*sh[None,:] + b mod p
-    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
 
 
 # per-row mixing constants for the (deterministic) band bucket key
@@ -50,40 +44,30 @@ _BAND_MIX = np.random.RandomState(99).randint(
 ).astype(np.uint64)
 
 
-class MinHashSigner:
-    """Per-batch shingle → one signature row per doc, fully vectorized.
-    Output: (doc_id, sig) — 512 B of minhashes per doc, computed ONCE; the
-    banded key rows are derived from the signature downstream (8 B/key),
-    so the expensive shingle pass never re-runs and signatures never ride
-    through a shuffle."""
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        n = len(b)
-        texts = b["text"].to_numpy()
-        # batch-vectorized: hash ALL shingles of the batch at once, then one
-        # (K × total_shingles) permutation pass + per-doc segment minima
-        all_shingles: list = []
-        bounds = [0]
-        for t in texts:
-            toks = t.split()
-            if len(toks) < SHINGLE_W:
-                all_shingles.append(" ".join(toks))
-            else:
-                all_shingles.extend(
-                    " ".join(toks[i : i + SHINGLE_W])
-                    for i in range(len(toks) - SHINGLE_W + 1)
-                )
-            bounds.append(len(all_shingles))
-        sh = pd.util.hash_array(
-            np.asarray(all_shingles, dtype=object)
-        ).astype(np.uint64) & _MERSENNE
-        starts = np.asarray(bounds[:-1])
-        sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
-        for k in range(NUM_PERM):
-            vals = (_A[k] * sh + _B[k]) % _MERSENNE
-            sigs[:, k] = np.minimum.reduceat(vals, starts)
-        sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
-        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "sig": sig_bytes})
+def minhash_sign(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch shingle → one signature row per doc, fully vectorized
+    (stateless task fn — no actor pool spin-up). Output: (doc_id, sig) —
+    512 B of minhashes per doc, computed ONCE; the banded key rows are
+    derived from the signature downstream (8 B/key), so the expensive
+    shingle pass never re-runs and signatures never ride through a
+    shuffle."""
+    n = len(b)
+    texts = b["text"].to_numpy()
+    # batch-vectorized: hash ALL shingles of the batch at once (portable
+    # poly hash), then one affine-permutation pass + per-doc segment minima
+    all_shingles: list = []
+    bounds = [0]
+    for t in texts:
+        all_shingles.extend(_shingle_strings(t))
+        bounds.append(len(all_shingles))
+    sh = H.poly_hash(all_shingles)
+    starts = np.asarray(bounds[:-1])
+    sigs = np.empty((n, NUM_PERM), dtype=np.uint64)
+    for k in range(NUM_PERM):
+        vals = (H.MINHASH_A[k] * sh + H.MINHASH_B[k]) % _P
+        sigs[:, k] = np.minimum.reduceat(vals, starts)
+    sig_bytes = np.array([s.tobytes() for s in sigs], dtype=object)
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "sig": sig_bytes})
 
 
 def _band_hashes(sig_col) -> np.ndarray:
@@ -178,29 +162,30 @@ class BucketPairs:
 def dedup_minhash_pairs(sf_dir: str):
     """Scale-safe LSH candidate resolution — no corpus-sized driver gather:
 
-      1. sign every doc ONCE (vectorized map_batches) → a materialized
-         (doc_id, sig) index — the one deliberate mid-pipeline
-         materialization, 512 B/doc, the LSH analog of persisting a
-         signature index;
+      1. sign every doc ONCE (vectorized map_batches task fn) → a
+         materialized (doc_id, sig) index — the one deliberate
+         mid-pipeline materialization, 512 B/doc, the LSH analog of
+         persisting a signature index;
       2. band keys (pure ints) derive from the signature; bucket occupancy
-         is a distributed groupby COUNT over int keys only;
+         comes from a distributed sorted scan over int keys only;
       3. collided buckets (count ≥ 2) are a tiny set — broadcast, filter
          the banded keys to candidate docs in map_batches (vectorized
          isin on the mixed key, no per-row Python);
       4. signatures of candidate docs only are re-exploded to hot-bucket
          rows and verified per bucket (``groupby.map_groups`` — no
          per-singleton-bucket Python calls, only collided buckets exist);
-      5. distinct (doc_a, doc_b) via one last (small) groupby.
+      5. distinct (doc_a, doc_b) via one last (small) dedup.
 
-    Driver materializations: the collided-bucket key set and the candidate
-    doc_id set — both O(near-duplicate docs), never O(corpus)."""
+    Driver materializations: the collided-bucket key set and the verified
+    pair list — both O(near-duplicate docs), never O(corpus)."""
     import ray
 
     sigs = (
         C.read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(MinHashSigner, batch_format="pandas", concurrency=(1, 8))
+        .map_batches(minhash_sign, batch_format="pandas")
         .materialize()
     )
+
     def bucket_keys(b: pd.DataFrame):
         # bucket-key column ONLY (8 B/row): the occupancy scan needs no
         # doc ids, so none ride through the sort. Arrow out → the sort
@@ -268,58 +253,60 @@ def dedup_minhash_pairs(sf_dir: str):
 
 # -- SimHash ---------------------------------------------------------------
 
-class SimHasher:
-    """64-bit SimHash over word unigrams — batch-vectorized: hash every
-    token of the batch at once, expand to a bit matrix, one segmented
-    ``add.reduceat`` for the per-doc bit votes."""
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
-    _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        texts = b["text"].to_numpy()
-        toks_per_doc: list = []
-        bounds = [0]
-        for t in texts:
-            toks_per_doc.extend(t.split())
-            bounds.append(len(toks_per_doc))
-        starts = np.asarray(bounds[:-1])
-        counts = np.diff(bounds)
-        if not toks_per_doc:
-            return pd.DataFrame(
-                {"doc_id": b["doc_id"], "simhash": np.zeros(len(b), np.int64)}
-            )
-        hs = pd.util.hash_array(
-            np.asarray(toks_per_doc, dtype=object)
-        ).astype(np.uint64)
-        bits = (
-            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-        ).astype(np.int32)
-        votes = np.add.reduceat(2 * bits - 1, np.minimum(starts, len(hs) - 1), axis=0)
-        sig = ((votes > 0).astype(np.uint64) * self._POW2[None, :]).sum(
-            axis=1, dtype=np.uint64
+def simhash_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """64-bit SimHash over word unigrams — batch-vectorized: one portable
+    poly hash over every token of the batch, 64 affine bit hashes, one
+    segmented ``add.reduceat`` for the per-doc bit votes. A sentinel zero
+    row makes ``starts == len(tokens)`` (trailing empty docs) a valid
+    reduceat index, so signatures are independent of batch composition
+    (empty docs previously stole the previous doc's last token vote)."""
+    texts = b["text"].to_numpy()
+    toks_per_doc: list = []
+    bounds = [0]
+    for t in texts:
+        toks_per_doc.extend(t.split())
+        bounds.append(len(toks_per_doc))
+    starts = np.asarray(bounds[:-1])
+    counts = np.diff(bounds)
+    if not toks_per_doc:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "simhash": np.zeros(len(b), np.int64)}
         )
-        sig[counts == 0] = 0  # reduceat misreads empty segments
-        return pd.DataFrame({"doc_id": b["doc_id"], "simhash": sig.view(np.int64)})
+    hs = H.poly_hash(toks_per_doc)
+    bits = (
+        ((hs[:, None] * H.SIMHASH_A[None, :] + H.SIMHASH_C[None, :]) % _P)
+        & np.uint64(1)
+    ).astype(np.int32)
+    signed = np.vstack([2 * bits - 1, np.zeros((1, 64), np.int32)])
+    votes = np.add.reduceat(signed, starts, axis=0)
+    sig = ((votes > 0).astype(np.uint64) * _POW2[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    sig[counts == 0] = 0  # empty docs: no votes, canonical zero signature
+    return pd.DataFrame({"doc_id": b["doc_id"], "simhash": sig.view(np.int64)})
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash per doc + exact-signature duplicate groups (hamming-0).
-    Bucketed hamming-k search would group by 4 × 16-bit sub-keys — the
-    plumbing is the same groupby."""
+    """SimHash per doc + exact-signature duplicate groups (hamming-0):
+    (simhash, n_docs, canonical_doc) via NATIVE distributed aggregates —
+    no per-group Python on the near-unique signature key."""
+    from ray.data.aggregate import Count, Min
+
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+    out = sigs.groupby("simhash").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="canonical_doc")
+    )
 
-    def group_dups(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        return pd.DataFrame(
-            {
-                "simhash": g["simhash"].iloc[:1],
-                "n_docs": [len(g)],
-                "canonical_doc": g["doc_id"].iloc[:1],
-            }
-        )
+    def pin(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_docs"] = b["n_docs"].astype("int64")
+        b["canonical_doc"] = b["canonical_doc"].astype("int64")
+        return b
 
-    return sigs.groupby("simhash").map_groups(group_dups, batch_format="pandas")
+    return out.map_batches(pin, batch_format="pandas")
 
 
 HAMMING_K = 3
@@ -361,15 +348,18 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def dedup_simhash_hamming(sf_dir: str):
     """Hamming-≤k SimHash near-dup pairs at scale: the pigeonhole-banded
-    search the plain `dedup_simhash` docstring promises. Sign once →
-    4 × 16-bit sub-band bucket keys → collided buckets via the sorted
-    occupancy scan → per-bucket pairwise XOR-popcount verify → distinct
-    pairs. Same no-driver-gather shape as MinHash LSH."""
+    search. Sign once → 4 × 16-bit sub-band bucket keys → collided buckets
+    via the sorted occupancy scan → per-bucket pairwise XOR-popcount verify
+    → distinct pairs. Same no-driver-gather shape as MinHash LSH.
+
+    Pigeonhole recall is exactly 1 (below the saturated-band cap), so the
+    output equals the brute-force hamming-≤k pair set — which the DuckDB
+    oracle computes directly from the SQL-expressed signatures."""
     import ray
 
     sigs = (
         C.read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
+        .map_batches(simhash_batch, batch_format="pandas")
         .materialize()
     )
 
@@ -426,6 +416,12 @@ def dedup_simhash_hamming(sf_dir: str):
             d = _popcount64(np.bitwise_xor(sims[i + 1 :], sims[i]))
             for j in np.flatnonzero(d <= HAMMING_K):
                 rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+        if not rows:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
     pairs = (
@@ -446,7 +442,8 @@ def dedup_simhash_hamming(sf_dir: str):
 def ngram_jaccard_pairs(sf_dir: str):
     """True word-trigram Jaccard for a deterministic candidate set
     (consecutive doc_id pairs) — the verify kernel used after LSH, exposed
-    standalone."""
+    standalone. Compares trigram STRING sets (no hashing), so the oracle
+    match is exact by construction."""
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
 
     def shingles(b: pd.DataFrame) -> pd.DataFrame:
@@ -461,7 +458,7 @@ def ngram_jaccard_pairs(sf_dir: str):
                  "jaccard": pd.Series(dtype="float64")}
             )
         g = g.sort_values("doc_id")
-        sets = [set(map(int, _shingle_hashes(t))) for t in g["text"]]
+        sets = [set(_shingle_strings(t)) for t in g["text"]]
         inter = len(sets[0] & sets[1])
         union = len(sets[0] | sets[1]) or 1
         return pd.DataFrame(
@@ -479,16 +476,109 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+# -- DuckDB oracle SQL (exact signature semantics, portable hash) ----------
+
+# shared CTE: word tokens per doc (matches Python str.split())
+_TOKS_CTE = r"""
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+)"""
+
+# word trigram shingles (W=3), '' for token-less docs — matches
+# _shingle_strings
+_SHINGLES_CTE = """
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(t) = 0 THEN ['']
+             WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]
+        END AS s
+    FROM toks
+)"""
+
+_MINHASH_SIG_CTE = f"""
+hs AS (
+    SELECT doc_id, list_transform(s, x -> {H.sql_poly('x')}) AS h FROM sh
+), sig AS (
+    SELECT doc_id,
+        [list_min(list_transform(h, v -> (p[1]*v + p[2]) % {H.P}))
+         for p in {H.sql_pairs(H.MINHASH_A, H.MINHASH_B)}] AS sig
+    FROM hs
+)"""
+
+MINHASH_PAIRS_SQL = f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_MINHASH_SIG_CTE},
+bands AS (
+    SELECT doc_id, j,
+           sig[4*j+1] AS k1, sig[4*j+2] AS k2,
+           sig[4*j+3] AS k3, sig[4*j+4] AS k4
+    FROM sig, generate_series(0, {NUM_BANDS - 1}) g(j)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.j = b.j AND a.k1 = b.k1 AND a.k2 = b.k2
+     AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.doc_id < b.doc_id
+), est AS (
+    SELECT c.doc_a, c.doc_b,
+        round(CAST(len([i for i in generate_series(1, {NUM_PERM})
+                        if sa.sig[i] = sb.sig[i]]) AS DOUBLE) / {NUM_PERM},
+              6) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= {JACCARD_THRESHOLD}
+"""
+
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"(CASE WHEN v[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)" for b in range(64)
+)
+
+_SIMHASH_SIG_CTE = f"""
+th AS (
+    SELECT doc_id, list_transform(t, x -> {H.sql_poly('x')}) AS h FROM toks
+), votes AS (
+    SELECT doc_id,
+        [COALESCE(list_sum(list_transform(h, hv ->
+            CASE WHEN ((p[1]*hv + p[2]) % {H.P}) % 2 = 1 THEN 1 ELSE -1 END)
+         ), 0)
+         for p in {H.sql_pairs(H.SIMHASH_A, H.SIMHASH_C)}] AS v
+    FROM th
+), sig AS (
+    SELECT doc_id,
+        CAST(CASE WHEN s >= 9223372036854775808
+                  THEN s - 18446744073709551616 ELSE s END AS BIGINT)
+            AS simhash
+    FROM (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS s FROM votes)
+)"""
+
+SIMHASH_GROUPS_SQL = f"""
+WITH {_TOKS_CTE}, {_SIMHASH_SIG_CTE}
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
+FROM sig GROUP BY simhash
+"""
+
+SIMHASH_HAMMING_SQL = f"""
+WITH {_TOKS_CTE}, {_SIMHASH_SIG_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
+"""
+
 NGRAM_JACCARD_SQL = """
 WITH toks AS (
     SELECT doc_id, CAST(doc_id // 2 AS BIGINT) AS pair_key,
            list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
     FROM documents
 ), tris AS (
-    -- word trigrams as STRINGS: equal iff the Ray side's hashed trigrams
-    -- are equal (64-bit hash collisions aside), so set Jaccard matches
     SELECT doc_id, pair_key,
-        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        CASE WHEN len(t) = 0 THEN ['']
+             WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
              ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                                  for i in generate_series(1, len(t) - 2)])
         END AS s
@@ -509,9 +599,9 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 
-# MinHash/SimHash signatures derive from a Python-side hash family and are
-# not SQL-expressible; exact n-gram Jaccard IS (the hashes cancel out under
-# set operations)
 ORACLE_SQL = {
+    "dedup_minhash_pairs": MINHASH_PAIRS_SQL,
+    "dedup_simhash": SIMHASH_GROUPS_SQL,
+    "dedup_simhash_hamming": SIMHASH_HAMMING_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
 }

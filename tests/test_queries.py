@@ -71,7 +71,8 @@ def _sql_backed():
         "ann_bruteforce", "embedding_norms", "embedding_neardup",
         "cdc_apply_events", "lineitem_entity_views", "events_asof_orders",
         "priority_distinct_customers", "quality_scores", "lang_id",
-        "ngram_jaccard_pairs",
+        "ngram_jaccard_pairs", "fingerprints", "dedup_minhash_pairs",
+        "dedup_simhash", "dedup_simhash_hamming",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -93,8 +94,7 @@ def test_registry_covers_all_oracle_entries():
     assert len(QUERIES) >= 25
 
 
-@pytest.mark.parametrize("name", ["fingerprints", "dedup_simhash",
-                                  "media_features", "ann_ivf"])
+@pytest.mark.parametrize("name", ["media_features", "ann_ivf"])
 def test_rows_only_queries_deterministic(ray_session, name):
     from raycdc.queries import QUERIES
 
