@@ -34,13 +34,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from raycdc.queries import ORACLE_SQL
     from raycdc.queries.aggregates import build_aggregate_oracle_sql
+    from raycdc.queries.ann import build_ann_oracle_sql
     from raycdc.queries.cdc import build_cdc_oracle_sql
 
     out = dict(ORACLE_SQL)
     # replay-derived oracles read the SAME generated change-log parquet the
     # Ray queries replay (path embedded; the driver compares at sf0.01 —
-    # building here also ensures the log exists before the SQL runs)
+    # building here also ensures the log exists before the SQL runs);
+    # the IVF oracle embeds the deterministically-trained centroids
     sf = "/root/testdata/sf0.01"
     out.update(build_cdc_oracle_sql(sf))
     out.update(build_aggregate_oracle_sql(sf))
+    out.update(build_ann_oracle_sql(sf))
     return out

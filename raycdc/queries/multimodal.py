@@ -5,32 +5,77 @@ The container ships no image/audio codecs, so the DECODE step is a
 deterministic stub (documented ``NotImplementedError`` escape hatch for the
 real codec); everything Ray-side — schema, batch sizing for wide binary
 rows, actor signature, output layout — is real and tested (task brief).
+
+The fake blob format derives entirely from the portable poly hash
+(raycdc.phash): header dims and the pseudo-pixel sequence are affine in
+H(text), so the WHOLE pipeline (synthesize → binary column → header parse
+→ pixel stats) is reproduced exactly by the DuckDB oracle SQL below.
+Both the synthesizer and the decoder are zero-Python-per-row: blobs are
+assembled/parsed as one flat uint8 buffer with vectorized scatter/gather
+over the Arrow large_binary offsets.
 """
 
 from __future__ import annotations
-
-import struct
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raycdc import phash as H
 from raycdc.queries import common as C
 
 MAGIC = b"FAKEIMG1"
+_MAGIC_ARR = np.frombuffer(MAGIC, dtype=np.uint8)
 HAVE_REAL_CODECS = False  # no PIL/ffmpeg in this container
 
 
-def _synthesize_blob(doc_id: int, text: str) -> bytes:
-    """Deterministic fake media blob: 8-byte magic, u32 width/height, then
-    pseudo-pixels derived from the text hash. Stands in for real image
-    bytes so the binary-column plumbing is exercised end to end."""
-    h = int(pd.util.hash_array(np.array([text], dtype=object))[0])
-    w = 16 + (h % 48)
-    ht = 16 + ((h >> 8) % 48)
-    rng = np.random.RandomState(h % (2**31))
-    pixels = rng.randint(0, 256, size=w * ht, dtype=np.uint8).tobytes()
-    return MAGIC + struct.pack("<II", w, ht) + pixels
+def _blob_dims(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Header dims from the text hash: w,h ∈ [16, 64)."""
+    w = 16 + (h % np.uint64(48))
+    ht = 16 + ((h >> np.uint64(8)) % np.uint64(48))
+    return w.astype(np.int64), ht.astype(np.int64)
+
+
+def _synthesize_batch(doc_ids: np.ndarray, texts: np.ndarray) -> pa.Array:
+    """Deterministic fake media blobs, one flat buffer for the whole batch:
+    8-byte magic, u32 LE width/height, then ``w*h`` pseudo-pixels
+    ``pixel[i] = ((H + (i+1)·B) mod P) mod 256`` — the SQL-expressible
+    stand-in for real image bytes. Returns a ``large_binary`` array built
+    directly from (offsets, data) buffers — no per-row Python."""
+    n = len(doc_ids)
+    hs = H.poly_hash(list(texts))
+    w, ht = _blob_dims(hs)
+    npix = w * ht
+    lens = 16 + npix
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+
+    # headers: (n, 16) uint8 scattered to each blob start
+    hdr = np.empty((n, 16), dtype=np.uint8)
+    hdr[:, :8] = _MAGIC_ARR[None, :]
+    hdr[:, 8:12] = w.astype("<u4").view(np.uint8).reshape(n, 4)
+    hdr[:, 12:16] = ht.astype("<u4").view(np.uint8).reshape(n, 4)
+    data[offsets[:-1][:, None] + np.arange(16)[None, :]] = hdr
+
+    # pixels: flat affine sequence per blob
+    total = int(npix.sum())
+    if total:
+        starts = np.repeat(offsets[:-1] - np.concatenate(([0], np.cumsum(npix)[:-1])), npix)
+        i_flat = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(npix)[:-1])), npix
+        ) + 1
+        vals = (
+            (np.repeat(hs, npix) + i_flat.astype(np.uint64) * np.uint64(H.B))
+            % np.uint64(H.P)
+        ) % np.uint64(256)
+        pix_pos = np.arange(total, dtype=np.int64) + starts + 16
+        data[pix_pos] = vals.astype(np.uint8)
+
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
 
 
 def attach_blobs(sf_dir: str):
@@ -40,15 +85,14 @@ def attach_blobs(sf_dir: str):
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
 
     def synth(t: pa.Table) -> pa.Table:
-        blobs = [
-            _synthesize_blob(int(d), s)
-            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-        ]
+        ids = t.column("doc_id").to_numpy()
+        texts = np.asarray(t.column("text").to_pylist(), dtype=object)
+        blobs = _synthesize_batch(ids, texts)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "media": pa.array(blobs, pa.large_binary()),
-                "media_type": pa.array(["image/fake"] * len(blobs)),
+                "media": blobs,
+                "media_type": pa.array(["image/fake"] * len(ids)),
             }
         )
 
@@ -60,7 +104,11 @@ class MediaDecoder:
     here (model load / library handle); per batch it parses headers and
     extracts features. With no codec available it runs the deterministic
     header-parse path; ``strict=True`` raises the documented
-    NotImplementedError where the real decode would go."""
+    NotImplementedError where the real decode would go.
+
+    The parse is fully vectorized: one ``np.frombuffer`` over the Arrow
+    data buffer, u32 header fields via 4-byte gathers, per-blob pixel sums
+    via a cumulative-sum difference over the flat buffer."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -71,26 +119,47 @@ class MediaDecoder:
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, widths, heights, nbytes, means = [], [], [], [], []
-        for doc_id, blob in zip(
-            t.column("doc_id").to_pylist(), t.column("media").to_pylist()
-        ):
-            if not blob.startswith(MAGIC):
-                raise ValueError(f"doc {doc_id}: bad media magic")
-            w, h = struct.unpack_from("<II", blob, 8)
-            px = np.frombuffer(blob, dtype=np.uint8, offset=16)
-            ids.append(doc_id)
-            widths.append(w)
-            heights.append(h)
-            nbytes.append(len(blob))
-            means.append(round(float(px.mean()), 4) if len(px) else 0.0)
+        col = t.column("media")
+        ids_all, w_all, h_all, nb_all, mean_all = [], [], [], [], []
+        pos = 0
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        doc_ids = t.column("doc_id").to_numpy()
+        for arr in chunks:
+            n = len(arr)
+            if n == 0:
+                continue
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ]
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            starts = off[:-1]
+            magic = data[starts[:, None] + np.arange(8)[None, :]]
+            if not (magic == _MAGIC_ARR[None, :]).all():
+                bad = int(np.flatnonzero((magic != _MAGIC_ARR[None, :]).any(axis=1))[0])
+                raise ValueError(f"doc {doc_ids[pos + bad]}: bad media magic")
+            b4 = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+            w = (data[starts[:, None] + (8 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+            h = (data[starts[:, None] + (12 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+            lens = np.diff(off)
+            npix = (lens - 16).astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+            psum = cs[off[1:]] - cs[starts + 16]
+            mean = np.where(npix > 0, psum / np.maximum(npix, 1), 0.0)
+            mean = np.floor(mean * 1e4 + 0.5) / 1e4  # half-up, matches SQL
+            ids_all.append(doc_ids[pos : pos + n])
+            w_all.append(w)
+            h_all.append(h)
+            nb_all.append(lens)
+            mean_all.append(mean)
+            pos += n
+        cat = lambda xs, dt: np.concatenate(xs).astype(dt) if xs else np.zeros(0, dt)  # noqa: E731
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "width": pa.array(widths, pa.int32()),
-                "height": pa.array(heights, pa.int32()),
-                "n_bytes": pa.array(nbytes, pa.int64()),
-                "pixel_mean": pa.array(means, pa.float64()),
+                "doc_id": pa.array(cat(ids_all, np.int64), pa.int64()),
+                "width": pa.array(cat(w_all, np.int64), pa.int64()),
+                "height": pa.array(cat(h_all, np.int64), pa.int64()),
+                "n_bytes": pa.array(cat(nb_all, np.int64), pa.int64()),
+                "pixel_mean": pa.array(cat(mean_all, np.float64), pa.float64()),
             }
         )
 
@@ -108,8 +177,31 @@ def media_features(sf_dir: str):
     )
 
 
+# the oracle reproduces the blob FORMAT from the text hash: dims, byte
+# count, and the affine pseudo-pixel average — everything the decoder emits
+MEDIA_FEATURES_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), dims AS (
+    SELECT doc_id, 16 + hv % 48 AS width, 16 + (hv // 256) % 48 AS height, hv
+    FROM h
+)
+SELECT doc_id,
+    CAST(width AS BIGINT) AS width,
+    CAST(height AS BIGINT) AS height,
+    CAST(16 + width * height AS BIGINT) AS n_bytes,
+    floor(list_aggregate(
+        list_transform(generate_series(1, CAST(width * height AS BIGINT)),
+                       i -> CAST(((hv + i * {H.B}) % {H.P}) % 256 AS DOUBLE)),
+        'avg') * 10000 + 0.5) / 10000 AS pixel_mean
+FROM dims
+"""
+
+
 QUERIES = {
     "media_features": media_features,
 }
 
-ORACLE_SQL: dict = {}  # binary synthesis/decoding is not SQL-expressible
+ORACLE_SQL = {
+    "media_features": MEDIA_FEATURES_SQL,
+}

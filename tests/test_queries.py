@@ -72,7 +72,7 @@ def _sql_backed():
         "cdc_apply_events", "lineitem_entity_views", "events_asof_orders",
         "priority_distinct_customers", "quality_scores", "lang_id",
         "ngram_jaccard_pairs", "fingerprints", "dedup_minhash_pairs",
-        "dedup_simhash", "dedup_simhash_hamming",
+        "dedup_simhash", "dedup_simhash_hamming", "media_features",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -94,14 +94,16 @@ def test_registry_covers_all_oracle_entries():
     assert len(QUERIES) >= 25
 
 
-@pytest.mark.parametrize("name", ["media_features", "ann_ivf"])
-def test_rows_only_queries_deterministic(ray_session, name):
+def test_ann_ivf_matches_sql_oracle(ray_session):
+    """IVF output vs a DuckDB oracle carrying the deterministically-trained
+    centroids as literals (assignment + nprobe search expressed in SQL)."""
     from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
 
-    a = canon(to_df(QUERIES[name](SF_DIR)))
-    b = canon(to_df(QUERIES[name](SF_DIR)))
-    assert len(a) > 0
-    pd.testing.assert_frame_equal(a, b)
+    got = canon(to_df(QUERIES["ann_ivf"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_ivf"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
 
 
 def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
@@ -144,13 +146,48 @@ def test_entry_smoke(ray_session):
 
 
 def test_ann_ivf_recall_vs_bruteforce(ray_session):
-    """IVF (nprobe=2 of 8 lists) must recover a meaningful fraction of the
+    """IVF (nprobe=3 of 8 lists) must recover a meaningful fraction of the
     exact top-k — the recall/throughput tradeoff is the point of IVF, but a
     broken quantizer would show up as near-zero overlap."""
     from raycdc.queries import QUERIES
 
     bf = to_df(QUERIES["ann_bruteforce"](SF_DIR))
     ivf = to_df(QUERIES["ann_ivf"](SF_DIR))
+    recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / len(bf)
+    assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
+
+
+def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
+    """A corpus sorted by cluster is the adversarial case for prefix-based
+    training (``limit(n)`` would only ever see cluster 0); the
+    bottom-k-by-hash sample must keep recall up regardless of file order.
+    The query row (vec_id=0) deliberately belongs to the LAST cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    dim, per = 16, 400
+    centers = rng.randn(8, dim) * 10
+    vecs = np.concatenate(
+        [c[None, :] + rng.randn(per, dim) for c in centers]
+    ).astype(np.float32)
+    vecs[0] = centers[-1] + rng.randn(dim)  # query from the last cluster
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    from raycdc.queries import QUERIES
+
+    bf = to_df(QUERIES["ann_bruteforce"](str(d)))
+    ivf = to_df(QUERIES["ann_ivf"](str(d)))
     recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / len(bf)
     assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
 
