@@ -74,25 +74,30 @@ GROUP BY entity_type, entity_id
 
 def priority_distinct_customers(sf_dir: str):
     """COUNT(DISTINCT o_custkey) per priority: per-batch distinct pairs
-    (combiner) → exact distinct count per group."""
+    (combiner) → native distributed aggregate to globally-unique pairs →
+    native count per priority. Two hash aggregates, zero per-group
+    Python."""
     ds = C.read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
 
     def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates()
 
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+    uniq = (
+        ds.map_batches(local_distinct, batch_format="pandas")
+        .groupby(["o_orderpriority", "o_custkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    out = uniq.groupby("o_orderpriority").aggregate(Count(alias_name="n_customers"))
+
+    def pin(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-                "n_customers": [int(g["o_custkey"].nunique())],
+                "o_orderpriority": b["o_orderpriority"],
+                "n_customers": b["n_customers"].astype("int64"),
             }
         )
 
-    return (
-        ds.map_batches(local_distinct, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .map_groups(count_distinct, batch_format="pandas")
-    )
+    return out.map_batches(pin, batch_format="pandas")
 
 
 PRIORITY_DISTINCT_SQL = """
@@ -165,18 +170,21 @@ def conv_daily_stats(sf_dir: str):
 
 def conv_cumulative_from_daily(daily):
     """Phase 2 (strictly ordered): fold daily partials into per-conv
-    running cumulative counts, day by day — per-conversation ordered fold
-    inside ``groupby().map_groups`` (the reference's order_job semantics:
-    each day folds into the previous cumulative row,
-    ``indexer/aggr_jobs/order_jobs/order_job.py:13-24``)."""
+    running cumulative counts, day by day (the reference's order_job
+    semantics: each day folds into the previous cumulative row,
+    ``indexer/aggr_jobs/order_jobs/order_job.py:13-24``). Conversations
+    are co-located on bounded hash partitions; the fold is one sort +
+    Cython ``groupby().cumsum()`` per partition — no per-conversation
+    Python on the near-unique conv_id key."""
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("day", kind="stable")
-        g["cum_turns"] = g["n_turns"].cumsum()
-        g["cum_assistant"] = g["n_assistant"].cumsum()
+        g = g.sort_values(["conv_id", "day"], kind="stable")
+        cums = g.groupby("conv_id")[["n_turns", "n_assistant"]].cumsum()
+        g["cum_turns"] = cums["n_turns"]
+        g["cum_assistant"] = cums["n_assistant"]
         return g
 
-    return daily.groupby("conv_id").map_groups(cum, batch_format="pandas")
+    return C.by_partition(daily, "conv_id", cum)
 
 
 def conv_cumulative_stats(sf_dir: str):

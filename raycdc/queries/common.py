@@ -90,6 +90,44 @@ def join_partitions() -> int:
     return max(8, cpus // 2)
 
 
+def part_ids(vals, nparts: int) -> np.ndarray:
+    """Bounded shuffle-partition id for an arbitrary key column.
+
+    The scale discipline for per-group logic: ``Dataset.groupby(key)
+    .map_groups(python_fn)`` invokes the callable once per DISTINCT KEY —
+    catastrophic on near-unique keys. Instead shuffle on
+    ``part_ids(key, nparts)`` (bounded by the cluster size) and run ONE
+    vectorized pandas kernel per partition; all rows of a key land in the
+    same partition, so per-key semantics are preserved."""
+    v = np.asarray(vals)
+    if v.dtype.kind in "iu":
+        return (v.astype(np.int64) % nparts).astype("int64")
+    return (pd.util.hash_array(v) % np.uint64(nparts)).astype("int64")
+
+
+def by_partition(ds, key_col: str, kernel, nparts: int | None = None):
+    """Run a VECTORIZED whole-partition pandas kernel with all rows of each
+    ``key_col`` value co-located: append a bounded partition id, shuffle on
+    it, apply ``kernel`` once per partition (kernel sees the partition
+    WITHOUT the helper column and must group/sort internally with C-speed
+    pandas ops, never per-group Python)."""
+    n = nparts or join_partitions()
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = part_ids(b[key_col].to_numpy(), n)
+        return b
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns=["_part"]))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def segment_sum(vals: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Per-segment sums for contiguous segments ``[bounds[i], bounds[i+1])``
     — the vectorized replacement for a per-row Python loop. A sentinel zero

@@ -25,13 +25,21 @@ EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 # -- latest event per user: the LWW upsert kernel as a query ---------------
 
 def events_latest_per_user(sf_dir: str):
-    """groupby(user).arg-max by (ts, event_id) — exactly the per-key
-    guarded-LWW fold the CDC merger applies, so this query is the
-    SQL-checkable witness for the merge kernel."""
+    """Per-user arg-max by (ts, event_id) — exactly the per-key guarded-LWW
+    fold the CDC merger applies, so this query is the SQL-checkable witness
+    for the merge kernel. Scale shape: a per-batch combiner (sort + keep
+    last per user, vectorized) shrinks the stream to ≤ one row per (batch,
+    user) BEFORE the shuffle, then a bounded-partition vectorized argmax —
+    never one Python call per user (near-unique keys at corpus scale)."""
     ds = C.read(sf_dir, "events", EVENT_COLS)
 
-    def argmax(g: pd.DataFrame) -> pd.DataFrame:
-        last = g.sort_values(["ts", "event_id"], kind="stable").tail(1)
+    def keep_last(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["user_id", "ts", "event_id"], kind="stable"
+        ).drop_duplicates("user_id", keep="last")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        last = keep_last(g)
         return pd.DataFrame(
             {
                 "user_id": last["user_id"].to_numpy(),
@@ -42,7 +50,8 @@ def events_latest_per_user(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(argmax, batch_format="pandas")
+    partial = ds.map_batches(keep_last, batch_format="pandas")
+    return C.by_partition(partial, "user_id", finish)
 
 
 LATEST_SQL = """
@@ -147,27 +156,33 @@ SESSION_GAP_MIN = 30
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows per user with a 30-minute inactivity gap: sort the
-    group by (ts, event_id), cumsum gap breaks — the `groupby(key)
-    .map_groups(windowing)` pattern for stream-shaped references
-    (ray_guide 'Streaming-shaped workloads')."""
+    """Session windows per user with a 30-minute inactivity gap, computed
+    over bounded partitions (all events of a user co-located): one sort by
+    (user, ts, event_id) per partition, session breaks as a vectorized
+    boolean cumsum (a new user OR a >gap jump starts a session), per-user
+    session numbering by ffill of the counter at each user's first row,
+    then a C-speed pandas hash aggregate — zero per-group Python on the
+    near-unique user key."""
     ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        g["session_id"] = gap.cumsum().astype("int64") + 1
-        agg = g.groupby("session_id", as_index=False).agg(
+        new_sess = new_user | gap
+        counter = new_sess.cumsum()
+        first_of_user = counter.where(new_user).ffill()
+        g["session_id"] = (counter - first_of_user + 1).astype("int64")
+        agg = g.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("event_id", "size"),
             start_ts=("ts", "min"),
             end_ts=("ts", "max"),
             sum_value=("value", "sum"),
         )
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
         agg["sum_value"] = agg["sum_value"].round(C.ROUND_DIGITS)
         return agg
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return C.by_partition(ds, "user_id", sessionize)
 
 
 SESSIONIZE_SQL = f"""

@@ -443,7 +443,12 @@ def ngram_jaccard_pairs(sf_dir: str):
     """True word-trigram Jaccard for a deterministic candidate set
     (consecutive doc_id pairs) — the verify kernel used after LSH, exposed
     standalone. Compares trigram STRING sets (no hashing), so the oracle
-    match is exact by construction."""
+    match is exact by construction.
+
+    Scale shape: pairs are co-located on BOUNDED hash partitions (pair_key
+    is near-unique — one Ray group per pair would be per-pair Python); the
+    per-partition kernel explodes distinct (doc, trigram) rows and derives
+    intersection/union with C-speed pandas hash aggregates."""
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
 
     def shingles(b: pd.DataFrame) -> pd.DataFrame:
@@ -452,28 +457,49 @@ def ngram_jaccard_pairs(sf_dir: str):
         return b[["pair_key", "doc_id", "text"]]
 
     def jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
-                 "jaccard": pd.Series(dtype="float64")}
-            )
-        g = g.sort_values("doc_id")
-        sets = [set(_shingle_strings(t)) for t in g["text"]]
-        inter = len(sets[0] & sets[1])
-        union = len(sets[0] | sets[1]) or 1
-        return pd.DataFrame(
-            {
-                "doc_a": [int(g["doc_id"].iloc[0])],
-                "doc_b": [int(g["doc_id"].iloc[1])],
-                "jaccard": [round(inter / union, 6)],
-            }
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
         )
+        # only complete pairs (exactly 2 docs per key) are verified
+        g = g[g.groupby("pair_key")["doc_id"].transform("size") == 2]
+        if len(g) == 0:
+            return empty
+        texts = g["text"].to_numpy()
+        tris: list = []
+        bounds = [0]
+        for t in texts:  # batch-level shingle builder (string work per doc)
+            tris.extend(_shingle_strings(t))
+            bounds.append(len(tris))
+        counts = np.diff(bounds)
+        ex = pd.DataFrame(
+            {
+                "pair_key": np.repeat(g["pair_key"].to_numpy(), counts),
+                "doc_id": np.repeat(g["doc_id"].to_numpy(), counts),
+                "tri": tris,
+            }
+        ).drop_duplicates(["doc_id", "tri"])
+        per_tri = (
+            ex.groupby(["pair_key", "tri"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        union = per_tri.groupby("pair_key").size()
+        inter = (
+            per_tri[per_tri["n_docs"] == 2].groupby("pair_key").size()
+        ).reindex(union.index, fill_value=0)
+        ids = g.groupby("pair_key")["doc_id"].agg(["min", "max"])
+        out = pd.DataFrame(
+            {
+                "doc_a": ids["min"].astype("int64"),
+                "doc_b": ids["max"].astype("int64"),
+                "jaccard": (inter / union.clip(lower=1)).round(6),
+            }
+        ).reset_index(drop=True)
+        return out
 
-    return (
-        ds.map_batches(shingles, batch_format="pandas")
-        .groupby("pair_key")
-        .map_groups(jaccard, batch_format="pandas")
-    )
+    prepped = ds.map_batches(shingles, batch_format="pandas")
+    return C.by_partition(prepped, "pair_key", jaccard)
 
 
 # -- DuckDB oracle SQL (exact signature semantics, portable hash) ----------

@@ -287,17 +287,21 @@ WHERE l_returnflag = 'R' AND (l_discount > 0.06 OR l_quantity > 45) AND NOT l_li
 
 def customer_running_total(sf_dir: str):
     """Per-customer cumulative order value in (o_orderdate, o_orderkey)
-    order — `groupby().map_groups` with an in-group sort, the pattern for
-    the reference's strictly-sequential period aggregates
-    (`indexer/aggr_jobs/order_jobs/order_job.py:13-24`)."""
+    order — the pattern for the reference's strictly-sequential period
+    aggregates (`indexer/aggr_jobs/order_jobs/order_job.py:13-24`).
+    Bounded-partition shape: customers co-located by hash, one sort +
+    Cython ``groupby().cumsum()`` per partition — never a Python call per
+    customer (near-unique key at scale)."""
     orders = C.read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="stable")
-        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        g["running_total"] = (
+            g.groupby("o_custkey")["o_totalprice"].cumsum().round(2)
+        )
         return g[["o_custkey", "o_orderkey", "running_total"]]
 
-    return orders.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return C.by_partition(orders, "o_custkey", running)
 
 
 RUNNING_TOTAL_SQL = """
