@@ -303,6 +303,11 @@ class MergerActor:
         turning a silent lost-slice push into fast round replay."""
         return True
 
+    def set_test_delay(self, sec: float) -> None:
+        """Test hook: straggler injection — sleep this long at the start of
+        every finalize merge phase (models node-level jitter)."""
+        self._test_delay = float(sec)
+
     def drop_cache(self) -> None:
         self.cache.clear()
         self.cache_order.clear()
@@ -361,6 +366,9 @@ class MergerActor:
                     stable_since, count = time.monotonic(), now
 
         import pyarrow.compute as pc
+
+        if getattr(self, "_test_delay", 0):
+            time.sleep(self._test_delay)
 
         if tables_meta is None:
             tables_meta = {0: (schema_str, ("conv_id", "turn_idx"))}
@@ -475,7 +483,10 @@ class MergerActor:
                     f"{kind}-{round_id}.parquet",
                 )
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = path + f".tmp{self.actor_id}"
+                # pid-suffixed: a speculative twin merging the same
+                # partitions writes identical content to the same target —
+                # distinct tmp names keep the atomic renames independent
+                tmp = path + f".tmp{self.actor_id}-{os.getpid()}"
                 pq.write_table(write_tbl, tmp)
                 os.replace(tmp, path)
                 # charge the cache for every resident run (real Arrow size)
@@ -554,13 +565,22 @@ def _push_shard(
     ctx,
     error_policy: str,
     lake_root: str,
+    only_actor: int | None = None,
+    override_handle=None,
 ) -> list:
     """One epoch shard file → normalized + derived change batches →
     owner-contiguous slices fire-and-forgotten into the merger pool.
     Returns the list of actor ids sent to (one entry per slice) for the
-    finalize count barrier."""
+    finalize count barrier.
+
+    ``only_actor`` restricts sends to one owner (speculative straggler
+    re-push: re-derive just that actor's slices); ``override_handle``
+    redirects those sends to a replacement actor not (yet) in the pool."""
     _limit_arrow_threads()
     handles, specs = ctx  # broadcast once per pool generation (ray.put)
+    if override_handle is not None:
+        handles = list(handles)
+        handles[only_actor] = override_handle
     batch = pq.read_table(path)
     batch = _Normalize(schema_str, nparts, error_policy, lake_root, round_id)(
         batch
@@ -578,7 +598,8 @@ def _push_shard(
         tbl = tbl.take(pa.array(order))
         sorted_owner = owner[order]
         bounds = np.searchsorted(sorted_owner, np.arange(k + 1))
-        for a in range(k):
+        targets = range(k) if only_actor is None else (only_actor,)
+        for a in targets:
             lo, hi = int(bounds[a]), int(bounds[a + 1])
             if hi > lo:
                 # fire-and-forget; the finalize count barrier syncs
@@ -648,6 +669,14 @@ class Engine:
         self.max_round_retries = 2
         self._pool: list | None = None
         self._pool_gen = 0  # bumped by _rebuild_pool (failure recovery)
+        # speculative straggler re-execution (see _gather_speculative): once
+        # most actors have finished a round's merge, a laggard's partitions
+        # are re-pushed to a fresh twin actor and the first finisher wins
+        self.speculative = True
+        self.spec_floor = float(os.environ.get("RAYCDC_SPEC_FLOOR", "3.0"))
+        self.spec_factor = float(os.environ.get("RAYCDC_SPEC_FACTOR", "4.0"))
+        self._spec_count = 0  # pool membership revision (spec adoptions)
+        self._recently_replaced: list[int] = []
 
     # -- persistent merger pool (direct exchange) -------------------------
 
@@ -784,7 +813,7 @@ class Engine:
         t_fin = time.perf_counter()
         refs = self._finalize_refs(round_id, schema_str, expected, cursor_lo)
         stats = self._gather_with_recovery(
-            refs, paths, schema_str, nparts, round_id, cursor_lo
+            refs, paths, schema_str, nparts, round_id, cursor_lo, expected
         )
         if os.environ.get("RAYCDC_STATS"):
             print(
@@ -801,7 +830,7 @@ class Engine:
         re-raise immediately — the reference's retriable/crashable taxonomy
         (``common/utils/exception_control.py``,
         ``indexer/executors/batch_work_executor.py:113-149``)."""
-        if isinstance(exc, ray.exceptions.RayActorError):
+        if isinstance(exc, (ray.exceptions.RayActorError, TimeoutError)):
             return True
         if isinstance(exc, ray.exceptions.RayTaskError):
             cause = getattr(exc, "cause", None)
@@ -818,14 +847,22 @@ class Engine:
         nparts: int,
         round_id: str,
         cursor_lo: int,
+        expected: dict | None = None,
     ) -> pd.DataFrame:
-        """ray.get the per-actor merges; on merger death, rebuild the pool
-        and replay the WHOLE round (exactly-once holds because nothing is
-        committed yet and fragment writes are deterministic filenames —
-        replaying rewrites identical files)."""
+        """Gather the per-actor merges (speculatively re-executing
+        stragglers, see ``_gather_speculative``); on merger death, rebuild
+        the pool and replay the WHOLE round (exactly-once holds because
+        nothing is committed yet and fragment writes are deterministic
+        filenames — replaying rewrites identical files)."""
         for attempt in range(self.max_round_retries + 1):
             try:
-                return pd.concat(ray.get(refs), ignore_index=True)
+                if self.speculative and expected is not None and len(refs) > 1:
+                    parts = self._gather_speculative(
+                        refs, paths, schema_str, round_id, cursor_lo, expected
+                    )
+                else:
+                    parts = ray.get(refs)
+                return pd.concat(parts, ignore_index=True)
             except Exception as e:
                 if attempt >= self.max_round_retries or not self._failure_is_retriable(e):
                     raise
@@ -835,10 +872,149 @@ class Engine:
                 expected = self._push_round(paths, schema_str, nparts, round_id)
                 refs = self._finalize_refs(round_id, schema_str, expected, cursor_lo)
 
+    def _spawn_spec_twin(self, actor_id: int):
+        """A fresh merger for one actor slot, outside the named pool (the
+        name carries the spec revision so it never collides)."""
+        import hashlib
+
+        tag = hashlib.sha1(os.path.abspath(self.lake.root).encode()).hexdigest()[:10]
+        return MergerActor.options(
+            name=f"raycdc-merger-{tag}-g{self._pool_gen}-s{self._spec_count}-{actor_id}",
+            get_if_exists=True,
+        ).remote(actor_id, self.lake.root, self.cache_bytes)
+
+    def _gather_speculative(
+        self,
+        refs: list,
+        paths: list,
+        schema_str: str,
+        round_id: str,
+        cursor_lo: int,
+        expected: dict,
+    ) -> list:
+        """Straggler-proof round gather. The count barrier otherwise makes
+        every round as slow as the slowest of K mergers — node-level jitter
+        on a real cluster (and sibling-VM load here) turns one laggard into
+        whole-round latency. Once most actors have reported, any actor
+        still running past ``spec_factor ×`` the median finish time gets a
+        speculative twin: its slices are re-derived from the round's source
+        shards and pushed only to the twin, which merges the same
+        partitions (fragment writes are deterministic + atomically renamed,
+        so twin and original racing is harmless). First finisher wins; if
+        the twin wins it REPLACES the laggard in the pool (the laggard is
+        killed so a late finalize can never race a future round's cache
+        state) and the adoption is recorded so a pipelined in-flight push
+        re-targets just that slot."""
+        n = len(refs)
+        pending = dict(enumerate(refs))  # actor_id -> original ref
+        spec: dict = {}  # actor_id -> (twin_handle, twin_ref)
+        out: dict = {}
+        durations: dict = {}
+        t0 = time.monotonic()
+        tables_meta = None
+
+        while pending or any(i not in out for i in spec):
+            entries = [(i, r, False) for i, r in pending.items()] + [
+                (i, s[1], True) for i, s in spec.items() if i not in out
+            ]
+            if not entries:
+                break
+            ready, _ = ray.wait([e[1] for e in entries], num_returns=1, timeout=0.2)
+            now = time.monotonic()
+            for ref in ready:
+                i, _, from_spec = next(e for e in entries if e[1] == ref)
+                try:
+                    res = ray.get(ref)
+                except Exception:
+                    if from_spec:
+                        # twin died/failed: forget it, keep the original
+                        spec.pop(i, None)
+                        continue
+                    if i in spec:
+                        # original died but a twin is racing: drop the
+                        # original and let the twin decide the slot
+                        pending.pop(i, None)
+                        continue
+                    raise
+                if i in out:
+                    continue
+                out[i] = res
+                durations[i] = now - t0
+                pending.pop(i, None)
+                if from_spec:
+                    self._adopt_twin(i, spec[i][0])
+                elif i in spec:
+                    ray.kill(spec[i][0])
+                    spec.pop(i, None)
+
+            # launch twins for laggards once at least half have reported
+            if (
+                len(out) >= max(1, n // 2)
+                and any(i not in spec for i in pending)
+            ):
+                med = float(np.median(list(durations.values())))
+                cutoff = max(self.spec_floor, self.spec_factor * med)
+                if now - t0 > cutoff:
+                    if tables_meta is None:
+                        tables_meta = self._tables_meta(schema_str)
+                        live_map = self.lake.live_state_map()
+                    for i in [i for i in pending if i not in spec]:
+                        twin = self._spawn_spec_twin(i)
+                        cnt = self._spec_repush(
+                            paths, schema_str, round_id, i, twin
+                        )
+                        twin_ref = twin.finalize_round.remote(
+                            round_id, schema_str, live_map, cnt,
+                            int(cursor_lo), self.compact_every, 60.0,
+                            tables_meta,
+                        )
+                        spec[i] = (twin, twin_ref)
+                        if os.environ.get("RAYCDC_STATS"):
+                            print(
+                                f"[spec] round {round_id}: twin for actor {i} "
+                                f"after {now - t0:.2f}s (median {med:.2f}s)"
+                            )
+        missing = set(range(n)) - set(out)
+        if missing:
+            # both the original and its twin died — retriable round replay
+            raise TimeoutError(
+                f"round {round_id}: mergers {sorted(missing)} lost"
+            )
+        return [out[i] for i in sorted(out)]
+
+    def _adopt_twin(self, actor_id: int, twin) -> None:
+        """The twin won the race: it becomes the slot's merger (warm cache —
+        it just merged the slot's partitions); the laggard is killed."""
+        old = self._pool[actor_id]
+        self._pool[actor_id] = twin
+        self._spec_count += 1
+        self._recently_replaced.append(actor_id)
+        try:
+            ray.kill(old)
+        except Exception:
+            pass
+
+    def _spec_repush(
+        self, paths: list, schema_str: str, round_id: str,
+        actor_id: int, twin,
+    ) -> int:
+        """Re-derive ONE actor's slices for a round from the source shards
+        and push them to its speculative twin. Returns the slice count (the
+        twin's finalize barrier target)."""
+        refs = [
+            _push_shard.remote(
+                p, schema_str, self.lake.num_partitions, round_id,
+                self._push_ctx_ref, self.error_policy, self.lake.root,
+                actor_id, twin,
+            )
+            for p in paths
+        ]
+        return sum(len(sent) for sent in ray.get(refs))
+
     def _push_round(
         self, paths: list, schema_str: str, nparts: int, round_id: str,
-        _retries: int = 2,
-    ) -> None:
+        _retries: int = 2, only_actor: int | None = None,
+    ) -> dict:
         """Scan + normalize + bucket-exchange one round's events into the
         merger pool: one raw Ray task per epoch shard file (read →
         normalize → derive → owner-sliced actor sends). Raw tasks, not a
@@ -847,22 +1023,25 @@ class Engine:
         the round critical path. Memory stays bounded by shard size ×
         concurrent tasks (shards are written ≤100k rows)."""
         handles = self._ensure_pool()
-        # broadcast (handles, table specs) ONCE per pool generation: the
+        # broadcast (handles, table specs) ONCE per pool revision: the
         # per-task submission then carries only small scalars, not a fresh
-        # serialization of 19 actor handles per shard per round
+        # serialization of 19 actor handles per shard per round. Revision =
+        # (rebuild generation, speculative adoptions) — any membership
+        # change invalidates the broadcast handle list.
+        rev = (self._pool_gen, self._spec_count)
         if (
             getattr(self, "_push_ctx_ref", None) is None
-            or getattr(self, "_push_ctx_gen", -1) != self._pool_gen
+            or getattr(self, "_push_ctx_rev", None) != rev
         ):
             self._push_ctx_ref = ray.put((handles, self.tables))
-            self._push_ctx_gen = self._pool_gen
+            self._push_ctx_rev = rev
         error_policy, lake_root = self.error_policy, self.lake.root
 
         t_push = time.perf_counter()
         refs = [
             _push_shard.remote(
                 p, schema_str, nparts, round_id, self._push_ctx_ref,
-                error_policy, lake_root,
+                error_policy, lake_root, only_actor,
             )
             for p in paths
         ]
@@ -880,7 +1059,8 @@ class Engine:
                 raise
             self._rebuild_pool()
             return self._push_round(
-                paths, schema_str, nparts, round_id, _retries=_retries - 1
+                paths, schema_str, nparts, round_id,
+                _retries=_retries - 1, only_actor=only_actor,
             )
         if os.environ.get("RAYCDC_STATS"):
             print(f"[direct] push={time.perf_counter() - t_push:.2f}s")
@@ -928,21 +1108,28 @@ class Engine:
             print("merge_sec per part: total",
                   round(stats["merge_sec"].sum(), 2), "max",
                   round(stats["merge_sec"].max(), 3))
+        # source-event count from the PRIMARY table's stats rows only —
+        # derived tables re-emit each event in their own part namespace
+        # ([i*P, (i+1)*P)), and summing across tables would count every
+        # source event once per table
+        if len(stats):
+            primary = stats[stats["part"] < self.lake.num_partitions]
+            n_events = int(primary["n_events"].sum())
+        else:
+            n_events = 0
         if self.progress:
             # live per-round progress (reference ProgressLogger analog,
             # ``indexer/utils/progress_logger.py:22-65``): one line per
             # commit, not just post-hoc manifest metrics
-            ne = int(stats["n_events"].sum()) if len(stats) else 0
             print(
-                f"[raycdc] {round_id}: {ne} events, "
+                f"[raycdc] {round_id}: {n_events} events, "
                 f"{int(stats['n_live'].sum()) if len(stats) else 0} live rows, "
                 f"{len(stats)} parts, {wall:.2f}s "
-                f"({ne / wall if wall > 0 else 0:,.0f} ev/s), "
+                f"({n_events / wall if wall > 0 else 0:,.0f} ev/s), "
                 f"cursor≤{max((f['cursor_hi'] for f in files), default=0)}",
                 flush=True,
             )
 
-        n_events = int(stats["n_events"].sum()) if len(stats) else 0
         metrics = {
             "n_events": n_events,
             "n_rows": int(stats["n_rows"].sum()) if len(stats) else 0,
@@ -1054,9 +1241,14 @@ class Engine:
                 "skipped": True,
             }
         self.lake.rollback(to_cursor, rollback_epoch=epoch)
-        if self._pool is not None:
-            # cached fragments may predate the restore point
-            ray.get([h.drop_cache.remote() for h in self._pool])
+        if self.exchange == "direct":
+            # cached fragments may predate the restore point. Ensure the
+            # pool FIRST: the named get_if_exists actors are shared per
+            # lake root, so even if THIS engine hasn't touched them yet, a
+            # prior un-closed engine's actors may be alive with in-memory
+            # runs mirroring the just-deleted fragments — they must be
+            # dropped unconditionally, not only when self._pool is set
+            ray.get([h.drop_cache.remote() for h in self._ensure_pool()])
         return {"round_id": f"rollback@{epoch}", "rollback_to": to_cursor}
 
     def _execute_plan_sequential(self, plan: list) -> list[dict]:
@@ -1077,16 +1269,17 @@ class Engine:
         manifest commit stays strictly sequential (single-writer fence);
         a rollback drains the pipeline first (barrier)."""
         results: list = []
-        pending = None  # (files, round_id, schema, t0, refs, paths, schema_str, lo)
+        pending = None  # (files, round_id, schema, t0, refs, paths, schema_str, lo, expected)
         prev_schema = self.lake.schema
 
         def finish_pending():
             nonlocal pending
             if pending is None:
                 return
-            files_p, rid, schema, t0, refs, paths_p, schema_str_p, lo_p = pending
+            files_p, rid, schema, t0, refs, paths_p, schema_str_p, lo_p, exp_p = pending
             stats = self._gather_with_recovery(
-                refs, paths_p, schema_str_p, self.lake.num_partitions, rid, lo_p
+                refs, paths_p, schema_str_p, self.lake.num_partitions, rid,
+                lo_p, exp_p,
             )
             results.append(self._commit(files_p, rid, schema, stats, t0))
             pending = None
@@ -1117,6 +1310,7 @@ class Engine:
             t0 = time.perf_counter()
             expected = self._push_round(paths, schema_str, self.lake.num_partitions, rid)
             gen_at_push = self._pool_gen
+            self._recently_replaced = []
             finish_pending()  # waits on round N-1 merges that ran during push
             if self._pool_gen != gen_at_push:
                 # recovery replaced the pool while this round's slices were
@@ -1124,6 +1318,16 @@ class Engine:
                 expected = self._push_round(
                     paths, schema_str, self.lake.num_partitions, rid
                 )
+            elif self._recently_replaced:
+                # a speculative twin replaced a laggard while this round's
+                # slices sat in the laggard's buffer — re-derive and re-push
+                # JUST that slot (other actors keep their buffered slices)
+                for i in sorted(set(self._recently_replaced)):
+                    e2 = self._push_round(
+                        paths, schema_str, self.lake.num_partitions, rid,
+                        only_actor=i,
+                    )
+                    expected[i] = e2.get(i, 0)
             lo = min(f["cursor_lo"] for f in files_g)
             pending = (
                 files_g,
@@ -1134,6 +1338,7 @@ class Engine:
                 paths,
                 schema_str,
                 lo,
+                expected,
             )
         finish_pending()
         return results

@@ -54,18 +54,27 @@ def export_ranged(
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
-    block_refs = ds.sort(range_key).to_arrow_refs()
-
-    @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
+    # Block row counts come from the sorted Dataset's OWN block metadata —
+    # no block is ever shipped to a counting task (nor to the driver).
+    sorted_ds = ds.sort(range_key)
+    block_refs: list = []
+    sizes: list[int] = []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            block_refs.append(ref)
+            sizes.append(int(meta.num_rows))
 
     @ray.remote
     def _write_window(
         path_prefix: str, fmt: str, range_key: str, file_idx: int,
         skip: int, take: int, *blocks: pa.Table,
     ) -> str:
-        t = pa.concat_tables(blocks, promote_options="permissive").slice(
+        # internal blocks may be pandas (upstream stage format) — convert
+        tables = [
+            b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks
+        ]
+        t = pa.concat_tables(tables, promote_options="permissive").slice(
             skip, take
         )
         lo = t.column(range_key)[0].as_py()
@@ -76,7 +85,6 @@ def export_ranged(
         os.replace(tmp, path)
         return path
 
-    sizes = ray.get([_nrows.remote(r) for r in block_refs])
     offsets = [0]
     for s in sizes:
         offsets.append(offsets[-1] + s)

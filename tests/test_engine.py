@@ -288,6 +288,34 @@ def test_actor_death_after_push_replays_round(ray_session, tmp_path, make_lake):
     eng.close()
 
 
+def test_straggler_speculation_steals_work(ray_session, tmp_path, make_lake):
+    """Forced straggler: one merger sleeps DELAY seconds per finalize
+    (node-jitter model). The speculative gather must re-push its
+    partitions to a twin and adopt the twin, so total replay wall-time is
+    decoupled from the straggler (without speculation every round pays the
+    full sleep: n_rounds x DELAY) — and the lake still matches the
+    oracle."""
+    import time as _time
+
+    import ray
+
+    spec = gen.GenSpec(seed=66, n_convs=300, mean_turns=8, n_epochs=3)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, merge_actors=2)
+    eng.spec_floor = 0.5
+    eng.spec_factor = 3.0
+    DELAY = 8.0
+    ray.get(eng._ensure_pool()[1].set_test_delay.remote(DELAY))
+    t0 = _time.monotonic()
+    eng.apply_log(log)
+    wall = _time.monotonic() - t0
+    assert eng._spec_count >= 1, "no twin ever replaced the laggard"
+    assert wall < 3 * DELAY - 2, f"round gating not broken: {wall:.1f}s"
+    assert_matches_oracle(eng, log)
+    eng.close()
+
+
 # -- multi-table lake: derived current-state table -------------------------
 
 def test_two_table_replay_matches_oracles(ray_session, tmp_path, make_lake):
