@@ -89,19 +89,36 @@ def cmd_stream(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from raycdc.exporters import export_ranged
+    import sys
 
+    from raycdc.exporters import export_multi, export_ranged
+
+    if not getattr(args, "output", None) and not args.out_dir:
+        print("export: provide OUT_DIR or --output", file=sys.stderr)
+        return 2
     _init_ray(args.num_cpus)
     eng = _engine(args)
     ds = eng.read_lake(include_system=True, table=args.table)
-    paths = export_ranged(
-        ds,
-        args.out_dir,
-        table=args.table or "transcripts",
-        fmt=args.format,
-        rows_per_file=args.rows_per_file,
-    )
-    print(json.dumps({"files": len(paths), "out_dir": args.out_dir}))
+    if getattr(args, "output", None):
+        # multi-sink URI list (reference --output factory,
+        # indexer/exporters/item_exporter.py:9-79), e.g.
+        # "console,csvfile:///tmp/c,jsonfile:///tmp/j"
+        results = export_multi(
+            ds,
+            args.output,
+            table=args.table or "transcripts",
+            rows_per_file=args.rows_per_file,
+        )
+        print(json.dumps({"sinks": len(results), "output": args.output}))
+    else:
+        paths = export_ranged(
+            ds,
+            args.out_dir,
+            table=args.table or "transcripts",
+            fmt=args.format,
+            rows_per_file=args.rows_per_file,
+        )
+        print(json.dumps({"files": len(paths), "out_dir": args.out_dir}))
     eng.close()
     return 0
 
@@ -198,10 +215,16 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("export", help="ranged file export of a lake table")
     _common(p)
-    p.add_argument("out_dir")
+    p.add_argument("out_dir", nargs="?", default=None)
     p.add_argument("--format", choices=["csv", "json", "parquet"], default="csv")
     p.add_argument("--rows-per-file", type=int, default=100_000)
     p.add_argument("--table", default=None, help="logical table (default primary)")
+    p.add_argument(
+        "--output", default=None,
+        help="comma-separated multi-sink URI list "
+        "(console | void | csvfile://DIR | jsonfile://DIR | "
+        "parquetfile://DIR | lake://DIR); overrides out_dir/--format",
+    )
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("aggregate", help="materialize derived aggregate tables")

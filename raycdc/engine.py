@@ -139,12 +139,18 @@ class _Normalize:
         error_policy: str = "fail",
         lake_root: str | None = None,
         round_id: str = "",
+        tables: list | None = None,
     ):
         self.schema = L._schema_from_str(schema_str)
         self.num_partitions = num_partitions
         self.error_policy = error_policy
         self.lake_root = lake_root
         self.round_id = round_id
+        # Dataset-path multi-table fan-out: derived tables' change rows are
+        # emitted inline (conformed to the SAME round schema so the union
+        # is one homogeneous Dataset), namespaced at parts [i*P, (i+1)*P).
+        # The raw-task path derives in _push_shard instead.
+        self.tables = tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -170,7 +176,27 @@ class _Normalize:
             batch.column("conv_id").to_numpy(zero_copy_only=False),
             self.num_partitions,
         )
-        return batch.append_column("part", pa.array(part, pa.int32()))
+        batch = batch.append_column("part", pa.array(part, pa.int32()))
+        if not self.tables or len(self.tables) <= 1:
+            return batch
+        # derive from the RAW normalized batch, never from pre-folded
+        # deltas: a folded turn row carries its whole-round last-non-null
+        # columns at the round's max cursor, which re-orders cross-turn
+        # patch precedence in column-timeline tables like conv_latest
+        # (e.g. turn A's insert-filled column at A's late cursor would
+        # outrank turn B's later genuine write)
+        outs = [batch]
+        for t_idx, spec in enumerate(self.tables[1:], start=1):
+            d = S.conform(spec.derive(batch), self.schema)
+            dpart = (
+                P.assign_part(
+                    d.column(spec.key_cols[0]).to_numpy(zero_copy_only=False),
+                    self.num_partitions,
+                )
+                + t_idx * self.num_partitions
+            )
+            outs.append(d.append_column("part", pa.array(dpart, pa.int32())))
+        return pa.concat_tables(outs, promote_options="permissive")
 
 
 class MergeWorker:
@@ -186,14 +212,28 @@ class MergeWorker:
         round_id: str,
         schema_str: str,
         num_partitions: int,
+        table_keys: dict | None = None,
     ):
         self.live_map = live_map
         self.lake_root = lake_root
         self.round_id = round_id
         self.change_schema = L._schema_from_str(schema_str)
-        self.payload = M.payload_columns([f.name for f in self.change_schema])
-        self.frag_schema = M.fragment_schema_for(self.change_schema)
         self.num_partitions = num_partitions
+        # per logical table (part // P): key columns → payload + fragment
+        # schema. All Dataset-path rows are conformed to the ROUND schema
+        # (see _Normalize fan-out), so each table's payload is the round
+        # schema minus its own keys and the system columns.
+        if not table_keys:
+            table_keys = {0: tuple(S.KEY_COLS)}
+        names = [f.name for f in self.change_schema]
+        self.per_table = {
+            t: (
+                list(keys),
+                M.payload_columns(names, key_cols=list(keys)),
+                M.fragment_schema_for(self.change_schema, key_cols=list(keys)),
+            )
+            for t, keys in table_keys.items()
+        }
 
     def _frag_path(self, part: int) -> str:
         return os.path.join(
@@ -207,19 +247,21 @@ class MergeWorker:
         import pyarrow.compute as pc
 
         part = int(group.column("part")[0].as_py())
+        t_idx = part // self.num_partitions
+        key_cols, payload, frag_schema = self.per_table[t_idx]
 
         ent = self.live_map.get(part) or {"base": None, "deltas": []}
         frames = [
-            S.conform(pq.read_table(p), self.frag_schema)
+            S.conform(pq.read_table(p), frag_schema)
             for p in ([ent["base"]] if ent["base"] else []) + list(ent["deltas"])
         ]
-        state = M.fold_fragments_table(frames, self.payload)
+        state = M.fold_fragments_table(frames, payload, key_cols=key_cols)
 
         t0 = time.perf_counter()
-        out = M.merge_partition_table(state, group, self.payload)
+        out = M.merge_partition_table(state, group, payload, key_cols=key_cols)
         merged_sec = time.perf_counter() - t0
 
-        out_tbl = S.conform(out, self.frag_schema)
+        out_tbl = S.conform(out, frag_schema)
         path = self._frag_path(part)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -524,15 +566,38 @@ class MergerActor:
 
 class _PreFold:
     """Optional skew combiner: complete per-key fold inside a salted
-    sub-partition, emitting one delta event per key (see partition.py for
-    the partitioning assumption)."""
+    sub-partition, emitting one delta event per key.
 
-    def __init__(self, schema_str: str, num_partitions: int):
+    Two classes of rows bypass the fold and pass through unchanged (the
+    merger's guarded stream-order fold handles them correctly):
+
+    - STALE-TOUCHED KEYS — the round-1 stream contract ("at-least-once
+      duplicates are re-emitted within the same round") is now ENFORCED,
+      not assumed: any key with an event whose cursor predates the round's
+      ``cursor_lo`` watermark is a cross-round re-delivery. Folding such a
+      key blindly can resurrect a superseded column value (the stale
+      event's non-null column survives last-non-null inside the fold, then
+      outranks the lake row because the folded row carries the round's max
+      cursor). Passing those keys through unfolded keeps the per-event
+      cursors visible to the merger's watermark guard, so a
+      contract-violating stream still converges to the oracle.
+    - DERIVED-TABLE ROWS (``part >= num_partitions``) — their fold
+      semantics are per-table (key set, patch policy), owned by the merge
+      stage, not this primary-keyed combiner.
+    """
+
+    def __init__(self, schema_str: str, num_partitions: int, cursor_lo: int = 0):
         schema = L._schema_from_str(schema_str)
         self.payload = M.payload_columns([f.name for f in schema])
         self.num_partitions = num_partitions
+        self.cursor_lo = int(cursor_lo)
+        # canonical output order (must be identical for every group: fold
+        # output and passthrough projection concat into one Dataset)
+        self.out_cols = (
+            list(S.KEY_COLS) + self.payload + ["cursor", "seq", "op", "part"]
+        )
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def _fold(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         folded = M.merge_partition_table(
@@ -554,6 +619,32 @@ class _PreFold:
             self.num_partitions,
         )
         return out.append_column("part", pa.array(part, pa.int32()))
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part0 = group.column("part")[0].as_py()
+        if part0 is not None and int(part0) >= self.num_partitions:
+            # derived-table salt group (single part by construction)
+            return group.select(self.out_cols)
+
+        cur = group.column("cursor").to_numpy(zero_copy_only=False)
+        stale = cur < self.cursor_lo
+        if self.cursor_lo <= 0 or not stale.any():
+            return self._fold(group).select(self.out_cols)
+
+        # split rows by KEY: a key touched by any stale event passes
+        # through whole (fold-vs-passthrough must never split one key)
+        keys = pd.MultiIndex.from_arrays(
+            [group.column(c).to_pandas() for c in S.KEY_COLS]
+        )
+        codes = keys.factorize()[0]
+        stale_key = np.zeros(codes.max() + 1, dtype=bool)
+        stale_key[codes[stale]] = True
+        row_pass = stale_key[codes]
+        parts = [group.filter(pa.array(row_pass)).select(self.out_cols)]
+        clean = group.filter(pa.array(~row_pass))
+        if clean.num_rows:
+            parts.append(self._fold(clean).select(self.out_cols))
+        return pa.concat_tables(parts, promote_options="permissive")
 
 
 @ray.remote
@@ -656,11 +747,6 @@ class Engine:
         # (fast micro-batch path); "groupby": groupby(part).map_groups
         # (general path, always used when salted pre-fold is on)
         self.exchange = "groupby" if salted else exchange
-        if len(self.tables) > 1 and (salted or self.exchange != "direct"):
-            raise ValueError(
-                "derived tables require the direct exchange (salted "
-                "pre-fold folds only the primary key space)"
-            )
         self.merge_actors = merge_actors
         self.cache_bytes = cache_bytes
         self.compact_every = compact_every
@@ -774,17 +860,19 @@ class Engine:
         ds = ray.data.read_parquet(paths)
         ds = ds.map_batches(
             _Normalize(
-                schema_str, nparts, self.error_policy, self.lake.root, round_id
+                schema_str, nparts, self.error_policy, self.lake.root,
+                round_id, self.tables,
             ),
             batch_format="pyarrow",
         )
         if self.salted:
+            lo = min(f["cursor_lo"] for f in files)
             salted_ds = ds.map_batches(
                 _salt_batch_fn(nparts, self.salt_factor), batch_format="pyarrow"
             )
             ds = salted_ds.groupby("salt").map_groups(
                 _PreFold,
-                fn_constructor_args=(schema_str, nparts),
+                fn_constructor_args=(schema_str, nparts, lo),
                 batch_format="pyarrow",
                 concurrency=self.merge_concurrency or (1, 16),
             )
@@ -797,6 +885,7 @@ class Engine:
                 round_id,
                 schema_str,
                 nparts,
+                {i: tuple(t.key_cols) for i, t in enumerate(self.tables)},
             ),
             batch_format="pyarrow",
             concurrency=self.merge_concurrency or (1, 16),
@@ -1168,6 +1257,55 @@ class Engine:
             discover_epoch_files(log_dir), epochs_per_round=epochs_per_round
         )
 
+    def apply_dataset(self, ds, epoch: int | None = None) -> dict:
+        """CDC-apply an in-flight change-event Dataset (columns: op,
+        conv_id, turn_idx, cursor, seq + payload) as ONE epoch — the
+        ``lake://`` sink of the exporter factory (the reference's
+        ``PostgresItemExporter.export_items`` upsert entry point,
+        ``indexer/exporters/postgres_item_exporter.py:37-58``). The
+        Dataset is staged as parquet shard files by parallel Ray tasks
+        (never the driver), renamed into the epoch-file naming contract,
+        then merged through the normal round path — so commit atomicity,
+        epoch fencing and rollback cover sink writes too."""
+        import uuid
+
+        if epoch is None:
+            epoch = max(self.lake.processed_epochs(), default=0) + 1
+        stage = os.path.join(
+            self.lake.root, "_staging", f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+        )
+        ds.write_parquet(stage)
+        paths, lo, hi = [], 1 << 62, 0
+        for i, p in enumerate(sorted(glob.glob(os.path.join(stage, "*.parquet")))):
+            f = pq.ParquetFile(p)
+            idx = f.schema_arrow.get_field_index("cursor")
+            f_lo, f_hi = 1 << 62, 0
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    c = f.read_row_group(rg, columns=["cursor"]).column("cursor")
+                    import pyarrow.compute as pc
+
+                    st_min, st_max = pc.min(c).as_py(), pc.max(c).as_py()
+                else:
+                    st_min, st_max = st.min, st.max
+                f_lo, f_hi = min(f_lo, st_min), max(f_hi, st_max)
+            if f.metadata.num_rows == 0:
+                os.remove(p)
+                continue
+            dst = os.path.join(
+                stage, f"changes-{epoch:06d}-{f_lo}-{f_hi}-s{i:02d}.parquet"
+            )
+            os.replace(p, dst)
+            paths.append(dst)
+            lo, hi = min(lo, f_lo), max(hi, f_hi)
+        if not paths:
+            return {"round_id": f"r{epoch:06d}-{epoch:06d}", "skipped": True}
+        files = [
+            {"epoch": epoch, "paths": paths, "cursor_lo": lo, "cursor_hi": hi}
+        ]
+        return self.apply_round(files, f"r{epoch:06d}-{epoch:06d}")
+
     def apply_log_files(
         self, files: list[dict], epochs_per_round: int = 1
     ) -> list[dict]:
@@ -1476,6 +1614,17 @@ def _salt_batch_fn(num_partitions: int, salt_factor: int):
             num_partitions,
             salt_factor,
         )
-        return batch.append_column("salt", pa.array(salt, pa.int32()))
+        part = batch.column("part").to_numpy(zero_copy_only=False)
+        derived = part >= num_partitions
+        if derived.any():
+            # derived-table rows get one salt per derived PART, in a range
+            # disjoint from the primary salt space — the pre-fold then sees
+            # pure derived groups and passes them through untouched
+            salt = np.where(
+                derived, num_partitions * salt_factor + part - num_partitions, salt
+            )
+        return batch.append_column(
+            "salt", pa.array(salt.astype(np.int32), pa.int32())
+        )
 
     return add_salt

@@ -161,3 +161,78 @@ def export_console(ds, limit: int = 20) -> int:
 def export_void(ds) -> int:
     """Void exporter: consume and drop (``base_exporter`` analog)."""
     return ds.count()
+
+
+# -- multi-sink URI factory -------------------------------------------------
+
+
+def create_item_exporter(output: str, **config):
+    """One output URI → an exporter callable ``(ds) -> result``. The
+    URI-scheme dispatch of the reference's exporter factory
+    (``indexer/exporters/item_exporter.py:14-61`` in /root/reference):
+
+    - ``console`` (or empty) → print a head sample
+    - ``void`` → consume and drop
+    - ``jsonfile://DIR`` / ``csvfile://DIR`` / ``parquetfile://DIR`` →
+      ranged file export into DIR (``table``/``range_key``/
+      ``rows_per_file`` from ``config``)
+    - ``lake://DIR`` → CDC-apply into the Parquet lake at DIR (the
+      ``postgres`` sink analog): the Dataset is staged as one epoch of
+      insert events and merged through :class:`raycdc.engine.Engine`
+    """
+    out = (output or "console").strip()
+    if out == "console":
+        return lambda ds: export_console(ds, limit=config.get("limit", 20))
+    if out == "void":
+        return export_void
+    for scheme, fmt in (
+        ("jsonfile://", "json"),
+        ("csvfile://", "csv"),
+        ("parquetfile://", "parquet"),
+    ):
+        if out.startswith(scheme):
+            target = out[len(scheme):]
+            return lambda ds, _t=target, _f=fmt: export_ranged(
+                ds,
+                _t,
+                table=config.get("table", "transcripts"),
+                fmt=_f,
+                range_key=config.get("range_key", "cursor"),
+                rows_per_file=config.get("rows_per_file", 100_000),
+            )
+    if out.startswith("lake://"):
+        target = out[len("lake://"):]
+
+        def to_lake(ds, _t=target):
+            from raycdc.engine import Engine
+
+            eng = Engine(
+                _t, num_partitions=config.get("num_partitions", 16)
+            )
+            try:
+                return eng.apply_dataset(ds)
+            finally:
+                eng.close()
+
+        return to_lake
+    raise ValueError(f"unable to determine exporter type for {output!r}")
+
+
+def create_item_exporters(outputs: str | None, **config) -> list:
+    """Comma-separated multi-sink list → exporter callables
+    (``item_exporter.py:9-12``). ``export_multi`` fans one Dataset out to
+    all of them."""
+    if not outputs:
+        return [create_item_exporter("console", **config)]
+    return [
+        create_item_exporter(o.strip(), **config)
+        for o in outputs.split(",")
+        if o.strip()
+    ]
+
+
+def export_multi(ds, outputs: str | None, **config) -> list:
+    """Fan one Dataset out to every configured sink, in order. The
+    Dataset is lazy; each sink triggers its own execution, so sinks are
+    independent (a failing sink does not corrupt the others' output)."""
+    return [fn(ds) for fn in create_item_exporters(outputs, **config)]

@@ -125,6 +125,11 @@ class Pipeline:
             ns.update(produced)
         return {o: ns[o] for o in wanted_outputs}
 
+    def run_entities(self, tables: dict, entity_types: str, bundles) -> dict:
+        """Entity-bundle front door: expand ``"core,analytics"`` via the
+        :class:`BundleRegistry` and run the pruned DAG."""
+        return self.run(tables, bundles.expand(entity_types))
+
 
 # -- auto-discovery + per-step config (reference parity) --------------------
 
@@ -178,6 +183,57 @@ def load_step_config(path: str) -> dict:
 
         return yaml.safe_load(text) or {}
     return json.loads(text or "{}")
+
+
+# -- entity-type bundles ----------------------------------------------------
+
+
+class BundleRegistry:
+    """Named bundles of logical outputs, combinable with ``,`` / ``ALL`` —
+    the analog of the reference's ``EntityType`` IntFlag +
+    ``calculate_entity_value`` + ``generate_output_types``
+    (``enumeration/entity_type.py:57-215`` in /root/reference): users ask
+    for coarse entity groups ("explorer_base,token"), the scheduler expands
+    them to the exact output-table set and prunes the step DAG to it."""
+
+    def __init__(self):
+        self._bundles: dict = {}
+
+    def register(self, name: str, outputs: list) -> None:
+        key = name.strip().upper()
+        if key in self._bundles:
+            raise ValueError(f"duplicate bundle {key!r}")
+        if key == "ALL":
+            raise ValueError("ALL is reserved (union of every bundle)")
+        self._bundles[key] = list(outputs)
+
+    def names(self) -> list:
+        return sorted(self._bundles)
+
+    def expand(self, entity_types: str) -> list:
+        """``"core,analytics"`` → ordered de-duplicated output list.
+        Mirrors ``calculate_entity_value`` (comma-split, case-insensitive,
+        unknown name → error listing the valid ones) and the ``ALL``
+        catch-all (``entity_type.py:123-145``)."""
+        wanted: list = []
+        for name in entity_types.split(","):
+            key = name.strip().upper()
+            if not key:
+                continue
+            if key == "ALL":
+                groups = [self._bundles[k] for k in sorted(self._bundles)]
+            elif key in self._bundles:
+                groups = [self._bundles[key]]
+            else:
+                raise ValueError(
+                    f"unknown entity type {name.strip()!r}; valid: "
+                    f"{self.names() + ['ALL']}"
+                )
+            for outs in groups:
+                for o in outs:
+                    if o not in wanted:
+                        wanted.append(o)
+        return wanted
 
 
 class ConfiguredPipeline(Pipeline):

@@ -188,6 +188,91 @@ def test_json_export(ray_session, tmp_path):
     eng.close()
 
 
+def test_multi_sink_factory_and_lake_apply(ray_session, tmp_path):
+    """URI-dispatch exporter factory (reference
+    ``indexer/exporters/item_exporter.py:9-79``): one Dataset fans out to
+    console + void + ranged files + a lake:// CDC apply, and the lake sink
+    converges to the same state as a direct log replay."""
+    import ray.data
+
+    from raycdc.exporters import create_item_exporters, export_multi
+
+    spec = gen.GenSpec(
+        seed=15, n_convs=60, mean_turns=4, n_epochs=2, frac_dup=0
+    )
+    log = str(tmp_path / "log")
+    paths = gen.write_change_log(spec, log)
+
+    eng_direct = Engine(str(tmp_path / "lake_direct"), num_partitions=4)
+    eng_direct.apply_log(log)
+    expect = eng_direct.read_lake_pandas()
+    eng_direct.close()
+
+    events = ray.data.read_parquet(paths)
+    lake_b = str(tmp_path / "lake_sink")
+    outs = f"void,jsonfile://{tmp_path}/j,lake://{lake_b}"
+    results = export_multi(events, outs, num_partitions=4, rows_per_file=500)
+    assert results[0] == events.count()  # void consumed everything
+    assert os.path.exists(str(tmp_path / "j"))
+
+    eng_b = Engine(lake_b, num_partitions=4)
+    got = eng_b.read_lake_pandas()
+    eng_b.close()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False
+    )
+
+    # unknown scheme fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        create_item_exporters("gopher://nope")
+
+
+def test_entity_bundles_expand_and_run(tmp_path):
+    """Entity-type bundles (reference ``enumeration/entity_type.py:57-215``):
+    comma-combined names expand to output sets, ALL unions everything,
+    unknown names raise, and Pipeline.run_entities prunes the DAG."""
+    import pytest as _pytest
+
+    from raycdc.steps import BundleRegistry, Pipeline, Step, StepRegistry
+
+    reg = StepRegistry()
+
+    @reg.register
+    class MakeB(Step):
+        inputs = ["a"]
+        outputs = ["b"]
+
+        def transform(self, tables):
+            return {"b": tables["a"] + 1}
+
+    @reg.register
+    class MakeC(Step):
+        inputs = ["a"]
+        outputs = ["c"]
+
+        def transform(self, tables):
+            return {"c": tables["a"] * 10}
+
+    bundles = BundleRegistry()
+    bundles.register("core", ["b"])
+    bundles.register("analytics", ["c"])
+
+    assert bundles.expand("core") == ["b"]
+    assert bundles.expand("core,analytics") == ["b", "c"]
+    assert bundles.expand("ALL") == ["c", "b"] or bundles.expand("ALL") == ["b", "c"]
+    with _pytest.raises(ValueError):
+        bundles.expand("nope")
+    with _pytest.raises(ValueError):
+        bundles.register("core", ["x"])  # duplicate
+
+    out = Pipeline(reg).run_entities({"a": 1}, "core,analytics", bundles)
+    assert out == {"b": 2, "c": 10}
+
+
 # -- scalar functions ------------------------------------------------------
 
 def test_hex_roundtrips():
@@ -249,6 +334,14 @@ def test_cli_end_to_end(tmp_path):
     exp = cli("export", str(tmp_path / "csv"), "--lake", lake,
               "--rows-per-file", "100", "--num-cpus", "4")[-1]
     assert exp["files"] >= 1
+
+    # multi-sink URI list (reference --output factory)
+    multi = cli(
+        "export", "--lake", lake, "--num-cpus", "4",
+        "--output", f"void,jsonfile://{tmp_path}/jmulti",
+    )[-1]
+    assert multi["sinks"] == 2
+    assert os.listdir(str(tmp_path / "jmulti"))
 
     # roll back the last committed round at its boundary
     boundary = show["recent_rounds"][-2]["cursor_hi"]

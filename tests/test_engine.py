@@ -318,34 +318,9 @@ def test_straggler_speculation_steals_work(ray_session, tmp_path, make_lake):
 
 # -- multi-table lake: derived current-state table -------------------------
 
-def test_two_table_replay_matches_oracles(ray_session, tmp_path, make_lake):
-    """Primary `turns` table plus the derived `conv_latest` current-state
-    table (reference: per-table update strategies,
-    ``common/converter/pg_converter.py:5-25`` +
-    ``common/models/current_token_balances.py:28-36``) maintained in the
-    SAME commit rounds: one replay, two tables, both matching oracles —
-    including across a reorg rollback."""
-    import numpy as np
-
-    from raycdc import tables as T
-
-    spec = gen.GenSpec(
-        seed=77, n_convs=150, mean_turns=6, n_epochs=5, rollback_epochs=(2,)
-    )
-    log = str(tmp_path / "log")
-    gen.write_change_log(spec, log)
-    eng = Engine(
-        str(tmp_path / "lake"),
-        num_partitions=8,
-        tables=[T.PRIMARY, T.conv_latest()],
-    )
-    eng.apply_log(log)
-
-    # primary table unchanged vs the stream oracle
-    assert_matches_oracle(eng, log)
-
-    # conv_latest oracle: per conv, last non-null value per column over the
-    # effective (post-rollback) stream ordered by (cursor, seq)
+def assert_conv_latest_matches(eng: Engine, log: str):
+    """conv_latest oracle: per conv, last non-null value per column over
+    the effective (post-rollback) stream ordered by (cursor, seq)."""
     events = oracle.resolve_rollbacks(load_log_df(log))
     events = events.sort_values(["cursor", "seq"], kind="stable")
     rows = []
@@ -372,6 +347,119 @@ def test_two_table_replay_matches_oracles(ray_session, tmp_path, make_lake):
     got["seq"] = got["seq"].astype("int64")
     expect["seq"] = expect["seq"].astype("int64")
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_two_table_replay_matches_oracles(ray_session, tmp_path, make_lake):
+    """Primary `turns` table plus the derived `conv_latest` current-state
+    table (reference: per-table update strategies,
+    ``common/converter/pg_converter.py:5-25`` +
+    ``common/models/current_token_balances.py:28-36``) maintained in the
+    SAME commit rounds: one replay, two tables, both matching oracles —
+    including across a reorg rollback."""
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(
+        seed=77, n_convs=150, mean_turns=6, n_epochs=5, rollback_epochs=(2,)
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(
+        str(tmp_path / "lake"),
+        num_partitions=8,
+        tables=[T.PRIMARY, T.conv_latest()],
+    )
+    eng.apply_log(log)
+
+    # primary table unchanged vs the stream oracle
+    assert_matches_oracle(eng, log)
+    assert_conv_latest_matches(eng, log)
+    eng.close()
+
+
+def test_two_table_salted_replay_matches_oracles(ray_session, tmp_path):
+    """Skew pre-fold × multi-table: the salted path folds only the primary
+    key space; derived-table rows are derived from the RAW normalized
+    stream and pass through the pre-fold untouched, so both tables match
+    the same oracles as the unsalted replay (including across a reorg
+    rollback + a zipf-hot key mix)."""
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(
+        seed=79, n_convs=100, mean_turns=10, zipf_a=1.5, n_epochs=5,
+        rollback_epochs=(2,),
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(
+        str(tmp_path / "lake"),
+        num_partitions=8,
+        salted=True,
+        salt_factor=4,
+        tables=[T.PRIMARY, T.conv_latest()],
+    )
+    eng.apply_log(log, epochs_per_round=2)
+    assert_matches_oracle(eng, log)
+    assert_conv_latest_matches(eng, log)
+    eng.close()
+
+
+def test_salted_stale_crossround_duplicate_matches_oracle(
+    ray_session, tmp_path
+):
+    """Stream-contract violation: an at-least-once duplicate re-delivered
+    in a LATER round than its original, sharing that round with fresh
+    partial updates for the same key. Blindly pre-folding would resurrect
+    the duplicate's superseded column (its non-null `tool` survives
+    last-non-null inside the fold, then outranks the lake row at the
+    folded row's max cursor). The pre-fold's watermark guard must pass the
+    affected key through unfolded so the merger's guarded fold wins."""
+    import numpy as np
+    import pyarrow as pa
+
+    ts_t = pa.timestamp("us")
+
+    def mk_table(rows):
+        cols = {
+            "cursor": pa.array([r[0] for r in rows], pa.int64()),
+            "seq": pa.array([r[1] for r in rows], pa.int32()),
+            "epoch": pa.array([r[2] for r in rows], pa.int64()),
+            "op": pa.array([r[3] for r in rows], pa.string()),
+            "conv_id": pa.array([r[4] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[5] for r in rows], pa.int32()),
+            "role": pa.array([r[6] for r in rows], pa.string()),
+            "text": pa.array([r[7] for r in rows], pa.string()),
+            "tool": pa.array([r[8] for r in rows], pa.string()),
+            "ts": pa.array([r[9] for r in rows], ts_t),
+            "rollback_to_cursor": pa.array(
+                [None for _ in rows], pa.int64()
+            ),
+        }
+        return pa.table(cols)
+
+    t0 = 1_600_000_000_000_000
+    log = tmp_path / "log"
+    log.mkdir()
+    # epoch 1: insert K (tool=x), then update K (tool=y) — lake: tool=y
+    e1 = mk_table([
+        (1, 0, 1, "insert", "conv-000001", 0, "user", "A", "x", t0),
+        (2, 0, 1, "update", "conv-000001", 0, None, "A2", "y", t0 + 1),
+    ])
+    pq.write_table(e1, str(log / "changes-000001-1-2.parquet"))
+    # epoch 2: STALE duplicate of the insert (cursor 1 < the round's
+    # cursor_lo of 3) + a fresh partial update leaving tool unchanged
+    e2 = mk_table([
+        (1, 0, 2, "insert", "conv-000001", 0, "user", "A", "x", t0),
+        (3, 0, 2, "insert", "conv-000002", 0, "user", "C", "z", t0 + 2),
+        (4, 0, 2, "update", "conv-000001", 0, None, "B", None, t0 + 3),
+    ])
+    pq.write_table(e2, str(log / "changes-000002-3-4.parquet"))
+
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4, salted=True)
+    eng.apply_log(str(log))
+    assert_matches_oracle(eng, str(log))
+    got = eng.read_lake_pandas()
+    k = got[(got["conv_id"] == "conv-000001")].iloc[0]
+    assert k["text"] == "B" and k["tool"] == "y", dict(k)
     eng.close()
 
 
