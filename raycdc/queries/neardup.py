@@ -137,6 +137,30 @@ def _collided_buckets(keyed) -> np.ndarray:
     )
 
 
+def _segmented_verify(bucket_fn):
+    """Partition kernel factory: all rows of many buckets co-located on one
+    bounded hash partition → sort by bucket, walk the segment boundaries,
+    run the (numpy-vectorized) per-bucket verifier on each slice. The
+    Python iteration is over COLLIDED buckets inside one kernel call —
+    Ray never materializes a per-bucket group, so scheduler overhead is
+    O(partitions), not O(buckets)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="stable").reset_index(drop=True)
+        v = g["bucket"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, v[1:] != v[:-1], True])
+        frames = [
+            bucket_fn(g.iloc[s:e])
+            for s, e in zip(bounds[:-1], bounds[1:])
+            if e - s >= 2
+        ]
+        if not frames:
+            return bucket_fn(g.iloc[0:0])
+        return pd.concat(frames, ignore_index=True)
+
+    return kernel
+
+
 class BucketPairs:
     """Candidate pairs inside one (band_id, band_hash) bucket, verified by
     signature-estimated Jaccard (fraction of equal minhashes)."""
@@ -172,8 +196,9 @@ def dedup_minhash_pairs(sf_dir: str):
          the banded keys to candidate docs in map_batches (vectorized
          isin on the mixed key, no per-row Python);
       4. signatures of candidate docs only are re-exploded to hot-bucket
-         rows and verified per bucket (``groupby.map_groups`` — no
-         per-singleton-bucket Python calls, only collided buckets exist);
+         rows, co-located on BOUNDED hash partitions (``C.by_partition``),
+         and verified bucket-by-bucket inside ONE partition kernel
+         (sorted segment walk) — Ray never schedules a per-bucket group;
       5. distinct (doc_a, doc_b) via one last (small) dedup.
 
     Driver materializations: the collided-bucket key set and the verified
@@ -237,8 +262,8 @@ def dedup_minhash_pairs(sf_dir: str):
         return out[np.isin(out["bucket"].to_numpy(), hot_arr)]
 
     cand = sigs.map_batches(hot_band_rows, batch_format="pandas")
-    pairs = cand.groupby("bucket").map_groups(
-        lambda g: BucketPairs()(g), batch_format="pandas"
+    pairs = C.by_partition(
+        cand, "bucket", _segmented_verify(BucketPairs())
     )
     # distinct pairs across bands (est_jaccard is band-independent). The
     # verified pair list IS the query result — the caller materializes it
@@ -424,10 +449,10 @@ def dedup_simhash_hamming(sf_dir: str):
             )
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
-    pairs = (
-        sigs.map_batches(hot_rows, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(lambda g: bucket_pairs(g), batch_format="pandas")
+    pairs = C.by_partition(
+        sigs.map_batches(hot_rows, batch_format="pandas"),
+        "bucket",
+        _segmented_verify(bucket_pairs),
     )
     out = pairs.to_pandas()
     return (
