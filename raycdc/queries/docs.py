@@ -87,6 +87,78 @@ FROM documents
 """
 
 
+# -- token-window chunking (training-data 1→N explode) ---------------------
+
+CHUNK_TOKENS = 32
+
+
+def doc_chunks(sf_dir: str):
+    """Fixed-size token-window chunking: each document explodes to
+    ``ceil(n_tokens / 32)`` chunk rows with reconstruction metadata
+    (doc_id, chunk_idx, n_tokens) — the core 1→N training-data prep
+    explode, and the relational analog of the reference's recursive trace
+    flatten (nested payload → flat child rows with position metadata,
+    ``indexer/domain/trace.py`` flatten + the 1→N log extractors).
+
+    Scale shape: rows are independent (a doc chunks entirely within its
+    batch), so this is a pure ``map_batches`` explode — no shuffle. The
+    kernel is C-speed pandas end to end: vectorized split → ``explode`` →
+    ``cumcount`` for token positions → hash-aggregate join per chunk."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].str.strip()
+        keep = s.str.len() > 0
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "chunk_idx": pd.Series(dtype="int64"),
+                "chunk_text": pd.Series(dtype="object"),
+                "n_tokens": pd.Series(dtype="int64"),
+            }
+        )
+        if not keep.any():
+            return empty
+        d = pd.DataFrame(
+            {
+                "doc_id": b.loc[keep, "doc_id"].to_numpy(),
+                "tok": s[keep].str.split().to_numpy(),
+            }
+        )
+        e = d.explode("tok", ignore_index=True)
+        e["chunk_idx"] = (
+            e.groupby("doc_id").cumcount() // CHUNK_TOKENS
+        ).astype("int64")
+        g = e.groupby(["doc_id", "chunk_idx"], as_index=False).agg(
+            chunk_text=("tok", " ".join), n_tokens=("tok", "size")
+        )
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g[["doc_id", "chunk_idx", "chunk_text", "n_tokens"]]
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+DOC_CHUNKS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+st AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w), {CHUNK_TOKENS})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+       array_to_string(
+           list_slice(w, s, least(s + {CHUNK_TOKENS} - 1, len(w))), ' '
+       ) AS chunk_text,
+       CAST(least(s + {CHUNK_TOKENS} - 1, len(w)) - s + 1 AS BIGINT)
+           AS n_tokens
+FROM st
+"""
+
+
 # -- per-language corpus stats --------------------------------------------
 
 def lang_stats(sf_dir: str):
@@ -330,6 +402,7 @@ QUERIES = {
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "fingerprints": fingerprints,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLE_SQL = {
@@ -339,4 +412,5 @@ ORACLE_SQL = {
     "quality_scores": QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "fingerprints": _fingerprints_sql(),
+    "doc_chunks": DOC_CHUNKS_SQL,
 }

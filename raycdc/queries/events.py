@@ -294,6 +294,59 @@ FROM e ASOF LEFT JOIN o ON e.bucket = o.bucket AND e.ts_asof >= o.o_orderdate
 """
 
 
+# -- payload field extraction (parser/decoder family) ----------------------
+
+_PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
+
+
+def events_props_extract(sf_dir: str):
+    """Vectorized field extraction from raw JSON payloads — the
+    parser/decoder family analog (the reference's ENS / bridge / user-ops
+    jobs decode raw log payloads into typed columns,
+    ``indexer/modules/user_ops/export_user_ops_job.py``,
+    ``indexer/modules/custom/hemera_ens``): a compiled-regex fast path on
+    the known payload shape (C regex engine via ``Series.str.extract`` —
+    no per-row Python, the ABI-selector fast-path pattern), then partial
+    aggregation per extracted field.
+
+    Scale shape: extraction is a stateless map; the per-type aggregate is
+    a 5-group native distributed aggregate."""
+    ds = C.read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(_PROPS_K_RE, expand=False)
+            .astype("int64")
+        )
+        return pd.DataFrame({"event_type": b["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k", alias_name="sum_k"),
+            Mean("k", alias_name="avg_k"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return C.round_cols(out, ["avg_k"])
+
+
+PROPS_EXTRACT_SQL = r"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                     AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                      AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_asof_orders": events_asof_orders,
     "events_latest_per_user": events_latest_per_user,
@@ -301,6 +354,7 @@ QUERIES = {
     "events_user_daily": events_user_daily,
     "events_type_stats": events_type_stats,
     "events_sessionize": events_sessionize,
+    "events_props_extract": events_props_extract,
 }
 
 ORACLE_SQL = {
@@ -310,4 +364,5 @@ ORACLE_SQL = {
     "events_user_daily": USER_DAILY_SQL,
     "events_type_stats": TYPE_STATS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_props_extract": PROPS_EXTRACT_SQL,
 }
