@@ -1200,7 +1200,9 @@ class Engine:
         # source-event count from the PRIMARY table's stats rows only —
         # derived tables re-emit each event in their own part namespace
         # ([i*P, (i+1)*P)), and summing across tables would count every
-        # source event once per table
+        # source event once per table. (Salted groupby rounds count
+        # post-fold deltas, not raw source events: the pre-fold collapses
+        # a key's events before the merge stage sees them.)
         if len(stats):
             primary = stats[stats["part"] < self.lake.num_partitions]
             n_events = int(primary["n_events"].sum())

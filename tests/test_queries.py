@@ -73,7 +73,7 @@ def _sql_backed():
         "priority_distinct_customers", "quality_scores", "lang_id",
         "ngram_jaccard_pairs", "fingerprints", "dedup_minhash_pairs",
         "dedup_simhash", "dedup_simhash_hamming", "media_features",
-        "doc_chunks", "events_props_extract",
+        "doc_chunks", "events_props_extract", "ann_bruteforce_multi",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
