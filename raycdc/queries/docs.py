@@ -105,37 +105,38 @@ def doc_chunks(sf_dir: str):
     kernel is C-speed pandas end to end: vectorized split → ``explode`` →
     ``cumcount`` for token positions → hash-aggregate join per chunk."""
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_chunk_batch, batch_format="pandas")
 
-    def chunk(b: pd.DataFrame) -> pd.DataFrame:
-        s = b["text"].str.strip()
-        keep = s.str.len() > 0
-        empty = pd.DataFrame(
-            {
-                "doc_id": pd.Series(dtype="int64"),
-                "chunk_idx": pd.Series(dtype="int64"),
-                "chunk_text": pd.Series(dtype="object"),
-                "n_tokens": pd.Series(dtype="int64"),
-            }
-        )
-        if not keep.any():
-            return empty
-        d = pd.DataFrame(
-            {
-                "doc_id": b.loc[keep, "doc_id"].to_numpy(),
-                "tok": s[keep].str.split().to_numpy(),
-            }
-        )
-        e = d.explode("tok", ignore_index=True)
-        e["chunk_idx"] = (
-            e.groupby("doc_id").cumcount() // CHUNK_TOKENS
-        ).astype("int64")
-        g = e.groupby(["doc_id", "chunk_idx"], as_index=False).agg(
-            chunk_text=("tok", " ".join), n_tokens=("tok", "size")
-        )
-        g["n_tokens"] = g["n_tokens"].astype("int64")
-        return g[["doc_id", "chunk_idx", "chunk_text", "n_tokens"]]
 
-    return ds.map_batches(chunk, batch_format="pandas")
+def _chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) batch → fixed-size token-window chunk rows."""
+    s = b["text"].str.strip()
+    keep = s.str.len() > 0
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "chunk_idx": pd.Series(dtype="int64"),
+            "chunk_text": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+        }
+    )
+    if not keep.any():
+        return empty
+    d = pd.DataFrame(
+        {
+            "doc_id": b.loc[keep, "doc_id"].to_numpy(),
+            "tok": s[keep].str.split().to_numpy(),
+        }
+    )
+    e = d.explode("tok", ignore_index=True)
+    e["chunk_idx"] = (
+        e.groupby("doc_id").cumcount() // CHUNK_TOKENS
+    ).astype("int64")
+    g = e.groupby(["doc_id", "chunk_idx"], as_index=False).agg(
+        chunk_text=("tok", " ".join), n_tokens=("tok", "size")
+    )
+    g["n_tokens"] = g["n_tokens"].astype("int64")
+    return g[["doc_id", "chunk_idx", "chunk_text", "n_tokens"]]
 
 
 DOC_CHUNKS_SQL = rf"""
@@ -147,6 +148,78 @@ st AS (
   SELECT doc_id, w,
          unnest(generate_series(1, len(w), {CHUNK_TOKENS})) AS s
   FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+       array_to_string(
+           list_slice(w, s, least(s + {CHUNK_TOKENS} - 1, len(w))), ' '
+       ) AS chunk_text,
+       CAST(least(s + {CHUNK_TOKENS} - 1, len(w)) - s + 1 AS BIGINT)
+           AS n_tokens
+FROM st
+"""
+
+
+# -- composed corpus-prep pipeline -----------------------------------------
+
+PREP_MIN_QUALITY = 0.5
+
+
+def corpus_prep(sf_dir: str):
+    """The full training-corpus prep flow as ONE lazy streaming pipeline —
+    quality gate → exact dedup → token-window chunking — demonstrating
+    operator composition (each stage is the standalone operator, fused by
+    Ray Data's streaming executor with backpressure; only the dedup stage
+    shuffles, on bounded text-hash partitions):
+
+        documents → QualityScorer (actor pool, state per actor)
+                  → filter quality ≥ 0.5 (vectorized mask, same stage)
+                  → exact-dedup winners (bounded-partition hash agg)
+                  → 32-token chunk explode (stateless map)
+    """
+
+    class PrepFilter(QualityScorer):
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keep = (
+                super().__call__(b)["quality"].to_numpy() >= PREP_MIN_QUALITY
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy()[keep],
+                    "text": b["text"].to_numpy()[keep],
+                }
+            )
+
+    kept = C.read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        PrepFilter, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"))
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id", "text"]]
+
+    ded = C.by_partition(kept, "text", winners)
+    return ded.map_batches(_chunk_batch, batch_format="pandas")
+
+
+def _corpus_prep_sql() -> str:
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+keep AS (
+    SELECT d.doc_id, d.text
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE q.quality >= {PREP_MIN_QUALITY}
+),
+ded AS (SELECT min(doc_id) AS doc_id, text FROM keep GROUP BY text),
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM ded WHERE length(trim(text)) > 0
+),
+st AS (
+    SELECT doc_id, w,
+           unnest(generate_series(1, len(w), {CHUNK_TOKENS})) AS s
+    FROM toks
 )
 SELECT doc_id,
        CAST((s - 1) / {CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
@@ -403,6 +476,7 @@ QUERIES = {
     "lang_id": lang_id,
     "fingerprints": fingerprints,
     "doc_chunks": doc_chunks,
+    "corpus_prep": corpus_prep,
 }
 
 ORACLE_SQL = {
@@ -413,4 +487,5 @@ ORACLE_SQL = {
     "lang_id": LANG_ID_SQL,
     "fingerprints": _fingerprints_sql(),
     "doc_chunks": DOC_CHUNKS_SQL,
+    "corpus_prep": _corpus_prep_sql(),
 }
