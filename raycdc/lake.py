@@ -36,6 +36,16 @@ import pyarrow as pa
 MANIFEST = "manifest.json"
 FRAGMENT_DIR = "fragments"
 
+# process-wide writer-lock registry: every Lake object in THIS process for
+# the same root shares one OS lock (flock conflicts between fds even within
+# a process, and same-process multi-Engine use is legitimate — shared
+# merger pools, resume tests)
+_WRITER_LOCKS: dict = {}
+
+
+class LakeLockedError(RuntimeError):
+    """Another PROCESS holds the writer lock for this lake root."""
+
 
 def _schema_to_str(schema: pa.Schema) -> str:
     return base64.b64encode(schema.serialize().to_pybytes()).decode()
@@ -166,6 +176,39 @@ class Lake:
     def fragment_abspath(self, part: int, round_id: str, kind: str = "base") -> str:
         return os.path.join(self.root, self.fragment_relpath(part, round_id, kind))
 
+    # -- single-writer lock ------------------------------------------------
+
+    def ensure_writer_lock(self) -> None:
+        """Exclusive CROSS-PROCESS writer lock on the lake root, taken at
+        the first mutating operation and held for the process lifetime —
+        the reference's FixRecord single-runner lock
+        (``indexer/controller/reorg_controller.py:168-179`` in
+        /root/reference): two stream/repair runners on one lake would
+        otherwise last-writer-win the manifest and silently drop rounds.
+        Readers never lock."""
+        import fcntl
+
+        key = os.path.abspath(self.root)
+        if key in _WRITER_LOCKS:
+            return
+        f = open(os.path.join(self.root, ".writer.lock"), "w")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            f.close()
+            raise LakeLockedError(
+                f"another process holds the writer lock for {self.root}; "
+                "one writer per lake (single-runner discipline)"
+            ) from None
+        _WRITER_LOCKS[key] = f
+
+    @staticmethod
+    def release_writer_lock(root: str) -> None:
+        """Release this process's writer lock (tests / clean handoff)."""
+        f = _WRITER_LOCKS.pop(os.path.abspath(root), None)
+        if f is not None:
+            f.close()
+
     # -- commit ------------------------------------------------------------
 
     def commit_round(
@@ -180,6 +223,7 @@ class Lake:
     ) -> None:
         """Atomically commit a round: swap live fragments for touched
         partitions, record lineage + metrics, trim the undo buffer."""
+        self.ensure_writer_lock()
         if round_id in self.committed_round_ids():
             return  # fence: already committed → no-op (idempotent replay)
         parts = self.manifest["partitions"]
@@ -259,6 +303,7 @@ class Lake:
         rollbacks raise, mirroring the reference's finite ``--ranges``
         repair window. ``rollback_epoch`` (when the rollback came from a
         stream epoch) is recorded so replaying the same log skips it."""
+        self.ensure_writer_lock()
         rounds = self.manifest["committed_rounds"]
         if to_cursor == 0 and not rounds:
             return

@@ -231,6 +231,57 @@ def test_multi_sink_factory_and_lake_apply(ray_session, tmp_path):
         create_item_exporters("gopher://nope")
 
 
+def test_writer_lock_excludes_second_process(ray_session, tmp_path):
+    """Single-runner discipline (reference FixRecord lock,
+    ``indexer/controller/reorg_controller.py:168-179``): while another
+    PROCESS holds the lake's writer lock, a local commit raises instead of
+    last-writer-winning the manifest. Readers are unaffected."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from raycdc.lake import LakeLockedError
+
+    spec = gen.GenSpec(seed=16, n_convs=30, mean_turns=3, n_epochs=1)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys, time\n"
+                f"f = open(os.path.join({lake!r}, '.writer.lock'), 'w')\n"
+                "fcntl.flock(f, fcntl.LOCK_EX)\n"
+                "print('locked', flush=True)\n"
+                "time.sleep(60)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "locked"
+        eng = Engine(lake, num_partitions=2)
+        import pytest as _pytest
+
+        with _pytest.raises(LakeLockedError):
+            eng.apply_log(log)
+        eng.close()
+    finally:
+        holder.kill()
+        holder.wait()
+
+    # lock released with the holder process → replay now succeeds
+    eng = Engine(lake, num_partitions=2)
+    res = eng.apply_log(log)
+    assert any(not r.get("skipped") for r in res)
+    eng.close()
+
+
 def test_entity_bundles_expand_and_run(tmp_path):
     """Entity-type bundles (reference ``enumeration/entity_type.py:57-215``):
     comma-combined names expand to output sets, ALL unions everything,
