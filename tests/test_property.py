@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis) for the merge kernel — the CDC
+crown-jewel semantics checked against an independent in-test reference
+fold over randomized event streams, plus the two algebraic properties the
+engine's architecture leans on:
+
+  * fold(all events) == fold(fold(first half) + second half) when split at
+    a cursor boundary — the base+delta fragment / incremental-merge law;
+  * re-merging an already-applied batch is a no-op — the at-least-once
+    duplicate-push law.
+
+Kernel-level (no Ray session needed): ``merge.merge_partition_table`` is a
+pure Arrow-in/Arrow-out function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raycdc import merge as M
+
+KEYS = [("conv-a", 0), ("conv-a", 1), ("conv-b", 0)]
+PAYLOAD = ["text", "tool"]
+
+_event = st.tuples(
+    st.sampled_from(KEYS),
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(min_value=1, max_value=60),  # cursor
+    st.integers(min_value=0, max_value=2),  # seq
+    st.one_of(st.none(), st.text(alphabet="xyz", min_size=1, max_size=3)),
+    st.one_of(st.none(), st.sampled_from(["t1", "t2"])),
+)
+
+_streams = st.lists(_event, min_size=0, max_size=40)
+
+
+def _dedup(events: list) -> list:
+    """Unique (key, cursor, seq): ties between DIFFERENT payloads are
+    ill-defined on both sides (the engine breaks them deterministically,
+    the spec doesn't), so the property quantifies over well-formed streams."""
+    seen, out = set(), []
+    for ev in events:
+        k = (ev[0], ev[2], ev[3])
+        if k not in seen:
+            seen.add(k)
+            out.append(ev)
+    return out
+
+
+def _table(events: list) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array([e[0][0] for e in events], pa.string()),
+            "turn_idx": pa.array([e[0][1] for e in events], pa.int32()),
+            "text": pa.array(
+                [e[4] if e[1] != "delete" else None for e in events], pa.string()
+            ),
+            "tool": pa.array(
+                [e[5] if e[1] != "delete" else None for e in events], pa.string()
+            ),
+            "cursor": pa.array([e[2] for e in events], pa.int64()),
+            "seq": pa.array([e[3] for e in events], pa.int32()),
+            "op": pa.array([e[1] for e in events], pa.string()),
+        }
+    )
+
+
+def _reference_fold(events: list) -> dict:
+    """Independent spec implementation: strict (cursor, seq) guard, insert
+    replaces, update patches non-null (upsert-creates), delete tombstones
+    but keeps the watermark."""
+    state: dict = {}
+    marks: dict = {}
+    for key, op, cursor, seq, text, tool in sorted(
+        events, key=lambda e: (e[2], e[3])
+    ):
+        mark = (cursor, seq)
+        if key in marks and mark <= marks[key]:
+            continue
+        marks[key] = mark
+        if op == "delete":
+            state[key] = None
+        elif op == "insert":
+            state[key] = {"text": text, "tool": tool}
+        else:
+            cur = dict(state.get(key) or {"text": None, "tool": None})
+            if text is not None:
+                cur["text"] = text
+            if tool is not None:
+                cur["tool"] = tool
+            state[key] = cur
+    return {
+        k: (
+            state[k] is None,
+            (state[k] or {}).get("text"),
+            (state[k] or {}).get("tool"),
+            marks[k][0],
+            marks[k][1],
+        )
+        for k in marks
+    }
+
+
+def _kernel_rows(out: pa.Table) -> dict:
+    df = out.to_pandas()
+    return {
+        (df["conv_id"].iat[i], int(df["turn_idx"].iat[i])): (
+            bool(df[M.DELETED_COL].iat[i]),
+            None if pd.isna(df["text"].iat[i]) else df["text"].iat[i],
+            None if pd.isna(df["tool"].iat[i]) else df["tool"].iat[i],
+            int(df["cursor"].iat[i]),
+            int(df["seq"].iat[i]),
+        )
+        for i in range(len(df))
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(_streams)
+def test_merge_kernel_matches_reference_fold(raw):
+    events = _dedup(raw)
+    if not events:
+        return
+    out = M.merge_partition_table(None, _table(events), PAYLOAD)
+    assert _kernel_rows(out) == _reference_fold(events)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_streams, st.integers(min_value=0, max_value=60))
+def test_incremental_merge_equals_one_shot(raw, mid):
+    """base+delta law: folding a prefix into a fragment, then merging the
+    suffix against it, equals one whole-stream fold — for any cursor split
+    (the engine always splits on round cursor ranges)."""
+    events = _dedup(raw)
+    first = [e for e in events if e[2] <= mid]
+    second = [e for e in events if e[2] > mid]
+    if not events:
+        return
+    whole = M.merge_partition_table(None, _table(events), PAYLOAD)
+    if not first or not second:
+        return
+    frag = M.merge_partition_table(None, _table(first), PAYLOAD)
+    stepped = M.merge_partition_table(frag, _table(second), PAYLOAD)
+    assert _kernel_rows(stepped) == _kernel_rows(whole)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_streams)
+def test_duplicate_push_is_noop(raw):
+    """at-least-once law: re-merging the identical batch against the state
+    it produced changes nothing (exact (key, cursor, seq) dedup keeps the
+    lake row)."""
+    events = _dedup(raw)
+    if not events:
+        return
+    once = M.merge_partition_table(None, _table(events), PAYLOAD)
+    twice = M.merge_partition_table(once, _table(events), PAYLOAD)
+    assert _kernel_rows(twice) == _kernel_rows(once)
