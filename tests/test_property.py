@@ -148,6 +148,44 @@ def test_incremental_merge_equals_one_shot(raw, mid):
 
 
 @settings(max_examples=100, deadline=None)
+@given(_streams, _streams)
+def test_prefold_guard_preserves_merge_semantics(lake_raw, round_raw):
+    """Salted pre-fold law: merging the PRE-FOLDED round into a fragment
+    equals merging the raw round, for ANY round stream — including
+    contract-violating stale re-deliveries (cursor < the round watermark),
+    novel stale events, and round events patching keys the lake already
+    holds. Precondition mirrors production: every lake cursor precedes the
+    round's cursor_lo (rounds are cursor-monotone)."""
+    from raycdc import lake as L
+    from raycdc import partition as P
+    from raycdc.engine import _PreFold
+
+    LO = 30
+    lake_events = [e for e in _dedup(lake_raw) if e[2] < LO]
+    round_events = _dedup(round_raw)
+    if not round_events:
+        return
+    frag = (
+        M.merge_partition_table(None, _table(lake_events), PAYLOAD)
+        if lake_events
+        else None
+    )
+
+    raw_tbl = _table(round_events)
+    direct = M.merge_partition_table(frag, raw_tbl, PAYLOAD)
+
+    nparts = 4
+    part = P.assign_part(
+        raw_tbl.column("conv_id").to_numpy(zero_copy_only=False), nparts
+    )
+    grouped = raw_tbl.append_column("part", pa.array(part, pa.int32()))
+    pf = _PreFold(L._schema_to_str(raw_tbl.schema), nparts, cursor_lo=LO)
+    folded = pf(grouped)
+    stepped = M.merge_partition_table(frag, folded, PAYLOAD)
+    assert _kernel_rows(stepped) == _kernel_rows(direct)
+
+
+@settings(max_examples=100, deadline=None)
 @given(_streams)
 def test_duplicate_push_is_noop(raw):
     """at-least-once law: re-merging the identical batch against the state
