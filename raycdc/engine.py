@@ -140,12 +140,14 @@ class _Normalize:
         lake_root: str | None = None,
         round_id: str = "",
         tables: list | None = None,
+        hash_version: int = P.HASH_VERSION_DEFAULT,
     ):
         self.schema = L._schema_from_str(schema_str)
         self.num_partitions = num_partitions
         self.error_policy = error_policy
         self.lake_root = lake_root
         self.round_id = round_id
+        self.hash_version = hash_version
         # Dataset-path multi-table fan-out: derived tables' change rows are
         # emitted inline (conformed to the SAME round schema so the union
         # is one homogeneous Dataset), namespaced at parts [i*P, (i+1)*P).
@@ -173,8 +175,7 @@ class _Normalize:
                 raise ValueError(f"unexpected op(s) in merge round: {bad}")
         batch = S.conform(batch, self.schema)
         part = P.assign_part(
-            batch.column("conv_id").to_numpy(zero_copy_only=False),
-            self.num_partitions,
+            batch.column("conv_id"), self.num_partitions, self.hash_version
         )
         batch = batch.append_column("part", pa.array(part, pa.int32()))
         if not self.tables or len(self.tables) <= 1:
@@ -190,8 +191,9 @@ class _Normalize:
             d = S.conform(spec.derive(batch), self.schema)
             dpart = (
                 P.assign_part(
-                    d.column(spec.key_cols[0]).to_numpy(zero_copy_only=False),
+                    d.column(spec.key_cols[0]),
                     self.num_partitions,
+                    self.hash_version,
                 )
                 + t_idx * self.num_partitions
             )
@@ -586,11 +588,18 @@ class _PreFold:
       stage, not this primary-keyed combiner.
     """
 
-    def __init__(self, schema_str: str, num_partitions: int, cursor_lo: int = 0):
+    def __init__(
+        self,
+        schema_str: str,
+        num_partitions: int,
+        cursor_lo: int = 0,
+        hash_version: int = P.HASH_VERSION_DEFAULT,
+    ):
         schema = L._schema_from_str(schema_str)
         self.payload = M.payload_columns([f.name for f in schema])
         self.num_partitions = num_partitions
         self.cursor_lo = int(cursor_lo)
+        self.hash_version = hash_version
         # canonical output order (must be identical for every group: fold
         # output and passthrough projection concat into one Dataset)
         self.out_cols = (
@@ -615,8 +624,7 @@ class _PreFold:
         )
         # a salt group spans many conversations → recompute each key's home
         part = P.assign_part(
-            out.column("conv_id").to_numpy(zero_copy_only=False),
-            self.num_partitions,
+            out.column("conv_id"), self.num_partitions, self.hash_version
         )
         return out.append_column("part", pa.array(part, pa.int32()))
 
@@ -656,6 +664,7 @@ def _push_shard(
     ctx,
     error_policy: str,
     lake_root: str,
+    hash_version: int = P.HASH_VERSION_DEFAULT,
     only_actor: int | None = None,
     override_handle=None,
 ) -> list:
@@ -673,9 +682,10 @@ def _push_shard(
         handles = list(handles)
         handles[only_actor] = override_handle
     batch = pq.read_table(path)
-    batch = _Normalize(schema_str, nparts, error_policy, lake_root, round_id)(
-        batch
-    )
+    batch = _Normalize(
+        schema_str, nparts, error_policy, lake_root, round_id,
+        hash_version=hash_version,
+    )(batch)
     k = len(handles)
     sent: list = []
 
@@ -703,10 +713,7 @@ def _push_shard(
     for t_idx, spec in enumerate(specs[1:], start=1):
         d = spec.derive(batch)
         dpart = (
-            P.assign_part(
-                d.column(spec.key_cols[0]).to_numpy(zero_copy_only=False),
-                nparts,
-            )
+            P.assign_part(d.column(spec.key_cols[0]), nparts, hash_version)
             + t_idx * nparts
         )
         send(d.append_column("part", pa.array(dpart, pa.int32())), t_idx)
@@ -861,18 +868,19 @@ class Engine:
         ds = ds.map_batches(
             _Normalize(
                 schema_str, nparts, self.error_policy, self.lake.root,
-                round_id, self.tables,
+                round_id, self.tables, hash_version=self.lake.hash_version,
             ),
             batch_format="pyarrow",
         )
         if self.salted:
             lo = min(f["cursor_lo"] for f in files)
             salted_ds = ds.map_batches(
-                _salt_batch_fn(nparts, self.salt_factor), batch_format="pyarrow"
+                _salt_batch_fn(nparts, self.salt_factor, self.lake.hash_version),
+                batch_format="pyarrow",
             )
             ds = salted_ds.groupby("salt").map_groups(
                 _PreFold,
-                fn_constructor_args=(schema_str, nparts, lo),
+                fn_constructor_args=(schema_str, nparts, lo, self.lake.hash_version),
                 batch_format="pyarrow",
                 concurrency=self.merge_concurrency or (1, 16),
             )
@@ -1094,7 +1102,7 @@ class Engine:
             _push_shard.remote(
                 p, schema_str, self.lake.num_partitions, round_id,
                 self._push_ctx_ref, self.error_policy, self.lake.root,
-                actor_id, twin,
+                self.lake.hash_version, actor_id, twin,
             )
             for p in paths
         ]
@@ -1130,7 +1138,7 @@ class Engine:
         refs = [
             _push_shard.remote(
                 p, schema_str, nparts, round_id, self._push_ctx_ref,
-                error_policy, lake_root, only_actor,
+                error_policy, lake_root, self.lake.hash_version, only_actor,
             )
             for p in paths
         ]
@@ -1608,13 +1616,18 @@ class Engine:
         )
 
 
-def _salt_batch_fn(num_partitions: int, salt_factor: int):
+def _salt_batch_fn(
+    num_partitions: int,
+    salt_factor: int,
+    hash_version: int = P.HASH_VERSION_DEFAULT,
+):
     def add_salt(batch: pa.Table) -> pa.Table:
         salt = P.assign_salted(
-            batch.column("conv_id").to_numpy(zero_copy_only=False),
-            batch.column("turn_idx").to_numpy(zero_copy_only=False),
+            batch.column("conv_id"),
+            batch.column("turn_idx"),
             num_partitions,
             salt_factor,
+            hash_version,
         )
         part = batch.column("part").to_numpy(zero_copy_only=False)
         derived = part >= num_partitions

@@ -70,6 +70,11 @@ class Lake:
             self.manifest = {
                 "version": 1,
                 "num_partitions": num_partitions,
+                # partition-hash function id, pinned at creation: the
+                # key→partition map must be identical across the lake's
+                # whole life (see raycdc.partition). Manifests written
+                # before this field existed default to 1 (pandas hash).
+                "hash_version": 2,
                 "undo_window": undo_window,
                 "schema": None,  # set at first commit
                 "committed_rounds": [],
@@ -87,6 +92,10 @@ class Lake:
     @property
     def num_partitions(self) -> int:
         return self.manifest["num_partitions"]
+
+    @property
+    def hash_version(self) -> int:
+        return int(self.manifest.get("hash_version", 1))
 
     @property
     def schema(self) -> pa.Schema | None:

@@ -45,6 +45,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raycdc import partition as P
 from raycdc import schema as S
 
 SYS_EVENT_COLS = {"op", "cursor", "seq", "epoch", "rollback_to_cursor"}
@@ -275,9 +276,10 @@ def key_hash(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
                 .view(np.uint64)
             )
         else:
-            v = pd.util.hash_array(
-                np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
-            ).astype(np.uint64)
+            # fast Arrow-buffer suffix hash (raycdc.partition v2): a
+            # cross-key collision is benign here (see above), so the
+            # 16-byte-suffix weakening costs nothing
+            v = P.hash_conv(col, 2)
         h = h * prime ^ v
     return h
 

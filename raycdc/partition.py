@@ -8,38 +8,140 @@ conversations over ``P × salt_factor`` sub-partitions by including
 ``turn_idx`` in the hash — every key still lands wholly in one sub-partition,
 so the per-key fold stays complete (no cross-partition combiner needed).
 
-Uses ``pandas.util.hash_array`` (64-bit, process-independent — unlike
-Python's seeded ``hash``) so partition assignment is stable across workers,
-nodes and runs.
+Two hash versions, pinned PER LAKE in the manifest (``hash_version``) —
+the assignment must be identical across every round of a lake's life, so
+the function is a lake-format property, not an engine default:
+
+  * v1 — ``pandas.util.hash_array`` over an object array. Stable, but the
+    Arrow→object conversion plus per-string hashing was measured as the
+    single largest CPU cost of the push path (~70 ms per 100k-row shard).
+  * v2 (new lakes) — fixed-width suffix hash straight off the Arrow string
+    buffers: the LAST ≤16 bytes of each value (independent per-position
+    odd multipliers, wraparound uint64) mixed with the length, finished
+    with a splitmix64-style avalanche. No object conversion, no per-string
+    Python: 16 vectorized gathers over the whole column (measured ~3×
+    faster than v1: 36 ms vs 113 ms per 200 k rows). Collisions (same
+    16-byte suffix AND length) only cost partition balance, never
+    correctness — the assignment is used solely to route whole keys to
+    partitions.
+
+Both are process/node/run-stable (no seeded ``hash()``).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+HASH_VERSION_DEFAULT = 2
+_SUFFIX = 16
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
 
 
-def hash_conv(conv_id: np.ndarray) -> np.ndarray:
-    return pd.util.hash_array(np.asarray(conv_id, dtype=object))
+# position-dependent odd multipliers: INDEPENDENT 64-bit constants (each a
+# splitmix64 finalizer of its position, forced odd). They must not share a
+# common factor — multiples of one constant would make the weighted byte
+# sum collapse to (constant × small-integer), a few hundred distinct values
+# over a sequential-ID corpus.
+_MULT = _mix(
+    (np.arange(1, _SUFFIX + 1, dtype=np.uint64))
+    * np.uint64(0x9E3779B97F4A7C15)
+) | np.uint64(1)
+_LEN_MULT = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def assign_part(conv_id: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Home partition: hash(conv_id) % P."""
-    return (hash_conv(conv_id) % np.uint64(num_partitions)).astype(np.int32)
+def _hash_v2_string(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # zero chunks
+            col = pa.array([], pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    buffers = col.buffers()
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] else np.zeros(
+        0, np.uint8
+    )
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    out = _LEN_MULT * lens.astype(np.uint64)
+    if len(data) == 0:  # all-empty/null column: length term only
+        return _mix(out)
+    # pad with one zero byte: positions past a value's start gather the pad
+    # and contribute a constant — a pure function of the value's LENGTH,
+    # which the length term already encodes, so the hash stays a pure
+    # function of the string.
+    padded = np.concatenate([data, np.zeros(1, np.uint8)])
+    pad_pos = np.int64(len(data))
+    for j in range(_SUFFIX):
+        idx = ends - 1 - j
+        byte = padded[np.where(idx >= starts, idx, pad_pos)].astype(np.uint64)
+        out += (byte + np.uint64(1)) * _MULT[j]
+    return _mix(out)
+
+
+def _hash_v2(vals) -> np.ndarray:
+    """v2 over an Arrow column (string or integer) or a numpy array."""
+    if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+        t = vals.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return _hash_v2_string(vals)
+        if pa.types.is_integer(t):
+            a = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            return _mix(
+                a.cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+        vals = vals.to_numpy(zero_copy_only=False)
+    v = np.asarray(vals)
+    if v.dtype.kind in "iu":
+        return _mix(v.astype(np.uint64))
+    return _hash_v2_string(pa.array(v, pa.string()))
+
+
+def hash_conv(conv_id, version: int = HASH_VERSION_DEFAULT) -> np.ndarray:
+    if version == 1:
+        if isinstance(conv_id, (pa.Array, pa.ChunkedArray)):
+            conv_id = conv_id.to_numpy(zero_copy_only=False)
+        return pd.util.hash_array(np.asarray(conv_id, dtype=object))
+    return _hash_v2(conv_id)
+
+
+def assign_part(
+    conv_id, num_partitions: int, version: int = HASH_VERSION_DEFAULT
+) -> np.ndarray:
+    """Home partition: hash(conv_id) % P. Accepts an Arrow column
+    (zero-conversion fast path) or a numpy array."""
+    return (hash_conv(conv_id, version) % np.uint64(num_partitions)).astype(
+        np.int32
+    )
 
 
 def assign_salted(
-    conv_id: np.ndarray, turn_idx: np.ndarray, num_partitions: int, salt_factor: int
+    conv_id,
+    turn_idx,
+    num_partitions: int,
+    salt_factor: int,
+    version: int = HASH_VERSION_DEFAULT,
 ) -> np.ndarray:
     """Salted sub-partition for the pre-fold stage: includes turn_idx so a
-    key's events are never split across sub-partitions.
-
-    PARTITIONING ASSUMPTION (stream contract, gen.py): at-least-once
-    duplicates are re-emitted within the same commit round as the original.
-    The pre-fold collapses a key's events without seeing the lake watermark,
-    which is only equivalent to the guarded stream-order fold when no stale
-    cross-round duplicate shares a round with fresh events for the same key.
-    The unsalted path has no such assumption.
-    """
-    h = hash_conv(conv_id) * np.uint64(31) + np.asarray(turn_idx).astype(np.uint64)
+    key's events are never split across sub-partitions. (The pre-fold's
+    stale-event watermark guard in ``engine._PreFold`` makes this path
+    correct for arbitrary streams — no stream contract required.)"""
+    if isinstance(turn_idx, (pa.Array, pa.ChunkedArray)):
+        turn_idx = turn_idx.to_numpy(zero_copy_only=False)
+    h = hash_conv(conv_id, version) * np.uint64(31) + np.asarray(turn_idx).astype(
+        np.uint64
+    )
     return (h % np.uint64(num_partitions * salt_factor)).astype(np.int32)

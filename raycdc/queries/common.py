@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from raycdc import partition as P
+
 ROUND_DIGITS = 4
 
 
@@ -102,7 +104,9 @@ def part_ids(vals, nparts: int) -> np.ndarray:
     v = np.asarray(vals)
     if v.dtype.kind in "iu":
         return (v.astype(np.int64) % nparts).astype("int64")
-    return (pd.util.hash_array(v) % np.uint64(nparts)).astype("int64")
+    # fast suffix hash (raycdc.partition v2): assignment only affects
+    # which bounded partition co-locates a key, never the result set
+    return (P.hash_conv(v, 2) % np.uint64(nparts)).astype("int64")
 
 
 def by_partition(ds, key_col: str, kernel, nparts: int | None = None):
