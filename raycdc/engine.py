@@ -482,12 +482,10 @@ class MergerActor:
 
                 t0 = time.perf_counter()
                 if kind == "base":
-                    # compaction: full fold of all runs + this round's events
-                    state = M.fold_fragments_table(
-                        [t for t, _ in runs], payload, key_cols=key_cols
-                    )
+                    # compaction: fused fold-of-all-runs + event merge —
+                    # ONE sort/segment pass (see merge_partition_table)
                     out = M.merge_partition_table(
-                        state, group, payload, key_cols=key_cols
+                        [t for t, _ in runs], group, payload, key_cols=key_cols
                     )
                     write_tbl = S.conform(out, frag_schema)
                     runs = [(write_tbl, M.key_hash(write_tbl, key_cols))]
@@ -498,11 +496,8 @@ class MergerActor:
                         mask = np.isin(codes, ev_codes)
                         if mask.any():
                             subsets.append(t.filter(pa.array(mask)))
-                    state = M.fold_fragments_table(
-                        subsets, payload, key_cols=key_cols
-                    )
                     out = M.merge_partition_table(
-                        state, group, payload, key_cols=key_cols
+                        subsets, group, payload, key_cols=key_cols
                     )
                     full = S.conform(out, frag_schema)
                     # rows whose watermark predates the round were touched

@@ -115,7 +115,7 @@ def _empty_fragment_table(
 
 
 def merge_partition_table(
-    fragment: pa.Table | None,
+    fragment: pa.Table | list | None,
     events: pa.Table,
     payload: list[str],
     key_cols: list[str] | None = None,
@@ -125,29 +125,40 @@ def merge_partition_table(
     Arrow in, Arrow out.
 
     ``fragment``: current fragment rows (key + payload + cursor/seq +
-    ``_deleted``) or None. ``events``: this round's change rows for the
-    partition (op + key + payload + cursor/seq; rollbacks are handled a
-    level above, in lake.py, never here). Extra columns (part/salt/epoch)
-    are ignored. Returns the new fragment, sorted by the key columns — the
-    stable-turn-ordering invariant.
+    ``_deleted``), or a LIST of fragment runs (oldest → newest, the
+    base+delta LSM layout), or None. Passing the runs directly fuses the
+    LWW fragment fold and the event merge into ONE sort + segment pass:
+    every run row is a full-state ``insert``/``delete`` pseudo-event, so
+    the segment fold's "only the last segment survives" already computes
+    fold-then-patch — ``merge(fold(runs), ev)`` row-for-row.
+    ``events``: this round's change rows for the partition (op + key +
+    payload + cursor/seq; rollbacks are handled a level above, in lake.py,
+    never here). Extra columns (part/salt/epoch) are ignored. Returns the
+    new fragment, sorted by the key columns — the stable-turn-ordering
+    invariant.
     """
     key_cols = list(key_cols if key_cols is not None else S.KEY_COLS)
     cols = key_cols + payload + ["cursor", "seq", "op"]
     ev_t = events.select(cols)
     n_ev = ev_t.num_rows
 
-    if fragment is not None and fragment.num_rows:
-        frag_op = pc.if_else(
-            fragment.column(DELETED_COL), pa.scalar("delete"), pa.scalar("insert")
-        )
-        frag_ev = fragment.select(key_cols + payload + ["cursor", "seq"]).append_column(
-            "op", frag_op
-        )
-        tbl = pa.concat_tables(
-            [frag_ev.select(cols), ev_t], promote_options="permissive"
-        )
+    frames = fragment if isinstance(fragment, list) else [fragment]
+    frames = [f for f in frames if f is not None and f.num_rows]
+    if frames:
+        frag_evs = []
+        for f in frames:
+            frag_op = pc.if_else(
+                f.column(DELETED_COL), pa.scalar("delete"), pa.scalar("insert")
+            )
+            frag_evs.append(
+                f.select(key_cols + payload + ["cursor", "seq"])
+                .append_column("op", frag_op)
+                .select(cols)
+            )
+        n_frag = sum(f.num_rows for f in frag_evs)
+        tbl = pa.concat_tables(frag_evs + [ev_t], promote_options="permissive")
         src = np.concatenate(
-            [np.zeros(fragment.num_rows, np.int8), np.ones(n_ev, np.int8)]
+            [np.zeros(n_frag, np.int8), np.ones(n_ev, np.int8)]
         )
     else:
         tbl = ev_t

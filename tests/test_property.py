@@ -197,3 +197,37 @@ def test_duplicate_push_is_noop(raw):
     once = M.merge_partition_table(None, _table(events), PAYLOAD)
     twice = M.merge_partition_table(once, _table(events), PAYLOAD)
     assert _kernel_rows(twice) == _kernel_rows(once)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_streams, st.integers(min_value=0, max_value=60), st.integers(min_value=0, max_value=60))
+def test_fused_runs_merge_equals_fold_then_merge(raw, cut1, cut2):
+    """LSM fusion law: passing the base+delta RUN LIST straight into
+    merge_partition_table equals folding the runs first and merging the
+    round against the folded state — for any two cursor splits (runs are
+    cursor-range fragments in production, but the law must hold for any
+    split the incremental-merge law already admits)."""
+    lo, hi = min(cut1, cut2), max(cut1, cut2)
+    events = _dedup(raw)
+    if not events:
+        return
+    r1 = [e for e in events if e[2] <= lo]
+    r2 = [e for e in events if lo < e[2] <= hi]
+    ev = [e for e in events if e[2] > hi]
+    runs = []
+    prev = None
+    for chunk in (r1, r2):
+        if not chunk:
+            continue
+        prev = M.merge_partition_table(prev, _table(chunk), PAYLOAD)
+        runs.append(prev)
+    if not ev:
+        return
+    two_pass = M.merge_partition_table(
+        M.fold_fragments_table(runs, PAYLOAD), _table(ev), PAYLOAD
+    )
+    fused = M.merge_partition_table(runs, _table(ev), PAYLOAD)
+    assert _kernel_rows(fused) == _kernel_rows(two_pass)
+    # and both equal the one-shot whole-stream fold
+    whole = M.merge_partition_table(None, _table(events), PAYLOAD)
+    assert _kernel_rows(fused) == _kernel_rows(whole)
