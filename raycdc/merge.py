@@ -98,9 +98,12 @@ def _sort_codes(col) -> np.ndarray:
         )
     d = col.dictionary_encode()
     idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    uniq = np.asarray(d.dictionary.to_pylist(), dtype=object)
-    rank = np.empty(len(uniq), dtype=np.int64)
-    rank[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+    # rank the U unique values with the Arrow sort kernel — no Python-object
+    # materialization (UTF-8 byte order == code-point order, so the ranks
+    # match a lexical sort)
+    order = pc.sort_indices(d.dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
     return rank[idx]
 
 
