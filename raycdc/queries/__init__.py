@@ -20,9 +20,10 @@ from raycdc.queries import (
     multimodal,
     neardup,
     tpch,
+    traces,
 )
 
-_MODULES = [tpch, events, docs, neardup, ann, multimodal, cdc, aggregates]
+_MODULES = [tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces]
 
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
