@@ -472,11 +472,18 @@ class MergerActor:
 
                 # log-structured write policy: per-round DELTA (only rows
                 # this round touched -> O(round) write volume), full BASE on
-                # first write and every `compact_every` rounds (compaction)
+                # first write and every `compact_every` rounds (compaction).
+                # The compaction phase is STAGGERED by partition id: with a
+                # uniform touch pattern every partition would otherwise hit
+                # the threshold on the same round, turning each
+                # compact_every-th round into a whole-lake fold spike;
+                # phase-shifting folds ~P/compact_every partitions per
+                # round instead, so round latency stays uniform.
                 n_deltas = len(ent["deltas"])
                 kind = (
                     "delta"
-                    if ent["base"] is not None and (n_deltas + 1) < compact_every
+                    if ent["base"] is not None
+                    and (n_deltas + 1 + part) % compact_every != 0
                     else "base"
                 )
 

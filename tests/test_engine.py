@@ -226,6 +226,17 @@ def test_delta_compaction_and_rollback(ray_session, tmp_path, make_lake):
     }
     assert kinds == {"base", "delta"}, f"expected mixed layout, got {kinds}"
     assert_matches_oracle(eng, log)
+    # staggered compaction: partitions must NOT all fold on the same
+    # rounds — otherwise every compact_every-th round is a whole-lake
+    # fold spike (uniform data touches every partition every round)
+    base_rounds_by_part = {
+        p: {v["round"] for v in versions if v["kind"] == "base"}
+        for p, versions in eng.lake.manifest["partitions"].items()
+    }
+    distinct = {frozenset(r) for r in base_rounds_by_part.values()}
+    assert len(distinct) > 1, (
+        f"compaction not staggered across partitions: {base_rounds_by_part}"
+    )
     eng.close()
 
 
