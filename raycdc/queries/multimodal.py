@@ -177,6 +177,190 @@ def media_features(sf_dir: str):
     )
 
 
+def _binary_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views of a large_binary array (slice-aware)."""
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return off, data
+
+
+class MediaResizer:
+    """Actor-pool RESIZE stage: factor-2 block-mean downsample, binary
+    blob in → binary blob out (a real transform of the multimodal column,
+    not just metadata). Fully vectorized: every output pixel's four source
+    positions are computed with batch-flat offset arithmetic — one gather
+    per corner over the whole batch, no per-row Python."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("media")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off, data = _binary_offsets(arr)
+        n = len(arr)
+        starts = off[:-1]
+        b4 = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+        w = (data[starts[:, None] + (8 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+        h = (data[starts[:, None] + (12 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+        w2, h2 = w // 2, h // 2
+        npix2 = w2 * h2
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(16 + npix2, out=out_off[1:])
+        out = np.zeros(int(out_off[-1]), dtype=np.uint8)
+
+        hdr = np.empty((n, 16), dtype=np.uint8)
+        hdr[:, :8] = _MAGIC_ARR[None, :]
+        hdr[:, 8:12] = w2.astype("<u4").view(np.uint8).reshape(n, 4)
+        hdr[:, 12:16] = h2.astype("<u4").view(np.uint8).reshape(n, 4)
+        out[out_off[:-1][:, None] + np.arange(16)[None, :]] = hdr
+
+        total2 = int(npix2.sum())
+        if total2:
+            pfx = np.concatenate(([0], np.cumsum(npix2)[:-1]))
+            k = np.arange(total2, dtype=np.int64) - np.repeat(pfx, npix2)
+            w2r = np.repeat(w2, npix2)
+            r, c = k // w2r, k % w2r
+            src0 = np.repeat(starts + 16, npix2) + 2 * r * np.repeat(w, npix2) + 2 * c
+            wr = np.repeat(w, npix2)
+            block = (
+                data[src0].astype(np.int64) + data[src0 + 1]
+                + data[src0 + wr] + data[src0 + wr + 1]
+            )
+            dst = np.repeat(out_off[:-1] + 16, npix2) + k
+            out[dst] = (block // 4).astype(np.uint8)
+
+        blobs = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out.tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "media": blobs,
+                "media_type": t.column("media_type"),
+            }
+        )
+
+
+def media_resize(sf_dir: str):
+    """Resize pipeline: synthesize → actor-pool block-mean downsample →
+    decode features of the RESIZED blobs (dims halved, pixel_mean over the
+    block means)."""
+    return (
+        attach_blobs(sf_dir)
+        .map_batches(
+            MediaResizer, batch_format="pyarrow", batch_size=128,
+            concurrency=(1, 4), num_cpus=1,
+        )
+        .map_batches(
+            MediaDecoder, batch_format="pyarrow", batch_size=128,
+            concurrency=(1, 4), num_cpus=1,
+        )
+    )
+
+
+# -- video analog: frame container + sampling ------------------------------
+
+VMAGIC = b"FAKEVID1"
+_VMAGIC_ARR = np.frombuffer(VMAGIC, dtype=np.uint8)
+
+
+def attach_video_blobs(sf_dir: str):
+    """documents → (doc_id, media:binary) fake VIDEO containers:
+    8-byte magic, u32 n_frames ∈ [4,16), u32 frame_len ∈ [64,256), then
+    ``n_frames·frame_len`` affine pseudo-bytes (same family as the image
+    blobs, so the oracle reproduces every frame arithmetically)."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = np.asarray(t.column("text").to_pylist(), dtype=object)
+        n = len(ids)
+        hs = H.poly_hash(list(texts))
+        nf = (4 + (hs % np.uint64(12))).astype(np.int64)
+        fl = (64 + ((hs >> np.uint64(8)) % np.uint64(192))).astype(np.int64)
+        nbytes = nf * fl
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(16 + nbytes, out=off[1:])
+        data = np.zeros(int(off[-1]), dtype=np.uint8)
+        hdr = np.empty((n, 16), dtype=np.uint8)
+        hdr[:, :8] = _VMAGIC_ARR[None, :]
+        hdr[:, 8:12] = nf.astype("<u4").view(np.uint8).reshape(n, 4)
+        hdr[:, 12:16] = fl.astype("<u4").view(np.uint8).reshape(n, 4)
+        data[off[:-1][:, None] + np.arange(16)[None, :]] = hdr
+        total = int(nbytes.sum())
+        if total:
+            pfx = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+            i_flat = np.arange(total, dtype=np.int64) - np.repeat(pfx, nbytes) + 1
+            vals = (
+                (np.repeat(hs, nbytes) + i_flat.astype(np.uint64) * np.uint64(H.B))
+                % np.uint64(H.P)
+            ) % np.uint64(256)
+            data[np.repeat(off[:-1] + 16, nbytes) + i_flat - 1] = vals.astype(np.uint8)
+        blobs = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "media": blobs})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class FrameSampler:
+    """Actor-pool FRAME-SAMPLE stage (1→N explode): keep every
+    ``stride``-th frame, emit per-frame features. One cumulative sum over
+    the batch's flat buffer; sampled frame sums are two gathers at frame
+    boundaries — no per-row or per-frame Python."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = int(stride)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("media")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off, data = _binary_offsets(arr)
+        starts = off[:-1]
+        n = len(arr)
+        if n == 0 or not len(data):
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "frame_idx": pa.array([], pa.int32()),
+                "frame_mean": pa.array([], pa.float64()),
+            })
+        magic = data[starts[:, None] + np.arange(8)[None, :]]
+        if not (magic == _VMAGIC_ARR[None, :]).all():
+            raise ValueError("bad video magic")
+        b4 = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+        nf = (data[starts[:, None] + (8 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+        fl = (data[starts[:, None] + (12 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+        n_samp = (nf + self.stride - 1) // self.stride
+        pfx = np.concatenate(([0], np.cumsum(n_samp)[:-1]))
+        total = int(n_samp.sum())
+        j = np.arange(total, dtype=np.int64) - np.repeat(pfx, n_samp)
+        frame = j * self.stride
+        doc = np.repeat(t.column("doc_id").to_numpy(), n_samp)
+        s_rep = np.repeat(starts + 16, n_samp)
+        fl_rep = np.repeat(fl, n_samp)
+        cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+        fsum = cs[s_rep + (frame + 1) * fl_rep] - cs[s_rep + frame * fl_rep]
+        mean = fsum / fl_rep
+        mean = np.floor(mean * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "doc_id": pa.array(doc.astype(np.int64), pa.int64()),
+            "frame_idx": pa.array(frame.astype(np.int32), pa.int32()),
+            "frame_mean": pa.array(mean, pa.float64()),
+        })
+
+
+def video_frame_sample(sf_dir: str):
+    """Frame-sampling pipeline: synthesize video containers → actor-pool
+    every-2nd-frame sampler → per-frame feature rows."""
+    return attach_video_blobs(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
 # the oracle reproduces the blob FORMAT from the text hash: dims, byte
 # count, and the affine pseudo-pixel average — everything the decoder emits
 MEDIA_FEATURES_SQL = f"""
@@ -198,10 +382,61 @@ FROM dims
 """
 
 
+# resized pixel (r,c) = floor-mean of its 2×2 source block; the affine
+# pixel formula makes every corner SQL-computable
+def _px(j: str) -> str:
+    return f"CAST(((hv + ({j}) * {H.B}) % {H.P}) % 256 AS BIGINT)"
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), dims AS (
+    SELECT doc_id, 16 + hv % 48 AS w, 16 + (hv // 256) % 48 AS ht, hv FROM h
+), d2 AS (
+    SELECT doc_id, w, w // 2 AS w2, ht // 2 AS h2, hv FROM dims
+)
+SELECT doc_id,
+    CAST(w2 AS BIGINT) AS width,
+    CAST(h2 AS BIGINT) AS height,
+    CAST(16 + w2 * h2 AS BIGINT) AS n_bytes,
+    floor(list_aggregate(flatten(
+        list_transform(generate_series(0, CAST(h2 - 1 AS BIGINT)), r ->
+            list_transform(generate_series(0, CAST(w2 - 1 AS BIGINT)), c ->
+                CAST(({_px('2*r*w + 2*c + 1')} + {_px('2*r*w + 2*c + 2')}
+                    + {_px('(2*r+1)*w + 2*c + 1')} + {_px('(2*r+1)*w + 2*c + 2')}
+                    ) // 4 AS DOUBLE)))),
+        'avg') * 10000 + 0.5) / 10000 AS pixel_mean
+FROM d2
+"""
+
+VIDEO_FRAME_SAMPLE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), v AS (
+    SELECT doc_id, 4 + hv % 12 AS nf, 64 + (hv // 256) % 192 AS fl, hv FROM h
+)
+SELECT doc_id,
+    CAST(f AS INT) AS frame_idx,
+    floor(list_aggregate(
+        list_transform(
+            generate_series(CAST(f * fl + 1 AS BIGINT), CAST((f + 1) * fl AS BIGINT)),
+            i -> CAST(((hv + i * {H.B}) % {H.P}) % 256 AS DOUBLE)),
+        'avg') * 10000 + 0.5) / 10000 AS frame_mean
+FROM v
+JOIN (SELECT unnest(range(0, 16)) AS f) frames ON f < nf
+WHERE f % 2 = 0
+"""
+
+
 QUERIES = {
     "media_features": media_features,
+    "media_resize": media_resize,
+    "video_frame_sample": video_frame_sample,
 }
 
 ORACLE_SQL = {
     "media_features": MEDIA_FEATURES_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
+    "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
 }

@@ -74,7 +74,7 @@ def _sql_backed():
         "ngram_jaccard_pairs", "fingerprints", "dedup_minhash_pairs",
         "dedup_simhash", "dedup_simhash_hamming", "media_features",
         "doc_chunks", "events_props_extract", "ann_bruteforce_multi",
-        "corpus_prep", "trace_flatten",
+        "corpus_prep", "trace_flatten", "media_resize", "video_frame_sample",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
