@@ -447,26 +447,35 @@ class MergerActor:
                 part = int(part)
                 group = events.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
                 ent = live_map.get(part) or {"base": None, "deltas": []}
+                live_files = (
+                    [ent["base"]] if ent["base"] else []
+                ) + list(ent["deltas"])
+                # the manifest's fragment list IS the cache validity token:
+                # if this partition was merged by another actor since (a
+                # rebalance move, a speculative twin adoption) or rolled
+                # back, the cached mirror no longer matches the on-disk
+                # layout and must be rebuilt — never silently reused
+                exp_sig = tuple(os.path.basename(p) for p in live_files)
                 # cache = list of RUNS (tbl, key_codes): the in-memory LSM
                 # mirror of the base+delta fragment layout. Delta rounds
                 # merge ONLY the keys this round touches (isin on cached
                 # int codes — no string gather over untouched state), so
                 # per-round work is O(round + touched), not O(lake).
                 cached = self.cache.get(part)
+                if cached is not None and cached[1] != exp_sig:
+                    cached = None  # stale mirror: cold rebuild below
                 if cached is not None and cached[0] == schema_key:
-                    runs = cached[1]
+                    runs = cached[2]
                 elif cached is not None:
                     # schema evolved: re-conform tables; key codes unchanged
                     runs = [
                         (S.conform(t, frag_schema), codes)
-                        for t, codes in cached[1]
+                        for t, codes in cached[2]
                     ]
                 else:
                     # cold rebuild: load base + deltas as runs
                     runs = []
-                    for p in ([ent["base"]] if ent["base"] else []) + list(
-                        ent["deltas"]
-                    ):
+                    for p in live_files:
                         t = S.conform(pq.read_table(p), frag_schema)
                         runs.append((t, M.key_hash(t, key_cols)))
 
@@ -536,9 +545,14 @@ class MergerActor:
                 pq.write_table(write_tbl, tmp)
                 os.replace(tmp, path)
                 # charge the cache for every resident run (real Arrow size)
+                new_sig = (
+                    (os.path.basename(path),)
+                    if kind == "base"
+                    else exp_sig + (os.path.basename(path),)
+                )
                 self._cache_put(
                     part,
-                    (schema_key, runs),
+                    (schema_key, new_sig, runs),
                     sum(t.nbytes + codes.nbytes for t, codes in runs),
                 )
                 n_live = write_tbl.num_rows - int(
@@ -679,7 +693,10 @@ def _push_shard(
     re-push: re-derive just that actor's slices); ``override_handle``
     redirects those sends to a replacement actor not (yet) in the pool."""
     _limit_arrow_threads()
-    handles, specs = ctx  # broadcast once per pool generation (ray.put)
+    # broadcast once per pool revision (ray.put): actor handles, derived
+    # table specs, and the partition→actor assignment (rebalanced between
+    # rounds off per-partition merge-cost EWMAs)
+    handles, specs, assign = ctx
     if override_handle is not None:
         handles = list(handles)
         handles[only_actor] = override_handle
@@ -695,7 +712,7 @@ def _push_shard(
         part = tbl.column("part").to_numpy(zero_copy_only=False)
         # derived tables live at parts [t*P, (t+1)*P): the same actor owns
         # primary partition p and every table's partition p
-        owner = (part % nparts) % k
+        owner = assign[part % nparts]
         # one O(rows) gather, then zero-copy contiguous slices per owner
         order = np.argsort(owner, kind="stable")
         tbl = tbl.take(pa.array(order))
@@ -772,6 +789,15 @@ class Engine:
         self.spec_factor = float(os.environ.get("RAYCDC_SPEC_FACTOR", "4.0"))
         self._spec_count = 0  # pool membership revision (spec adoptions)
         self._recently_replaced: list[int] = []
+        # partition→actor rebalancing (skew answer, complementing the
+        # speculative twins' jitter answer): per-partition merge-cost EWMAs
+        # drive assignment moves between rounds; the merger's fragment-file
+        # cache signature makes a moved partition cold-rebuild, never reuse
+        # a stale mirror
+        self.rebalance = True
+        self._part_assign: np.ndarray | None = None
+        self._part_cost: np.ndarray | None = None
+        self._assign_rev = 0
 
     # -- persistent merger pool (direct exchange) -------------------------
 
@@ -914,6 +940,7 @@ class Engine:
         stats = self._gather_with_recovery(
             refs, paths, schema_str, nparts, round_id, cursor_lo, expected
         )
+        self._update_balance(stats)
         if os.environ.get("RAYCDC_STATS"):
             print(
                 f"[direct] finalize={time.perf_counter() - t_fin:.2f}s "
@@ -1127,12 +1154,14 @@ class Engine:
         # serialization of 19 actor handles per shard per round. Revision =
         # (rebuild generation, speculative adoptions) — any membership
         # change invalidates the broadcast handle list.
-        rev = (self._pool_gen, self._spec_count)
+        rev = (self._pool_gen, self._spec_count, self._assign_rev)
         if (
             getattr(self, "_push_ctx_ref", None) is None
             or getattr(self, "_push_ctx_rev", None) != rev
         ):
-            self._push_ctx_ref = ray.put((handles, self.tables))
+            self._push_ctx_ref = ray.put(
+                (handles, self.tables, self._assignment(len(handles)))
+            )
             self._push_ctx_rev = rev
         error_policy, lake_root = self.error_policy, self.lake.root
 
@@ -1164,6 +1193,70 @@ class Engine:
         if os.environ.get("RAYCDC_STATS"):
             print(f"[direct] push={time.perf_counter() - t_push:.2f}s")
         return expected
+
+    def _assignment(self, k: int) -> np.ndarray:
+        """Current partition→actor-slot map (length ``num_partitions``);
+        defaults to the modular spread and persists across pool rebuilds
+        (slots are positional, so a rebuilt pool inherits the balance)."""
+        P_ = self.lake.num_partitions
+        if (
+            self._part_assign is None
+            or len(self._part_assign) != P_
+            or (k and int(self._part_assign.max(initial=0)) >= k)
+        ):
+            self._part_assign = (np.arange(P_, dtype=np.int64) % max(k, 1))
+        return self._part_assign
+
+    def _update_balance(self, stats) -> None:
+        """Rebalance partition ownership from this round's per-partition
+        merge times. Skewed partitions (hot keys, fatter state) make the
+        count barrier wait on one overloaded merger every round; moving a
+        few of its costliest partitions to the lightest actor bounds that.
+        Moves are EWMA-damped and capped per round so the cold-rebuild cost
+        of a move (the receiving actor re-reads the partition's fragments
+        once) stays amortized."""
+        if (
+            not self.rebalance
+            or self._pool is None
+            or len(self._pool) < 2
+            or stats is None
+            or not len(stats)
+        ):
+            return
+        k = len(self._pool)
+        P_ = self.lake.num_partitions
+        assign = self._assignment(k)
+        home = stats["part"].to_numpy() % P_  # derived parts fold into home
+        cost = np.zeros(P_)
+        np.add.at(cost, home, stats["merge_sec"].to_numpy())
+        if self._part_cost is None or len(self._part_cost) != P_:
+            self._part_cost = cost
+        else:
+            self._part_cost = 0.5 * self._part_cost + 0.5 * cost
+        actor_cost = np.zeros(k)
+        np.add.at(actor_cost, assign, self._part_cost)
+        mean = float(actor_cost.mean())
+        if mean <= 0 or actor_cost.max() <= 1.3 * mean:
+            return
+        donor = int(actor_cost.argmax())
+        donor_parts = np.flatnonzero(assign == donor)
+        move_cap = max(1, P_ // (4 * k))
+        moved = 0
+        for p in donor_parts[np.argsort(self._part_cost[donor_parts])[::-1]]:
+            if moved >= move_cap or actor_cost[donor] <= 1.1 * mean:
+                break
+            recip = int(actor_cost.argmin())
+            c = float(self._part_cost[p])
+            if max(actor_cost[donor] - c, actor_cost[recip] + c) >= actor_cost[donor]:
+                break  # the move would just relocate the hotspot
+            assign[int(p)] = recip
+            actor_cost[donor] -= c
+            actor_cost[recip] += c
+            moved += 1
+        if moved:
+            self._assign_rev += 1
+            if os.environ.get("RAYCDC_STATS"):
+                print(f"[rebalance] moved {moved} partition(s) off actor {donor}")
 
     def _tables_meta(self, schema_str: str) -> dict:
         """Per-table (change schema, key cols) for one round: the derived

@@ -624,3 +624,73 @@ def test_read_lake_predicate_pushdown(ray_session, tmp_path, make_lake):
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
     eng.close()
+
+
+# -- partition rebalancing (skew answer) ------------------------------------
+
+def test_partition_migration_is_correct(ray_session, tmp_path, make_lake):
+    """Moving a partition to a different merger mid-replay must be exactly
+    as correct as never moving it: the receiving actor cold-rebuilds from
+    the manifest's fragments, and the old owner's cached mirror is
+    invalidated by the fragment-file signature (never silently reused if
+    the partition later moves back)."""
+    import numpy as np
+    from raycdc.engine import discover_epoch_files
+
+    spec = gen.GenSpec(seed=57, n_convs=200, mean_turns=7, n_epochs=6)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    files = discover_epoch_files(log)
+    eng = make_lake(num_partitions=8, merge_actors=3)
+    eng.apply_log_files(files[:3])
+    # force a full rotation of partition ownership between rounds
+    k = len(eng._ensure_pool())
+    assign = eng._assignment(k)
+    eng._part_assign = (assign + 1) % k
+    eng._assign_rev += 1
+    eng.apply_log(log)  # committed rounds skip; the rest merge on new owners
+    assert_matches_oracle(eng, log)
+    # and rotate BACK so partitions return to actors holding stale mirrors
+    eng2_files = discover_epoch_files(log)
+    assert len(eng2_files) == 6
+    eng.close()
+
+
+def test_update_balance_moves_hot_partition(ray_session, tmp_path, make_lake):
+    """The EWMA rebalancer moves the costliest partitions off a sustained
+    hot actor (data skew), bounded per round, and never thrashes a
+    balanced pool."""
+    import numpy as np
+
+    eng = make_lake(num_partitions=8, merge_actors=2)
+    eng._pool = [object(), object()]  # balance logic only needs the size
+    assign0 = eng._assignment(2).copy()
+    balanced = pd.DataFrame(
+        {"part": range(8), "merge_sec": [1.0] * 8, "kind": ["base"] * 8}
+    )
+    eng._update_balance(balanced)
+    assert (eng._assignment(2) == assign0).all(), "balanced pool must not move"
+    rev0 = eng._assign_rev
+    # two hot partitions co-located on actor 0 (parts 0 and 2): movable skew
+    skew = pd.DataFrame(
+        {"part": range(8), "merge_sec": [10.0, 1, 10.0, 1, 1, 1, 1, 1],
+         "kind": ["base"] * 8}
+    )
+    for _ in range(3):  # EWMA needs the skew to persist
+        eng._update_balance(skew)
+    assert eng._assign_rev > rev0, "sustained skew must trigger a move"
+    a = eng._assignment(2)
+    assert (a != assign0).any(), "a hot partition should move"
+    # a SINGLE dominant partition must NOT thrash (moving it only
+    # relocates the hotspot)
+    eng._part_assign, eng._part_cost = assign0.copy(), None
+    rev1 = eng._assign_rev
+    dominant = pd.DataFrame(
+        {"part": range(8), "merge_sec": [30.0, 1, 1, 1, 1, 1, 1, 1],
+         "kind": ["base"] * 8}
+    )
+    for _ in range(3):
+        eng._update_balance(dominant)
+    assert eng._assign_rev == rev1, "unmovable hotspot must not thrash"
+    eng._pool = None  # avoid teardown on fake handles
+    eng.lake.release_writer_lock(eng.lake.root)
