@@ -1,10 +1,12 @@
 """Similarity search over the ``embeddings`` table: brute-force cosine
-top-k (baseline), IVF-bucketed ANN (scale path), embedding-cosine near-dup.
+top-k (baseline), IVF-bucketed and hyperplane-LSH ANN (the two scale
+paths), embedding-cosine near-dup.
 
 Scale shape: the query matrix is broadcast once (``ray.put``); each batch
 does one float64 matmul against it — no shuffle. The IVF variant buckets by
 nearest centroid (deterministic seeded k-means) so candidate generation
-touches one bucket per query at scale.
+touches one bucket per query at scale; the LSH variant buckets by banded
+sign-bit signatures (data-independent planes, no training pass).
 """
 
 from __future__ import annotations
@@ -282,6 +284,89 @@ def ann_ivf(sf_dir: str):
     )
 
 
+# -- random-hyperplane LSH ANN (the other scale path) -----------------------
+
+LSH_NBITS = 16  # hyperplanes
+LSH_NBANDS = 4  # 4 bands x 4 bits: candidate iff ANY band matches the query
+LSH_BAND_BITS = LSH_NBITS // LSH_NBANDS
+_LSH_SEED = 7
+
+
+def _lsh_planes() -> np.ndarray:
+    """Deterministic data-INdependent hyperplanes (seeded Gaussian): sign of
+    ``emb . plane_j`` is bit j of the signature. Shared by the Ray query and
+    the SQL oracle (embedded as literals)."""
+    return np.random.RandomState(_LSH_SEED).standard_normal((LSH_NBITS, 64))
+
+
+def _band_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(N, NBANDS) int codes: each band packs LSH_BAND_BITS sign bits."""
+    bits = (mat @ planes.T) > 0.0  # N x NBITS
+    weights = 1 << np.arange(LSH_BAND_BITS - 1, -1, -1)
+    return bits.reshape(len(mat), LSH_NBANDS, LSH_BAND_BITS) @ weights
+
+
+def ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN: rows whose 16-bit hyperplane signature shares ANY
+    4-bit band with the query's are candidates (banding prunes ~3/4 of a
+    random corpus per band while keeping high-cosine rows with high
+    probability); candidates get exact cosine, then global top-k. Scale
+    shape: planes + query bands broadcast once, candidate generation is one
+    (B x D) @ (D x 16) matmul per batch — no shuffle; at cluster scale the
+    band codes become the bucket groupby key exactly as in the MinHash LSH
+    pipeline (``neardup.py``)."""
+    import ray
+
+    planes = _lsh_planes()
+    q = _query_vec(sf_dir)
+    q_bands = _band_codes(q[None, :], planes)[0]
+    qn = q / np.linalg.norm(q)
+    ref = ray.put((planes, q_bands, qn))
+
+    ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class BandScore:
+        def __init__(self):
+            self.planes, self.q_bands, self.q = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = _emb_matrix(b)
+            cand = (_band_codes(m, self.planes) == self.q_bands).any(axis=1)
+            m, ids = m[cand], b["vec_id"].to_numpy()[cand]
+            if len(m) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.Series(dtype="int64"),
+                     "cosine_sim": pd.Series(dtype="float64")}
+                )
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m @ self.q) / norms
+            return pd.DataFrame({"vec_id": ids, "cosine_sim": np.round(sims, 4)})
+
+    return (
+        ds.map_batches(BandScore, batch_format="pandas", concurrency=(1, 8))
+        .sort(["cosine_sim", "vec_id"], descending=[True, False])
+        .limit(TOP_K)
+    )
+
+
+def _lsh_band_sql_exprs() -> list[str]:
+    """One SQL expression per band computing the packed band code from the
+    sign bits of the plane dot products."""
+    planes = _lsh_planes()
+    bit_exprs = [
+        f"CAST(list_inner_product(de, {_vec_lit(p)}) > 0 AS INT)" for p in planes
+    ]
+    bands = []
+    for b in range(LSH_NBANDS):
+        terms = [
+            f"{bit_exprs[b * LSH_BAND_BITS + j]} * {1 << (LSH_BAND_BITS - 1 - j)}"
+            for j in range(LSH_BAND_BITS)
+        ]
+        bands.append(" + ".join(terms))
+    return bands
+
+
 # -- embedding-cosine near-dup (restricted pair space, SQL-checkable) ------
 
 NEARDUP_LIMIT_IDS = 400
@@ -357,11 +442,14 @@ def _vec_lit(v: np.ndarray) -> str:
 
 
 def build_ann_oracle_sql(sf_dir: str) -> dict[str, str]:
-    """Data-dependent oracle: the coarse quantizer is deterministic given
-    the corpus (bottom-k-by-hash sample + seeded k-means), so the trained
-    centroids are embedded as SQL literals and the inverted-list assignment
-    (argmin distance, first-index tie-break = ``list_position`` of the
-    minimum) plus the nprobe search are expressed entirely in DuckDB."""
+    """Data-dependent oracles. ``ann_ivf``: the coarse quantizer is
+    deterministic given the corpus (bottom-k-by-hash sample + seeded
+    k-means), so the trained centroids are embedded as SQL literals and the
+    inverted-list assignment (argmin distance, first-index tie-break =
+    ``list_position`` of the minimum) plus the nprobe search are expressed
+    entirely in DuckDB. ``ann_lsh``: the hyperplanes are data-independent
+    literals; the query's band codes are computed in Python and embedded,
+    and the per-row band codes + any-band match are expressed in SQL."""
     cent = _train_centroids(sf_dir)
     q = _query_vec(sf_dir)
     probe = _probe_lists(cent, q)
@@ -383,13 +471,32 @@ FROM a, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
 WHERE ivf_list IN ({",".join(map(str, probe))})
 ORDER BY cosine_sim DESC, a.vec_id LIMIT {TOP_K}
 """
-    return {"ann_ivf": sql}
+    q_bands = _band_codes(q[None, :], _lsh_planes())[0]
+    match = " OR ".join(
+        f"({expr}) = {int(q_bands[i])}"
+        for i, expr in enumerate(_lsh_band_sql_exprs())
+    )
+    lsh_sql = f"""
+WITH c AS (
+    SELECT vec_id, embedding
+    FROM (SELECT vec_id, embedding,
+                 CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+    WHERE {match}
+)
+SELECT c.vec_id,
+       round(CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE), 4)
+           AS cosine_sim
+FROM c, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+ORDER BY cosine_sim DESC, c.vec_id LIMIT {TOP_K}
+"""
+    return {"ann_ivf": sql, "ann_lsh": lsh_sql}
 
 
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_bruteforce_multi": ann_bruteforce_multi,
     "ann_ivf": ann_ivf,
+    "ann_lsh": ann_lsh,
     "embedding_norms": embedding_norms,
     "embedding_neardup": embedding_neardup,
 }

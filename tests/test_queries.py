@@ -108,6 +108,29 @@ def test_ann_ivf_matches_sql_oracle(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
 
 
+def test_ann_lsh_matches_sql_oracle(ray_session):
+    """Hyperplane-LSH ANN vs a DuckDB oracle carrying the (data-independent)
+    hyperplanes and the query's band codes as literals."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_lsh"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_lsh"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    """Any-band match keeps high-cosine rows with high probability; a broken
+    signer would show up as near-zero overlap with the exact top-k."""
+    from raycdc.queries import QUERIES
+
+    bf = to_df(QUERIES["ann_bruteforce"](SF_DIR))
+    lsh = to_df(QUERIES["ann_lsh"](SF_DIR))
+    recall = len(set(lsh["vec_id"]) & set(bf["vec_id"])) / len(bf)
+    assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
+
+
 def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
     """Plant near-duplicate docs and check LSH surfaces them."""
     import pyarrow as pa
