@@ -147,6 +147,29 @@ def segment_sum(vals: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     return out
 
 
+def lex_searchsorted_left(
+    a1: np.ndarray, a2: np.ndarray, q1: np.ndarray, q2: np.ndarray
+) -> np.ndarray:
+    """Vectorized 2-key lexicographic ``searchsorted(side='left')``: for each
+    query ``(q1[i], q2[i])`` the number of data rows ``(a1, a2)`` (sorted
+    lexicographically) strictly smaller than it. numpy's searchsorted is
+    single-key; composite-key encoding (key1 * span + key2) overflows int64
+    on wide domains (e.g. user-count × ns-timestamps), so this uses the
+    merge-by-sorting trick instead: one lexsort of data+queries with a
+    tie-break bit ordering queries BEFORE equal data rows, then a cumsum of
+    data occupancy — exact at any magnitude, O((n+m) log(n+m))."""
+    n, m = len(a1), len(q1)
+    k1 = np.concatenate([a1, q1])
+    k2 = np.concatenate([a2, q2])
+    isq = np.concatenate([np.zeros(n, bool), np.ones(m, bool)])
+    order = np.lexsort((~isq, k2, k1))  # query slots sort before equal data
+    is_data = ~isq[order]
+    data_before = np.cumsum(is_data) - is_data
+    pos = np.empty(n + m, np.int64)
+    pos[order] = data_before
+    return pos[n:]
+
+
 def round_cols(df: pd.DataFrame, cols: list[str], digits: int = ROUND_DIGITS) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].astype(float).round(digits)

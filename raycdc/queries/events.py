@@ -11,6 +11,7 @@ aggregates (`indexer/aggr_jobs/disorder_jobs/daily_wallet_addresses_aggregates.s
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -294,6 +295,223 @@ FROM e ASOF LEFT JOIN o ON e.bucket = o.bucket AND e.ts_asof >= o.o_orderdate
 """
 
 
+# -- windowed aggregate (trailing time-RANGE frame, custom operator) -------
+
+ROLLING_WINDOW_MIN = 60
+
+
+def events_rolling_window(sf_dir: str):
+    """Trailing 1-hour windowed aggregate per user (SQL RANGE frame,
+    peers included): for every event, the count and sum of the user's
+    events with ts in ``[ts - 1h, ts]``. Ray Data has no window operator —
+    composed as bounded partitions (all rows of a user co-located) + ONE
+    vectorized kernel per partition: sort by (user, ts, event_id), window
+    starts via a 2-key lexicographic searchsorted (merge-by-sorting — no
+    composite-key int64 overflow at corpus scale), window ends as peer-run
+    boundaries, and exact int64 prefix-sum differences for the sums (so
+    the value hash matches SQL's direct summation bit-for-bit)."""
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    w_ns = np.int64(ROLLING_WINDOW_MIN) * 60 * 1_000_000_000
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uc = pd.factorize(g["user_id"])[0].astype(np.int64)  # monotonic: g sorted
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        micros = np.floor(g["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        lo = C.lex_searchsorted_left(uc, ts, uc, ts - w_ns)
+        # frame end = end of the (user, ts) peer run (RANGE includes peers)
+        new_run = np.ones(len(g), bool)
+        new_run[1:] = (uc[1:] != uc[:-1]) | (ts[1:] != ts[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], len(g))
+        hi = run_ends[np.cumsum(new_run) - 1]
+        cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(micros)])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "w_n": (hi - lo).astype("int64"),
+                "w_sum": np.round((cum[hi] - cum[lo]) / 1e6, C.ROUND_DIGITS),
+            }
+        )
+
+    return C.by_partition(ds, "user_id", window)
+
+
+ROLLING_SQL = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS w_n,
+       round(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w
+             / 1000000.0, 4) AS w_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {ROLLING_WINDOW_MIN} MINUTE PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
+# -- range join (interval containment, custom operator) ---------------------
+
+RANGE_JOIN_DAYS = 7
+
+
+def events_range_join_orders(sf_dir: str):
+    """Range join: for each event, the count and revenue of orders in its
+    key bucket whose o_orderdate falls in the trailing
+    ``[ts_asof - 7d, ts_asof]`` window. Ray Data has only equi-joins —
+    composed as: distributed pre-aggregation of the right side to one row
+    per (bucket, date) with exact int64 revenue cents → broadcast as
+    per-bucket sorted date arrays + prefix sums → per batch, two
+    ``np.searchsorted`` calls per bucket (≤ ASOF_BUCKETS vectorized
+    iterations, never per row) turn interval containment into prefix-sum
+    differences. The right side stays small BY CONSTRUCTION (pre-agg
+    bounds it to buckets × distinct dates); a big-big range join would
+    instead bucket both sides by (key, coarse time range) and run this
+    same kernel per co-partition."""
+    import ray
+
+    right = (
+        C.read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "bucket": (b["o_custkey"] % ASOF_BUCKETS).astype("int64"),
+                    "o_orderdate": b["o_orderdate"],
+                    "cents": np.round(b["o_totalprice"].to_numpy() * 100)
+                    .astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby(["bucket", "o_orderdate"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values(["bucket", "o_orderdate"], kind="stable")
+    )
+    idx = {}
+    for bk, grp in right.groupby("bucket", sort=True):
+        dates = (
+            pd.to_datetime(grp["o_orderdate"])
+            .to_numpy()
+            .astype("datetime64[ns]")
+            .astype(np.int64)
+        )
+        n = grp["n"].to_numpy().astype(np.int64)
+        cents = grp["cents"].to_numpy().astype(np.int64)
+        idx[int(bk)] = (
+            dates,
+            np.concatenate([np.zeros(1, np.int64), np.cumsum(n)]),
+            np.concatenate([np.zeros(1, np.int64), np.cumsum(cents)]),
+        )
+    ref = ray.put(idx)
+    w_ns = np.int64(RANGE_JOIN_DAYS) * 86_400 * 1_000_000_000
+
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    class RangeJoin:
+        def __init__(self):
+            self.idx = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            bucket = (b["user_id"] % ASOF_BUCKETS).astype("int64").to_numpy()
+            ts_asof = (
+                (b["ts"] - pd.DateOffset(years=29))
+                .astype("datetime64[ns]")
+                .to_numpy()
+                .astype(np.int64)
+            )
+            n_out = np.zeros(len(b), np.int64)
+            cents_out = np.zeros(len(b), np.int64)
+            for bk, (dates, cum_n, cum_c) in self.idx.items():
+                m = bucket == bk
+                if not m.any():
+                    continue
+                t = ts_asof[m]
+                lo = np.searchsorted(dates, t - w_ns, side="left")
+                hi = np.searchsorted(dates, t, side="right")
+                n_out[m] = cum_n[hi] - cum_n[lo]
+                cents_out[m] = cum_c[hi] - cum_c[lo]
+            return pd.DataFrame(
+                {
+                    "event_id": b["event_id"].to_numpy(),
+                    "bucket": bucket,
+                    "n_orders": n_out,
+                    "window_revenue": np.round(cents_out / 100.0, C.ROUND_DIGITS),
+                }
+            )
+
+    return ds.map_batches(RangeJoin, batch_format="pandas", concurrency=(1, 4))
+
+
+RANGE_JOIN_SQL = f"""
+WITH e AS (
+    SELECT event_id, user_id % {ASOF_BUCKETS} AS bucket,
+           ts - INTERVAL 29 YEAR AS ts_asof
+    FROM events
+)
+SELECT e.event_id, e.bucket,
+       count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+             / 100.0, 4) AS window_revenue
+FROM e LEFT JOIN orders o
+  ON (o.o_custkey % {ASOF_BUCKETS}) = e.bucket
+ AND o.o_orderdate BETWEEN e.ts_asof - INTERVAL {RANGE_JOIN_DAYS} DAY
+                       AND e.ts_asof
+GROUP BY e.event_id, e.bucket
+"""
+
+
+# -- grouped top-k -----------------------------------------------------------
+
+TOPK_PER_USER = 3
+
+
+def events_top_per_user(sf_dir: str):
+    """Top-3 events per user by (value DESC, event_id ASC): a per-batch
+    C-speed combiner (``groupby().head`` on a sorted frame — keeps ≤ k rows
+    per (batch, user), a superset of the global top-k) shrinks the stream
+    before the shuffle; the bounded-partition finisher repeats the same
+    kernel and ranks with ``cumcount`` — zero per-group Python."""
+    ds = C.read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def localtop(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(
+                ["user_id", "value", "event_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("user_id", sort=False)
+            .head(TOPK_PER_USER)
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        top = localtop(g)
+        rnk = top.groupby("user_id", sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "rnk": rnk.to_numpy().astype("int64"),
+                "event_id": top["event_id"].to_numpy(),
+                "value": top["value"].round(C.ROUND_DIGITS).to_numpy(),
+            }
+        )
+
+    partial = ds.map_batches(localtop, batch_format="pandas")
+    return C.by_partition(partial, "user_id", finish)
+
+
+TOP_PER_USER_SQL = f"""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       event_id, round(value, 4) AS value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+QUALIFY row_number() OVER w <= {TOPK_PER_USER}
+"""
+
+
 # -- payload field extraction (parser/decoder family) ----------------------
 
 _PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
@@ -355,6 +573,9 @@ QUERIES = {
     "events_type_stats": events_type_stats,
     "events_sessionize": events_sessionize,
     "events_props_extract": events_props_extract,
+    "events_rolling_window": events_rolling_window,
+    "events_range_join_orders": events_range_join_orders,
+    "events_top_per_user": events_top_per_user,
 }
 
 ORACLE_SQL = {
@@ -365,4 +586,7 @@ ORACLE_SQL = {
     "events_type_stats": TYPE_STATS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_props_extract": PROPS_EXTRACT_SQL,
+    "events_rolling_window": ROLLING_SQL,
+    "events_range_join_orders": RANGE_JOIN_SQL,
+    "events_top_per_user": TOP_PER_USER_SQL,
 }

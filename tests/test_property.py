@@ -231,3 +231,28 @@ def test_fused_runs_merge_equals_fold_then_merge(raw, cut1, cut2):
     # and both equal the one-shot whole-stream fold
     whole = M.merge_partition_table(None, _table(events), PAYLOAD)
     assert _kernel_rows(fused) == _kernel_rows(whole)
+
+
+# -- lexicographic searchsorted (windowed-aggregate kernel) ------------------
+
+_pairs = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-20, 20)), min_size=0, max_size=50
+)
+
+
+@given(data=_pairs, queries=_pairs)
+@settings(max_examples=200, deadline=None)
+def test_lex_searchsorted_left_matches_bruteforce(data, queries):
+    """lex_searchsorted_left(a, q) == count of data pairs lexicographically
+    smaller than each query pair — the law the rolling-window frame start
+    depends on (ties must resolve to the FIRST equal data row)."""
+    from raycdc.queries.common import lex_searchsorted_left
+
+    data = sorted(data)
+    a1 = np.array([x for x, _ in data], np.int64)
+    a2 = np.array([y for _, y in data], np.int64)
+    q1 = np.array([x for x, _ in queries], np.int64)
+    q2 = np.array([y for _, y in queries], np.int64)
+    got = lex_searchsorted_left(a1, a2, q1, q2)
+    want = [sum(1 for d in data if d < q) for q in queries]
+    assert got.tolist() == want

@@ -75,6 +75,8 @@ def _sql_backed():
         "dedup_simhash", "dedup_simhash_hamming", "media_features",
         "doc_chunks", "events_props_extract", "ann_bruteforce_multi",
         "corpus_prep", "trace_flatten", "media_resize", "video_frame_sample",
+        "events_rolling_window", "events_range_join_orders",
+        "events_top_per_user",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
