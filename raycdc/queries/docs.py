@@ -468,6 +468,113 @@ FROM sc
 """
 
 
+# -- corpus vocabulary (global term frequencies) ----------------------------
+
+VOCAB_TOP = 50
+
+
+def vocab_top_terms(sf_dir: str):
+    """Corpus vocabulary: global whitespace-token frequencies, top-50 by
+    (count DESC, token ASC). Scale shape: each batch pre-aggregates its own
+    token counts (C-speed split → explode → value_counts), so the shuffle
+    moves one row per (batch, distinct token) — the combiner pattern — and
+    the groupby key space is the vocabulary (Zipf-bounded), never the token
+    stream. The final sort+head runs on the vocabulary-sized aggregate."""
+    ds = C.read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.strip().str.split().explode()
+        vc = toks[toks.notna()].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "token"], ascending=[False, True], kind="stable")
+        .head(VOCAB_TOP)
+        .reset_index(drop=True)
+    )
+
+
+VOCAB_SQL = rf"""
+SELECT t.token, count(*) AS n
+FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(token)
+WHERE t.token <> ''
+GROUP BY 1
+ORDER BY n DESC, t.token
+LIMIT {VOCAB_TOP}
+"""
+
+
+# -- deterministic stratified sample ----------------------------------------
+
+SAMPLE_PER_STRATUM = 10
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsample: the SAMPLE_PER_STRATUM docs
+    with the smallest portable hash H(doc_id) per (lang, source) stratum —
+    seedable, order-independent, resumable (the training-data "take N per
+    source" op; a prefix ``limit`` would bias toward file order). Per-batch
+    combiner keeps ≤N per stratum before the shuffle (min-N by hash is a
+    superset-stable partial), finisher ranks with ``cumcount`` — zero
+    per-group Python."""
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def localmin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["h"] = H.poly_hash(
+            b["doc_id"].astype("string").to_numpy(dtype=object)
+        ).astype("int64")
+        return (
+            b.sort_values(["lang", "source", "h", "doc_id"], kind="stable")
+            .groupby(["lang", "source"], sort=False)
+            .head(SAMPLE_PER_STRATUM)
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            g.sort_values(["lang", "source", "h", "doc_id"], kind="stable")
+            .groupby(["lang", "source"], sort=False)
+            .head(SAMPLE_PER_STRATUM)
+        )
+        rnk = top.groupby(["lang", "source"], sort=False).cumcount() + 1
+        return pd.DataFrame(
+            {
+                "lang": top["lang"].to_numpy(),
+                "source": top["source"].to_numpy(),
+                "rnk": rnk.to_numpy().astype("int64"),
+                "doc_id": top["doc_id"].to_numpy(),
+            }
+        )
+
+    partial = ds.map_batches(localmin, batch_format="pandas")
+    return C.by_partition(partial, "lang", finish)
+
+
+def _strat_sample_sql() -> str:
+    from raycdc import phash as H
+
+    return f"""
+SELECT lang, source,
+       CAST(row_number() OVER w AS BIGINT) AS rnk, doc_id
+FROM (SELECT lang, source, doc_id,
+             {H.sql_poly("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents)
+WINDOW w AS (PARTITION BY lang, source ORDER BY h, doc_id)
+QUALIFY row_number() OVER w <= {SAMPLE_PER_STRATUM}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
@@ -477,6 +584,8 @@ QUERIES = {
     "fingerprints": fingerprints,
     "doc_chunks": doc_chunks,
     "corpus_prep": corpus_prep,
+    "vocab_top_terms": vocab_top_terms,
+    "docs_stratified_sample": docs_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -488,4 +597,6 @@ ORACLE_SQL = {
     "fingerprints": _fingerprints_sql(),
     "doc_chunks": DOC_CHUNKS_SQL,
     "corpus_prep": _corpus_prep_sql(),
+    "vocab_top_terms": VOCAB_SQL,
+    "docs_stratified_sample": _strat_sample_sql(),
 }
