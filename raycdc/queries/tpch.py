@@ -24,33 +24,56 @@ from raycdc.queries import common as C
 # -- Q1-style pricing summary (grouped aggregate with computed columns) ----
 
 def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate over a TINY key space (flag × status ≤ 6 groups):
+    each batch emits its own per-group partial sums (Arrow compute + a
+    C-speed pandas hash aggregate), so the only data movement is ≤ 6 rows
+    per block — no all-to-all shuffle at any scale. Means decompose into
+    (sum, count) partials and divide at the end. This is the combiner shape
+    a 100-TB grouped aggregate with bounded key cardinality should have;
+    ``Dataset.groupby().aggregate()`` (a full hash shuffle) is reserved for
+    unbounded key spaces (see events_user_daily)."""
     ds = C.read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
 
-    def compute(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         disc_price = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
-        return t.append_column("disc_price", disc_price).append_column("charge", charge)
-
-    out = (
-        ds.map_batches(compute, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pandas(),
+                "l_linestatus": t.column("l_linestatus").to_pandas(),
+                "sum_qty": t.column("l_quantity").to_pandas(),
+                "sum_base_price": t.column("l_extendedprice").to_pandas(),
+                "sum_disc_price": disc_price.to_pandas(),
+                "sum_charge": charge.to_pandas(),
+                "sum_disc": t.column("l_discount").to_pandas(),
+            }
         )
-        .to_pandas()
-    )
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price=("sum_base_price", "sum"),
+            sum_disc_price=("sum_disc_price", "sum"),
+            sum_charge=("sum_charge", "sum"),
+            sum_disc=("sum_disc", "sum"),
+            count_order=("sum_qty", "size"),
+        )
+        out["count_order"] = out["count_order"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_disc"] = out["sum_disc"] / out["count_order"]
+    out = out.drop(columns=["sum_disc"])
+    out = out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "sum_charge", "avg_qty", "avg_disc", "count_order"]
+    ]
     return C.round_cols(
         out, ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_disc"]
     )
@@ -101,22 +124,31 @@ def q3_top_orders(sf_dir: str):
         )
         return t.select(["l_orderkey", "o_orderdate"]).append_column("revenue", rev)
 
-    # round BEFORE the sort+limit so the top-k boundary ranks on the same
-    # values as the oracle (which orders by the rounded alias)
-    def round_rev(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("revenue"),
-            "revenue",
-            pc.round(t.column("revenue"), ndigits=C.ROUND_DIGITS),
-        )
+    # round BEFORE ranking so the top-k boundary ranks on the same values
+    # as the oracle (which orders by the rounded alias); per-block local
+    # top-k (a superset of the global top-k) replaces the all-to-all sort —
+    # the driver reduces ≤ 10 × blocks rows
+    def localtop(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["revenue"] = df["revenue"].round(C.ROUND_DIGITS)
+        return df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
 
-    agg = (
+    cand = (
         j.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("revenue", alias_name="revenue"))
-        .map_batches(round_rev, batch_format="pyarrow")
+        .map_batches(localtop, batch_format="pyarrow")
+        .to_pandas()
     )
-    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    top = (
+        cand.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="stable"
+        )
+        .head(10)
+        .reset_index(drop=True)
+    )
     return top[["l_orderkey", "o_orderdate", "revenue"]]
 
 
