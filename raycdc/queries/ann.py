@@ -26,6 +26,21 @@ def _emb_matrix(df: pd.DataFrame) -> np.ndarray:
     return np.stack(df["embedding"].to_numpy()).astype(np.float64)
 
 
+def _local_top(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch top-k by (cosine_sim DESC, vec_id ASC) — the same composite
+    order the final reduce and the SQL oracles use, so the union of local
+    top-k sets is always a superset of the global top-k."""
+    return df.sort_values(
+        ["cosine_sim", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(TOP_K)
+
+
+def _topk_reduce(ds) -> pd.DataFrame:
+    """Driver reduce over ≤ TOP_K × blocks combiner rows (replaces an
+    all-to-all ``sort().limit()`` over the full scored stream)."""
+    return _local_top(ds.to_pandas()).reset_index(drop=True)
+
+
 def ann_bruteforce_multi(sf_dir: str):
     """BATCHED exact cosine top-k: Q query vectors broadcast as one matrix
     (``ray.put`` once), each corpus batch does a single (B×D)@(D×Q)
@@ -125,15 +140,13 @@ def ann_bruteforce(sf_dir: str):
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             sims = (m @ self.q) / norms
-            return pd.DataFrame(
-                {"vec_id": b["vec_id"].to_numpy(), "cosine_sim": np.round(sims, 4)}
+            return _local_top(
+                pd.DataFrame(
+                    {"vec_id": b["vec_id"].to_numpy(), "cosine_sim": np.round(sims, 4)}
+                )
             )
 
-    return (
-        ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
-        .sort(["cosine_sim", "vec_id"], descending=[True, False])
-        .limit(TOP_K)
-    )
+    return _topk_reduce(ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8)))
 
 
 ANN_BRUTE_SQL = f"""
@@ -275,12 +288,12 @@ def ann_ivf(sf_dir: str):
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             sims = (m @ self.q) / norms
-            return pd.DataFrame({"vec_id": ids, "cosine_sim": np.round(sims, 4)})
+            return _local_top(
+                pd.DataFrame({"vec_id": ids, "cosine_sim": np.round(sims, 4)})
+            )
 
-    return (
+    return _topk_reduce(
         ds.map_batches(ProbeScore, batch_format="pandas", concurrency=(1, 8))
-        .sort(["cosine_sim", "vec_id"], descending=[True, False])
-        .limit(TOP_K)
     )
 
 
@@ -341,12 +354,12 @@ def ann_lsh(sf_dir: str):
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             sims = (m @ self.q) / norms
-            return pd.DataFrame({"vec_id": ids, "cosine_sim": np.round(sims, 4)})
+            return _local_top(
+                pd.DataFrame({"vec_id": ids, "cosine_sim": np.round(sims, 4)})
+            )
 
-    return (
+    return _topk_reduce(
         ds.map_batches(BandScore, batch_format="pandas", concurrency=(1, 8))
-        .sort(["cosine_sim", "vec_id"], descending=[True, False])
-        .limit(TOP_K)
     )
 
 

@@ -189,12 +189,12 @@ def q5_nation_revenue(sf_dir: str):
             # partial aggregate inside the batch → tiny shuffle (combiner)
             return b.groupby("n_name", as_index=False)["revenue"].sum()
 
-    out = (
-        line.map_batches(NationRevenue, batch_format="pandas", concurrency=2)
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
-    )
+    # the per-batch combiner leaves ≤ 5 rows per block — fold on the driver
+    # instead of an all-to-all groupby over the tiny partials
+    parts = line.map_batches(
+        NationRevenue, batch_format="pandas", concurrency=(1, 8)
+    ).to_pandas()
+    out = parts.groupby("n_name", as_index=False)["revenue"].sum()
     return C.round_cols(out, ["revenue"])
 
 
