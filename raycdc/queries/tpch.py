@@ -259,15 +259,22 @@ def top_customers_by_revenue(sf_dir: str):
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             b["c_name"] = b["o_custkey"].map(self.lut)
-            # round BEFORE sort+limit: rank on the oracle's rounded values
+            # round BEFORE ranking: rank on the oracle's rounded values;
+            # keep only the block-local top-10 (superset of the global)
             b["revenue"] = b["revenue"].round(C.ROUND_DIGITS)
-            return b
+            return b.sort_values(
+                ["revenue", "o_custkey"], ascending=[False, True], kind="stable"
+            ).head(10)
 
+    cand = agg.map_batches(
+        AddName, batch_format="pandas", concurrency=(1, 4)
+    ).to_pandas()
     top = (
-        agg.map_batches(AddName, batch_format="pandas", concurrency=1)
-        .sort(["revenue", "o_custkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+        cand.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True], kind="stable"
+        )
+        .head(10)
+        .reset_index(drop=True)
     )
     return top[["o_custkey", "c_name", "revenue", "n_orders"]]
 
