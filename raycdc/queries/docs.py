@@ -513,6 +513,100 @@ LIMIT {VOCAB_TOP}
 """
 
 
+# -- TF-IDF top terms per document -------------------------------------------
+
+TFIDF_TOP = 3
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by tf-idf. Two passes: (1) document frequencies
+    via the same per-batch combiner as ``vocab_top_terms`` (distinct
+    (doc, token) inside the batch — each doc lives in one row — then token
+    counts; the fold is vocabulary-sized and broadcast), (2) per-batch tf +
+    scoring + per-doc top-3, fully C-speed (explode → hash aggregate →
+    sorted groupby.head). The score is the RATIONAL ``tf·N/df`` evaluated
+    as one int64 product and one IEEE division — bit-identical in numpy and
+    DuckDB, so ranking needs no float tolerance; the reported score is
+    rounded half-up on both sides."""
+    import pyarrow.parquet as pq
+
+    from raycdc.queries.common import ROUND_DIGITS
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.strip().str.split()
+        e = b[["doc_id"]].assign(token=toks).explode("token").dropna()
+        vc = e.drop_duplicates().value_counts("token")
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "df": vc.to_numpy().astype("int64")}
+        )
+
+    df_parts = ds.map_batches(df_partial, batch_format="pandas").to_pandas()
+    df_map = df_parts.groupby("token")["df"].sum()  # vocabulary-sized
+
+    import ray
+
+    ref = ray.put(df_map)
+
+    class Score:
+        def __init__(self):
+            self.df = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            toks = b["text"].str.strip().str.split()
+            e = b[["doc_id"]].assign(token=toks).explode("token").dropna()
+            tf = e.groupby(["doc_id", "token"], as_index=False).size()
+            tf["score"] = (
+                tf["size"].to_numpy() * np.int64(n_docs)
+            ).astype(np.float64) / self.df.reindex(tf["token"]).to_numpy()
+            top = (
+                tf.sort_values(
+                    ["doc_id", "score", "token"],
+                    ascending=[True, False, True],
+                    kind="stable",
+                )
+                .groupby("doc_id", sort=False)
+                .head(TFIDF_TOP)
+            )
+            rnk = top.groupby("doc_id", sort=False).cumcount() + 1
+            score = np.floor(top["score"].to_numpy() * 10**ROUND_DIGITS + 0.5) / (
+                10**ROUND_DIGITS
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": top["doc_id"].to_numpy(),
+                    "rnk": rnk.to_numpy().astype("int64"),
+                    "token": top["token"].to_numpy(),
+                    "score": score,
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+
+
+TFIDF_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, t.token
+    FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(token)
+    WHERE t.token <> ''
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, CAST(row_number() OVER w AS BIGINT) AS rnk, token,
+       floor(CAST(tf.tf * n.n AS DOUBLE) / df.df * {10**4} + 0.5) / {10**4}.0
+           AS score
+FROM tf JOIN df USING (token), n
+WINDOW w AS (PARTITION BY doc_id
+             ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, token)
+QUALIFY row_number() OVER w <= {TFIDF_TOP}
+"""
+
+
 # -- deterministic stratified sample ----------------------------------------
 
 SAMPLE_PER_STRATUM = 10
@@ -586,6 +680,7 @@ QUERIES = {
     "corpus_prep": corpus_prep,
     "vocab_top_terms": vocab_top_terms,
     "docs_stratified_sample": docs_stratified_sample,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE_SQL = {
@@ -599,4 +694,5 @@ ORACLE_SQL = {
     "corpus_prep": _corpus_prep_sql(),
     "vocab_top_terms": VOCAB_SQL,
     "docs_stratified_sample": _strat_sample_sql(),
+    "tfidf_top_terms": TFIDF_SQL,
 }

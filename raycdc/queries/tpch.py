@@ -392,6 +392,39 @@ GROUP BY n_name
 """
 
 
+# -- anti-join (NOT EXISTS) --------------------------------------------------
+
+def customers_without_orders(sf_dir: str):
+    """Distributed anti-join: customers with no URGENT order, via Ray's
+    native hash-partitioned ``left_anti`` join — both sides shuffle once on
+    the key, no broadcast of the (customer-sized, unbroadcastable at scale)
+    order-key set; the right side is predicate-pruned AT THE READ. The
+    NOT-EXISTS counterpart of the semi-join in ``order_priority_count``."""
+    import pyarrow.dataset as pads
+
+    cust = C.read(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = C.read(
+        sf_dir, "orders", ["o_custkey"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+    )
+    return cust.join(
+        urgent,
+        join_type="left_anti",
+        num_partitions=C.join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -401,6 +434,7 @@ QUERIES = {
     "lineitem_filter_spec": lineitem_filter_spec,
     "customer_running_total": customer_running_total,
     "nation_customer_stats": nation_customer_stats,
+    "customers_without_orders": customers_without_orders,
 }
 
 ORACLE_SQL = {
@@ -412,4 +446,5 @@ ORACLE_SQL = {
     "lineitem_filter_spec": FILTER_SPEC_SQL,
     "customer_running_total": RUNNING_TOTAL_SQL,
     "nation_customer_stats": NATION_CUSTOMER_SQL,
+    "customers_without_orders": ANTI_JOIN_SQL,
 }

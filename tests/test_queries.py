@@ -77,6 +77,7 @@ def _sql_backed():
         "corpus_prep", "trace_flatten", "media_resize", "video_frame_sample",
         "events_rolling_window", "events_range_join_orders",
         "events_top_per_user", "vocab_top_terms", "docs_stratified_sample",
+        "tfidf_top_terms", "customers_without_orders",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
