@@ -512,6 +512,52 @@ QUALIFY row_number() OVER w <= {TOPK_PER_USER}
 """
 
 
+# -- exact distributed quantiles ---------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (linear interpolation, matching
+    DuckDB's ``quantile_cont``). The grouping key space is bounded (few
+    event types), so all rows of a type are co-located by the bounded
+    shuffle and ONE vectorized numpy quantile runs per partition — the
+    exact-order-statistics path. At an unbounded value-column scale the
+    same query would switch to a mergeable sketch (t-digest) with an
+    approximate oracle; exact quantiles fundamentally need the full sorted
+    column per group."""
+    ds = C.read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("event_type", sort=True)["value"]
+        frames = []
+        for q in QUANTILES:
+            s = gb.quantile(q, interpolation="linear")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": s.index.to_numpy(),
+                        "q": np.full(len(s), q),
+                        "value_q": np.floor(
+                            s.to_numpy() * 10**C.ROUND_DIGITS + 0.5
+                        )
+                        / 10**C.ROUND_DIGITS,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return C.by_partition(ds, "event_type", kernel)
+
+
+QUANTILES_SQL = "\nUNION ALL\n".join(
+    f"""SELECT event_type, CAST({q} AS DOUBLE) AS q,
+       floor(quantile_cont(value, {q}) * {10**4} + 0.5) / {10**4}.0 AS value_q
+FROM events GROUP BY event_type"""
+    for q in QUANTILES
+)
+
+
 # -- payload field extraction (parser/decoder family) ----------------------
 
 _PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
@@ -576,6 +622,7 @@ QUERIES = {
     "events_rolling_window": events_rolling_window,
     "events_range_join_orders": events_range_join_orders,
     "events_top_per_user": events_top_per_user,
+    "events_value_quantiles": events_value_quantiles,
 }
 
 ORACLE_SQL = {
@@ -589,4 +636,5 @@ ORACLE_SQL = {
     "events_rolling_window": ROLLING_SQL,
     "events_range_join_orders": RANGE_JOIN_SQL,
     "events_top_per_user": TOP_PER_USER_SQL,
+    "events_value_quantiles": QUANTILES_SQL,
 }
