@@ -450,6 +450,114 @@ WHERE a.vec_id < {NEARDUP_LIMIT_IDS} AND b.vec_id < {NEARDUP_LIMIT_IDS}
 """
 
 
+# -- near-dup cluster assignment (connected components) ----------------------
+
+CLUSTER_MAX_ITERS = 25
+
+
+def neardup_clusters(sf_dir: str):
+    """Connected components over the verified near-dup pair graph — the
+    canonical last step of corpus dedup (assign every doc a cluster id,
+    keep one representative per cluster). Distributed iterative min-label
+    propagation: labels are a Dataset keyed by node; each round hash-joins
+    the (small-by-construction, post-verification) edge list to the labels
+    and folds the min label per node. Per-round state is node-sized and
+    materialized (the iterative-algorithm exception to no-mid-pipeline
+    materialization: the loop's fixpoint check needs the round's result);
+    convergence is a scalar sum check (the label sum strictly decreases
+    until fixpoint), rounds = cluster diameter (tiny for near-dup graphs).
+    Oracle: DuckDB recursive-CTE transitive closure."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Min as AggMin
+
+    pairs = embedding_neardup(sf_dir)
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src": np.concatenate([b["vec_a"].to_numpy(), b["vec_b"].to_numpy()]),
+                "dst": np.concatenate([b["vec_b"].to_numpy(), b["vec_a"].to_numpy()]),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    labels = (
+        C.read(
+            sf_dir, "embeddings", ["vec_id"],
+            filter=(pads.field("vec_id") < NEARDUP_LIMIT_IDS),
+        )
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["vec_id"].to_numpy(),
+                    "label": b["vec_id"].to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    nparts = C.join_partitions()
+    prev_sum = None
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["dst"].to_numpy(), "label": b["label"].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(AggMin("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "vec_id": b["node"].to_numpy().astype("int64"),
+                "cluster_id": b["label"].to_numpy().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < {NEARDUP_LIMIT_IDS} AND b.vec_id < {NEARDUP_LIMIT_IDS}
+      AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+          >= {NEARDUP_COS}
+), e AS (
+    SELECT vec_a AS a, vec_b AS b FROM p
+    UNION ALL SELECT vec_b, vec_a FROM p
+), n AS (
+    SELECT vec_id AS v FROM embeddings WHERE vec_id < {NEARDUP_LIMIT_IDS}
+), reach AS (
+    SELECT v, v AS l FROM n
+    UNION
+    SELECT e.b AS v, r.l AS l FROM reach r JOIN e ON e.a = r.v
+)
+SELECT v AS vec_id, CAST(min(l) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v
+"""
+
+
 def _vec_lit(v: np.ndarray) -> str:
     return "[" + ",".join(repr(float(x)) for x in v) + "]"
 
@@ -512,6 +620,7 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "embedding_norms": embedding_norms,
     "embedding_neardup": embedding_neardup,
+    "neardup_clusters": neardup_clusters,
 }
 
 ORACLE_SQL = {
@@ -519,4 +628,5 @@ ORACLE_SQL = {
     "ann_bruteforce_multi": ANN_MULTI_SQL,
     "embedding_norms": NORMS_SQL,
     "embedding_neardup": NEARDUP_SQL,
+    "neardup_clusters": NEARDUP_CLUSTERS_SQL,
 }

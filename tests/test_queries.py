@@ -78,7 +78,7 @@ def _sql_backed():
         "events_rolling_window", "events_range_join_orders",
         "events_top_per_user", "vocab_top_terms", "docs_stratified_sample",
         "tfidf_top_terms", "customers_without_orders",
-        "events_value_quantiles",
+        "events_value_quantiles", "neardup_clusters",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
