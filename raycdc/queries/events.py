@@ -512,6 +512,56 @@ QUALIFY row_number() OVER w <= {TOPK_PER_USER}
 """
 
 
+# -- wide pivot (crosstab) -----------------------------------------------------
+
+
+def events_daily_type_pivot(sf_dir: str):
+    """Wide pivot: one row per day, one count column per event type. The
+    type axis is DISCOVERED with a distributed per-batch unique partial
+    (the driver sees one row per (batch, type) — bounded by type
+    cardinality, never the event stream); each batch then emits a per-day
+    partial crosstab via vectorized comparisons, and a small distributed
+    groupby sums day × type CELLS, not rows."""
+    types_ds = C.read(sf_dir, "events", ["event_type"])
+    types = sorted(
+        types_ds.map_batches(
+            lambda b: pd.DataFrame({"event_type": b["event_type"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["event_type"]
+        .unique()
+    )
+
+    ds = C.read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"day": b["ts"].dt.floor("D")})
+        for t in types:
+            out[f"n_{t}"] = (b["event_type"] == t).to_numpy().astype("int64")
+        return out.groupby("day", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+        .to_pandas()
+    )
+    for t in types:
+        agg[f"n_{t}"] = agg[f"n_{t}"].astype("int64")
+    return agg
+
+
+PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 # -- exact distributed quantiles ---------------------------------------------
 
 QUANTILES = (0.25, 0.5, 0.75, 0.95)
@@ -623,6 +673,7 @@ QUERIES = {
     "events_range_join_orders": events_range_join_orders,
     "events_top_per_user": events_top_per_user,
     "events_value_quantiles": events_value_quantiles,
+    "events_daily_type_pivot": events_daily_type_pivot,
 }
 
 ORACLE_SQL = {
@@ -637,4 +688,5 @@ ORACLE_SQL = {
     "events_range_join_orders": RANGE_JOIN_SQL,
     "events_top_per_user": TOP_PER_USER_SQL,
     "events_value_quantiles": QUANTILES_SQL,
+    "events_daily_type_pivot": PIVOT_SQL,
 }
