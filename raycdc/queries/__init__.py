@@ -19,11 +19,15 @@ from raycdc.queries import (
     events,
     multimodal,
     neardup,
+    sketches,
     tpch,
     traces,
 )
 
-_MODULES = [tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces]
+_MODULES = [
+    tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces,
+    sketches,
+]
 
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}

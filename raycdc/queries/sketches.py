@@ -1,0 +1,205 @@
+"""Distributed sketch operators: HyperLogLog distinct-count registers and
+exact heavy hitters via a Misra-Gries candidate pass.
+
+These are the bounded-state aggregation primitives a 100-TB pipeline needs
+when the key space itself is too large to shuffle: both operators move only
+O(sketch size) rows per block regardless of key cardinality, never one row
+per distinct key. (Reference analog: the seen-key dicts and counter caches
+scattered through /root/reference ``indexer/jobs/*`` — re-expressed as
+mergeable sketches so the state stays bounded per worker.)
+
+Both are SQL-oracle-verifiable: the HLL registers are built on the portable
+poly-hash family (raycdc.phash) so DuckDB reproduces every register
+exactly, and the heavy-hitter output is EXACT (the sketch only proposes
+candidates; a second exact counting pass decides), so the oracle is a plain
+GROUP BY ... HAVING.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Max
+
+from raycdc import phash as H
+from raycdc.queries import common as C
+
+# -- HyperLogLog registers ---------------------------------------------------
+
+HLL_M = 256          # 2^8 buckets → ~6.5% relative error on the estimate
+_REM_BITS = 23       # poly_hash < 2^31; bucket eats 8 bits, 23 remain
+
+
+def _registers(keys: np.ndarray) -> pd.DataFrame:
+    """(bucket, max_rho) partial registers for a batch of string keys.
+
+    rho = 1 + leading zeros of the 23-bit remainder = 24 - bit_length(rem).
+    bit_length via ``np.frexp`` exponents — exact for integers < 2^53,
+    no per-row Python."""
+    h = H.poly_hash(keys)
+    bucket = (h % np.uint64(HLL_M)).astype("int64")
+    rem = (h // np.uint64(HLL_M)).astype("int64")
+    bitlen = np.frexp(rem.astype("float64"))[1]  # frexp(0) → exponent 0
+    rho = (_REM_BITS + 1) - bitlen
+    df = pd.DataFrame({"bucket": bucket, "max_rho": rho.astype("int64")})
+    return df.groupby("bucket", as_index=False)["max_rho"].max()
+
+
+def hll_registers(sf_dir: str):
+    """HLL register table for COUNT(DISTINCT event_id) over ``events``:
+    ≤256 rows of (bucket, max_rho). Scale shape: each batch collapses to
+    ≤256 partial rows inside ``map_batches`` (the combiner), then one tiny
+    bounded-key groupby-max merges them — the shuffle moves O(256 × blocks)
+    rows, never O(distinct keys). The register table IS the mergeable
+    sketch: union of two corpora = elementwise max of their registers."""
+    ds = C.read(sf_dir, "events", ["event_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return _registers(b["event_id"].astype("string").to_numpy(dtype=object))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+        .to_pandas()
+    )
+    out["max_rho"] = out["max_rho"].astype("int64")
+    return out[["bucket", "max_rho"]]
+
+
+def hll_estimate(registers: pd.DataFrame, n_buckets: int = HLL_M) -> float:
+    """Flajolet et al. estimate from a register table (buckets with no
+    entry count as rho=0). Driver-side: the registers are the distributed
+    artifact; this fold is O(m)."""
+    rho = np.zeros(n_buckets)
+    rho[registers["bucket"].to_numpy()] = registers["max_rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / n_buckets)
+    est = alpha * n_buckets * n_buckets / np.sum(np.exp2(-rho))
+    zeros = np.count_nonzero(rho == 0)
+    if est <= 2.5 * n_buckets and zeros:  # small-range linear counting
+        est = n_buckets * np.log(n_buckets / zeros)
+    return float(est)
+
+
+HLL_SQL = f"""
+WITH h AS (
+    SELECT {H.sql_poly("CAST(event_id AS VARCHAR)")} AS h FROM events
+), r AS (
+    SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h
+)
+SELECT bucket,
+       CAST(max({_REM_BITS + 1} -
+            CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS BIGINT)
+           AS max_rho
+FROM r GROUP BY bucket
+"""
+
+
+# -- exact heavy hitters (Misra-Gries candidates + exact verify) -------------
+
+HH_PHI_INV = 128   # report keys with count ≥ ceil(n / 128)
+HH_CAP = 192       # MG capacity; guarantee needs cap + 1 > HH_PHI_INV
+
+
+def _mg_summary(vc: pd.Series, cap: int) -> pd.Series:
+    """Misra-Gries reduction of exact batch counts to ≤``cap`` survivors:
+    subtract the (cap+1)-th largest count from everyone, keep positives.
+    Residual undercounts each key by ≤ batch_n/(cap+1)."""
+    if len(vc) <= cap:
+        return vc
+    cut = vc.sort_values(ascending=False, kind="stable").iloc[cap]
+    out = vc - cut
+    return out[out > 0]
+
+
+def heavy_hitter_users(sf_dir: str):
+    """Exact heavy hitters: users with ≥ ceil(n/128) of all events, found
+    WITHOUT shuffling the full user key space.
+
+    Pass 1 (sketch): each batch emits a ≤192-row Misra-Gries residual
+    summary (vectorized value_counts + one subtraction). Summed residuals
+    undercount any key by at most n/193, so every true ≥n/128 key clears
+    the slack-adjusted candidate bar — a guaranteed superset, O(192 ×
+    blocks) rows total. Pass 2 (verify): exact per-batch counts restricted
+    to the broadcast candidate set, folded to exact totals; the output is
+    EXACT, which is what makes the plain GROUP BY/HAVING SQL oracle valid.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    threshold = -(-n_total // HH_PHI_INV)  # ceil
+    slack = n_total // (HH_CAP + 1)
+
+    ds = C.read(sf_dir, "events", ["user_id"])
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = _mg_summary(b["user_id"].value_counts(), HH_CAP)
+        return pd.DataFrame(
+            {
+                "user_id": vc.index.to_numpy(),
+                "n": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    summaries = ds.map_batches(mg_partial, batch_format="pandas").to_pandas()
+    folded = summaries.groupby("user_id")["n"].sum()
+    candidates = folded[folded >= threshold - slack].index.to_numpy()
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+        }
+    )
+    if len(candidates) == 0:
+        return empty
+
+    ref = ray.put(frozenset(candidates.tolist()))
+
+    class ExactCount:
+        def __init__(self):
+            self.cand = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            u = b["user_id"]
+            vc = u[u.isin(self.cand)].value_counts()
+            return pd.DataFrame(
+                {
+                    "user_id": vc.index.to_numpy(),
+                    "n": vc.to_numpy().astype("int64"),
+                }
+            )
+
+    exact = (
+        ds.map_batches(ExactCount, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    if len(exact) == 0:
+        return empty
+    tot = exact.groupby("user_id", as_index=False)["n"].sum()
+    out = tot[tot["n"] >= threshold].reset_index(drop=True)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "n"]]
+
+
+HH_SQL = f"""
+SELECT user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) * {HH_PHI_INV} >= (SELECT count(*) FROM events)
+"""
+
+
+QUERIES = {
+    "hll_registers": hll_registers,
+    "heavy_hitter_users": heavy_hitter_users,
+}
+
+ORACLE_SQL = {
+    "hll_registers": HLL_SQL,
+    "heavy_hitter_users": HH_SQL,
+}

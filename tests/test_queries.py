@@ -79,7 +79,7 @@ def _sql_backed():
         "events_top_per_user", "vocab_top_terms", "docs_stratified_sample",
         "tfidf_top_terms", "customers_without_orders",
         "events_value_quantiles", "neardup_clusters",
-        "events_daily_type_pivot",
+        "events_daily_type_pivot", "hll_registers", "heavy_hitter_users",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
