@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from raycdc.queries import (
     aggregates,
+    analytics,
     ann,
     cdc,
     docs,
@@ -26,7 +27,7 @@ from raycdc.queries import (
 
 _MODULES = [
     tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces,
-    sketches,
+    sketches, analytics,
 ]
 
 QUERIES: dict = {}

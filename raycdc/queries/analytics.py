@@ -1,0 +1,266 @@
+"""Event-analytics operators: two-step funnel, ROLLUP subtotals, fixed-width
+histogram, weekly cohort retention.
+
+Reference analog: the period/daily aggregate SQL jobs
+(``indexer/aggr_jobs/order_jobs/period_wallet_addresses_aggregates.sql``,
+``indexer/aggr_jobs/disorder_jobs/daily_*``) which compute exactly these
+shapes (first-seen cohorts, per-period rollups, bucketed distributions) as
+warehouse SQL — re-expressed as Ray Data combiner pipelines.
+
+Scale shapes used here (see each docstring):
+  * bounded-key aggregates (rollup, histogram) = per-batch partial rows
+    folded on the driver — O(groups × blocks) movement, no shuffle;
+  * unbounded-key aggregates (funnel: per-user) = per-batch partials then a
+    native Ray hash-shuffle ``groupby().aggregate(Min/Max)`` over already
+    REDUCED rows (one row per user per block) — the combiner halves the
+    exchange and the native aggregate is vectorized, never per-group Python;
+  * retention = ``by_partition(user_id)`` so each user's history is
+    co-located, ONE vectorized kernel per bounded partition, partial
+    (cohort, offset) counts summed on the driver (users are disjoint across
+    partitions, so partial counts add exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ray.data.aggregate import Max, Min
+
+from raycdc.queries import common as C
+
+_US_WEEK = 604_800_000_000  # microseconds per week
+
+# int64 sentinels for "no such event" so Ray's native Min/Max aggregates
+# (which are null-averse across block boundaries) stay on dense int64
+_NO_MIN = np.iinfo("int64").max
+_NO_MAX = np.int64(-1)
+
+
+# -- two-step funnel: first signup → any later purchase ----------------------
+
+def events_funnel(sf_dir: str):
+    """Users whose LAST ``purchase`` is strictly after their FIRST
+    ``signup`` (the classic two-step funnel reduces to two per-user
+    extremes: max(purchase ts) > min(signup ts)).
+
+    Scale shape: both event types are pruned AT THE READ (predicate
+    pushdown), each batch collapses to one (min_signup, max_purchase) row
+    per user seen in that batch, and the per-user fold is a native
+    ``groupby().aggregate(Min/Max)`` hash shuffle over those reduced rows —
+    fine at any user cardinality because the aggregate is vectorized
+    (no per-group Python callable anywhere)."""
+    ds = C.read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("datetime64[us]").to_numpy().view("int64")
+        sign = np.where(b["event_type"].to_numpy() == "signup", us, _NO_MIN)
+        buy = np.where(b["event_type"].to_numpy() == "purchase", us, _NO_MAX)
+        df = pd.DataFrame({"user_id": b["user_id"], "s": sign, "p": buy})
+        return df.groupby("user_id", as_index=False).agg(
+            s=("s", "min"), p=("p", "max")
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Min("s", alias_name="s"), Max("p", alias_name="p"))
+        .to_pandas()
+    )
+    hit = folded[(folded["s"] != _NO_MIN) & (folded["p"] > folded["s"])]
+    out = pd.DataFrame(
+        {
+            "user_id": hit["user_id"].astype("int64"),
+            "first_signup": hit["s"].astype("datetime64[us]"),
+            "last_purchase": hit["p"].astype("datetime64[us]"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+SELECT user_id,
+       min(CASE WHEN event_type = 'signup' THEN ts END)   AS first_signup,
+       max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+FROM events
+GROUP BY user_id
+HAVING min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+   AND max(CASE WHEN event_type = 'purchase' THEN ts END)
+     > min(CASE WHEN event_type = 'signup' THEN ts END)
+"""
+
+
+# -- ROLLUP subtotals over (event_type, day) ---------------------------------
+
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): the finest grain plus per-type and
+    grand-total subtotal rows ('ALL' sentinel instead of SQL NULL so the
+    value-hash compare is total-order-stable).
+
+    Scale shape: the finest grain is BOUNDED (types × days), so each batch
+    emits ≤ groups partial rows and the driver folds O(groups × blocks)
+    rows; the coarser rollup levels are derived from the folded finest
+    grain (a pure driver-side re-aggregation of an already-tiny table) —
+    no shuffle at any level."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "n": np.int64(1),
+                "sum_value": b["value"],
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)
+        .sum()
+    )
+    by_type = fine.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum")
+    )
+    by_type["day"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "n": [fine["n"].sum()],
+            "sum_value": [fine["sum_value"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_type, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out = out[["event_type", "day", "n", "sum_value"]]
+    return C.round_cols(out, ["sum_value"])
+
+
+ROLLUP_SQL = """
+WITH b AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, 'ALL')        AS day,
+       count(*)                    AS n,
+       round(sum(value), 4)        AS sum_value
+FROM b
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+# -- fixed-width value histogram ---------------------------------------------
+
+_BIN_W = 25.0
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width histogram of ``value`` (bin = floor(value / 25)): a
+    bounded-key aggregate, so per-batch partial counts + a driver fold —
+    O(bins × blocks) movement. The bin edge arithmetic is ONE IEEE divide
+    + floor on both the numpy and the DuckDB side, so bin assignment is
+    bit-identical and the count hash is exact."""
+    ds = C.read(sf_dir, "events", ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(b["value"].to_numpy() / _BIN_W).astype("int64")
+        vc = pd.Series(bins).value_counts()
+        return pd.DataFrame(
+            {"bin": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bin", as_index=False)["n"].sum()
+    out["lo"] = out["bin"].astype("float64") * _BIN_W
+    out["n"] = out["n"].astype("int64")
+    return out[["bin", "lo", "n"]]
+
+
+HISTOGRAM_SQL = f"""
+SELECT CAST(floor(value / {_BIN_W}) AS BIGINT)        AS bin,
+       floor(value / {_BIN_W}) * {_BIN_W}             AS lo,
+       count(*)                                       AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -- weekly cohort retention ---------------------------------------------------
+
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by their first active week
+    (epoch-week index — integer microseconds // one week, identical
+    arithmetic both sides, no week-start convention to disagree on), counted
+    in each later week offset they were active.
+
+    Scale shape: ``by_partition(user_id)`` co-locates each user's full
+    history in one bounded partition; ONE vectorized kernel per partition
+    dedups (user, week), computes the per-user cohort with a C-speed
+    ``groupby().transform('min')``, and emits partial (cohort, offset)
+    counts. Users are DISJOINT across partitions, so the driver's final
+    fold of O(weeks² × partitions) tiny partials sums to exact distinct-user
+    counts — no count-distinct shuffle."""
+    ds = C.read(sf_dir, "events", ["user_id", "ts"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        week = (
+            g["ts"].astype("datetime64[us]").to_numpy().view("int64") // _US_WEEK
+        )
+        uw = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "week": week}
+        ).drop_duplicates()
+        cohort = uw.groupby("user_id")["week"].transform("min")
+        mat = pd.DataFrame(
+            {"cohort_week": cohort, "week_offset": uw["week"] - cohort}
+        )
+        out = mat.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = C.by_partition(ds, "user_id", kernel).to_pandas()
+    out = parts.groupby(["cohort_week", "week_offset"], as_index=False)[
+        "n_users"
+    ].sum()
+    out["cohort_week"] = out["cohort_week"].astype("int64")
+    out["week_offset"] = out["week_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+RETENTION_SQL = f"""
+WITH uw AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_US_WEEK} AS week FROM events
+), c AS (
+    SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort
+    FROM uw
+)
+SELECT cohort AS cohort_week, week - cohort AS week_offset,
+       count(*) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_rollup": events_rollup,
+    "events_value_histogram": events_value_histogram,
+    "user_retention_cohorts": user_retention_cohorts,
+}
+
+ORACLE_SQL = {
+    "events_funnel": FUNNEL_SQL,
+    "events_rollup": ROLLUP_SQL,
+    "events_value_histogram": HISTOGRAM_SQL,
+    "user_retention_cohorts": RETENTION_SQL,
+}

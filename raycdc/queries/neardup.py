@@ -643,8 +643,220 @@ JOIN tris b ON a.pair_key = b.pair_key AND a.doc_id % 2 = 0
            AND b.doc_id = a.doc_id + 1
 """
 
+# -- FastSS edit-distance dedup ------------------------------------------------
+#
+# Deletion-neighborhood LSH for levenshtein distance ≤ 1 over normalized
+# 32-char prefixes: two strings are within one edit iff their deletion
+# neighborhoods {s} ∪ {delete(s, d)} intersect, so candidate generation is
+# "share a variant-string hash" — the same banded-bucket shape as MinHash,
+# and it reuses the whole no-gather machinery above (occupancy scan over
+# 8 B/row keys, broadcast hot set, bounded-partition segmented verify).
+
+_LEV_PREFIX = 32
+_FNV = np.uint64(1099511628211)
+_LEV_POW = np.empty(_LEV_PREFIX + 1, dtype=np.uint64)
+_LEV_POW[0] = np.uint64(1)
+with np.errstate(over="ignore"):  # uint64 wrap is the hash arithmetic
+    for _i in range(1, _LEV_PREFIX + 1):
+        _LEV_POW[_i] = _LEV_POW[_i - 1] * _FNV
+
+
+def _prefix_matrix(texts: np.ndarray):
+    """(n, 32) uint8 char matrix + per-row true lengths for lowercased
+    32-char prefixes — one vectorized fixed-width encode, no per-row
+    Python."""
+    low = pd.Series(texts).str.lower()
+    lens = low.str.len().clip(upper=_LEV_PREFIX).to_numpy().astype("int64")
+    fixed = np.asarray(low.to_numpy(), dtype=f"S{_LEV_PREFIX}")
+    mat = fixed.view("uint8").reshape(len(lens), _LEV_PREFIX)
+    return mat, lens
+
+
+def _deletion_keys(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """(n, 33) int64 bucket keys: column 0 is the string itself, column
+    1+d the deletion at position d (invalid d ≥ len → sentinel that never
+    collides). Variant-string hashes are EXACT rolling hashes — delete(u, i)
+    == delete(v, j) as strings ⟹ equal keys — computed from prefix/suffix
+    hash arrays with one vectorized pass per column (32 column steps, each
+    O(n)):  H(del d) = pre[d] · B^(L-2-d+1) + suf[d+1]."""
+    n, W = mat.shape
+    c = mat.astype(np.uint64)
+    pre = np.zeros((n, W + 1), dtype=np.uint64)   # pre[:, d] = hash of s[:d]
+    for d in range(W):
+        pre[:, d + 1] = pre[:, d] * _FNV + c[:, d]
+    suf = np.zeros((n, W + 1), dtype=np.uint64)   # suf[:, j] = Σ_{i≥j} c_i·B^(L-1-i)
+    expo = lens[:, None] - 1 - np.arange(W)[None, :]
+    pw = _LEV_POW[np.clip(expo, 0, _LEV_PREFIX)]
+    pw[expo < 0] = np.uint64(0)                   # padding columns contribute 0
+    term = c * pw
+    suf[:, :W] = term[:, ::-1].cumsum(axis=1, dtype=np.uint64)[:, ::-1]
+
+    keys = np.empty((n, W + 1), dtype=np.uint64)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    # column 0: the undeleted string (hash pre[L], length L)
+    keys[:, 0] = pre[np.arange(n), lens] + lens.astype(np.uint64) * gold
+    d_idx = np.arange(W)[None, :]
+    shift = np.clip(lens[:, None] - 1 - d_idx, 0, _LEV_PREFIX)
+    hv = pre[:, :W] * _LEV_POW[shift] + suf[:, 1:]
+    keys[:, 1:] = hv + (lens[:, None] - 1).astype(np.uint64) * gold
+    # deletions past the string's end are not real variants: poison with a
+    # per-(row, col) unique sentinel so they can never collide
+    bad = d_idx >= lens[:, None]
+    row_salt = np.arange(n, dtype=np.uint64)[:, None] * np.uint64(0xDEADBEEF97F4A7C5)
+    keys[:, 1:][bad] = (
+        np.uint64(0x8000000000000000)
+        + row_salt.repeat(W, axis=1)[bad]
+        + d_idx.astype(np.uint64).repeat(n, axis=0).reshape(n, W)[bad]
+    )
+    return keys.view(np.int64)
+
+
+def _lev_le1_pairs(a_mat, a_len, b_mat, b_len) -> np.ndarray:
+    """Exact levenshtein for pair arrays where distance ≤ 1 is possible:
+    returns dist (0, 1, or 2 meaning '>1'), fully vectorized. Same length:
+    dist = hamming (if ≤ 1). Length diff 1: dist 1 iff common-prefix +
+    common-suffix covers the shorter string."""
+    n = len(a_len)
+    dist = np.full(n, 2, dtype=np.int64)
+    diff = a_len - b_len
+    eqm = a_mat == b_mat
+    same = diff == 0
+    if same.any():
+        # hamming over the true length only (padding bytes both 0 → equal)
+        ham = (~eqm[same]).sum(axis=1)
+        d = np.where(ham <= 1, ham, 2)
+        dist[same] = d
+    for sgn in (1, -1):  # a longer / b longer
+        m = diff == sgn
+        if not m.any():
+            continue
+        lng_m, lng_l = (a_mat[m], a_len[m]) if sgn == 1 else (b_mat[m], b_len[m])
+        sht_m, sht_l = (b_mat[m], b_len[m]) if sgn == 1 else (a_mat[m], a_len[m])
+        W = lng_m.shape[1]
+        cols = np.arange(W)[None, :]
+        # lcp: first column where they differ (padding equal → cap at sht_l)
+        neq = lng_m != sht_m
+        lcp = np.where(neq.any(axis=1), neq.argmax(axis=1), W)
+        lcp = np.minimum(lcp, sht_l)
+        # lcs: align ends — compare lng[i + 1] with sht[i] from the right
+        sh_neq = lng_m[:, 1:] != sht_m[:, :-1]
+        pos_ok = cols[:, : W - 1] < sht_l[:, None]  # only true chars count
+        bad = sh_neq & pos_ok
+        # common suffix length = sht_l - 1 - (last bad index), or sht_l if none
+        rev_bad = bad[:, ::-1]
+        last_bad = np.where(
+            bad.any(axis=1), (W - 2) - rev_bad.argmax(axis=1), -1
+        )
+        lcs = sht_l - 1 - last_bad
+        lcs = np.minimum(lcs, sht_l)
+        dist[m] = np.where(lcp + lcs >= sht_l, 1, 2)
+    return dist
+
+
+class BucketLevPairs:
+    """Exact edit-distance verification of one deletion-neighborhood
+    bucket: all docs here share a variant string, so every pair is a
+    candidate; the vectorized DP-free ≤1 check decides."""
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "dist": pd.Series(dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return empty
+        mat, lens = _prefix_matrix(g["prefix"].to_numpy())
+        ids = g["doc_id"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        dist = _lev_le1_pairs(mat[ii], lens[ii], mat[jj], lens[jj])
+        ok = dist <= 1
+        return pd.DataFrame(
+            {"doc_a": ids[ii[ok]], "doc_b": ids[jj[ok]], "dist": dist[ok]}
+        )
+
+
+def dedup_levenshtein_pairs(sf_dir: str):
+    """Near-dup pairs with edit distance ≤ 1 on normalized 32-char
+    prefixes, FastSS-style — the same no-gather LSH pipeline as
+    ``dedup_minhash_pairs`` with the deletion neighborhood as the banding
+    function: (1) every doc emits 33 variant-hash keys (8 B each, exact
+    rolling hashes — one vectorized pass per column); (2) bucket occupancy
+    via the distributed sorted scan; (3) the tiny hot set broadcasts and
+    prunes candidates at the map side; (4) exact ≤1 verification runs on
+    bounded hash partitions. Output is EXACT (verify decides), which is
+    what lets plain ``levenshtein()`` SQL be the oracle."""
+    import ray
+
+    docs = C.read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def variant_keys(b: pd.DataFrame):
+        import pyarrow as pa
+
+        mat, lens = _prefix_matrix(b["text"].to_numpy())
+        return pa.table(
+            {"bucket": pa.array(_deletion_keys(mat, lens).reshape(-1), pa.int64())}
+        )
+
+    hot = _collided_buckets(docs.map_batches(variant_keys, batch_format="pandas"))
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+         "dist": pd.Series(dtype="int64")}
+    )
+    if not len(hot):
+        return empty
+    hot_ref = ray.put(hot)
+
+    def hot_rows(b: pd.DataFrame) -> pd.DataFrame:
+        hot_arr = ray.get(hot_ref)
+        if not len(b):
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "prefix": pd.Series(dtype="object")}
+            )
+        mat, lens = _prefix_matrix(b["text"].to_numpy())
+        keys = _deletion_keys(mat, lens)
+        nv = keys.shape[1]
+        prefix = pd.Series(b["text"].to_numpy()).str.lower().str.slice(0, _LEV_PREFIX)
+        out = pd.DataFrame(
+            {
+                "bucket": keys.reshape(-1),
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), nv),
+                "prefix": np.repeat(prefix.to_numpy(), nv),
+            }
+        )
+        return out[np.isin(out["bucket"].to_numpy(), hot_arr)]
+
+    cand = docs.map_batches(hot_rows, batch_format="pandas")
+    pairs = C.by_partition(cand, "bucket", _segmented_verify(BucketLevPairs()))
+    out = pairs.to_pandas()
+    if not len(out):
+        return empty
+    return (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64", "dist": "int64"})
+    )
+
+
+LEVENSHTEIN_PAIRS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, substr(lower(text), 1, {_LEV_PREFIX}) AS p FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.p, b.p) AS dist
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 1
+"""
+
+
 QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_levenshtein_pairs": dedup_levenshtein_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_hamming": dedup_simhash_hamming,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -652,6 +864,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_minhash_pairs": MINHASH_PAIRS_SQL,
+    "dedup_levenshtein_pairs": LEVENSHTEIN_PAIRS_SQL,
     "dedup_simhash": SIMHASH_GROUPS_SQL,
     "dedup_simhash_hamming": SIMHASH_HAMMING_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -12,9 +12,11 @@ aggregates (`indexer/aggr_jobs/order_jobs/period_wallet_addresses_aggregates.sql
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -425,6 +427,119 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
+# -- Bloom-pruned semi-join ----------------------------------------------------
+
+_BLOOM_BITS = 1 << 17   # 16 KiB of bits — sized for ~10k keys at k=4
+_BLOOM_K = 4
+
+
+def _mix64(x: np.ndarray, salt: np.uint64) -> np.ndarray:
+    """splitmix64-style avalanche over uint64 keys (vectorized, wrapping)."""
+    z = x + (salt + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_indices(keys: np.ndarray) -> np.ndarray:
+    """(n, k) bit indices via double hashing h1 + i*h2 (mod bits)."""
+    u = keys.astype("int64").view("uint64")
+    h1 = _mix64(u, np.uint64(1))
+    h2 = _mix64(u, np.uint64(2)) | np.uint64(1)
+    i = np.arange(_BLOOM_K, dtype="uint64")[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(_BLOOM_BITS)).astype(
+        "int64"
+    )
+
+
+def urgent_revenue_bloom(sf_dir: str):
+    """Revenue by return flag over lineitems of URGENT orders, with a Bloom
+    filter pruning the probe side BEFORE the exact join.
+
+    The 100-TB shape for semi-joins whose key set is too big to broadcast
+    exactly but whose *bitset* is not: (1) the build side is pruned at the
+    read and folded into per-block Bloom partials (one 16 KiB word-array row
+    per block, OR-reduced on the driver — a mergeable sketch, like
+    sketches.hll_registers); (2) the probe side tests the broadcast bits
+    per batch (vectorized double-hashing) so only candidate rows — true
+    matches plus the Bloom's ~e^-2 false-positive sliver — enter (3) the
+    exact hash join that makes the output exact (which is what lets a plain
+    JOIN SQL be the oracle). The final grouped aggregate is bounded-key,
+    so per-batch partials + a driver fold finish it with no extra shuffle."""
+    import ray
+
+    urgent = C.read(
+        sf_dir, "orders", ["o_orderkey"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(_BLOOM_BITS // 64, dtype="uint64")
+        idx = _bloom_indices(b["o_orderkey"].to_numpy()).ravel()
+        np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx.astype("uint64") & np.uint64(63)))
+        return pd.DataFrame({"words": [words]})
+
+    partials = urgent.map_batches(bloom_partial, batch_format="pandas").to_pandas()
+    words = np.bitwise_or.reduce(np.stack(partials["words"].to_numpy()), axis=0)
+    ref = C.broadcast(words)
+
+    class BloomPrune:
+        def __init__(self):
+            self.words = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            idx = _bloom_indices(b["l_orderkey"].to_numpy())
+            hit = np.ones(len(b), dtype=bool)
+            for j in range(_BLOOM_K):
+                bit = self.words[idx[:, j] >> 6] >> (
+                    idx[:, j].astype("uint64") & np.uint64(63)
+                )
+                hit &= (bit & np.uint64(1)).astype(bool)
+            return b.loc[hit]
+
+    items = C.read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(BloomPrune, batch_format="pandas", concurrency=(1, 8))
+
+    joined = items.join(
+        urgent,
+        join_type="inner",
+        num_partitions=C.join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "revenue": b["l_extendedprice"] * (1.0 - b["l_discount"]),
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby("l_returnflag", as_index=False).agg(
+            revenue=("revenue", "sum"), n=("n", "sum")
+        )
+
+    parts = joined.map_batches(agg_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False).agg(
+        revenue=("revenue", "sum"), n=("n", "sum")
+    )
+    out["n"] = out["n"].astype("int64")
+    return C.round_cols(out, ["revenue"])
+
+
+BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -435,6 +550,7 @@ QUERIES = {
     "customer_running_total": customer_running_total,
     "nation_customer_stats": nation_customer_stats,
     "customers_without_orders": customers_without_orders,
+    "urgent_revenue_bloom": urgent_revenue_bloom,
 }
 
 ORACLE_SQL = {
@@ -447,4 +563,5 @@ ORACLE_SQL = {
     "customer_running_total": RUNNING_TOTAL_SQL,
     "nation_customer_stats": NATION_CUSTOMER_SQL,
     "customers_without_orders": ANTI_JOIN_SQL,
+    "urgent_revenue_bloom": BLOOM_SEMI_SQL,
 }

@@ -482,3 +482,62 @@ def test_stream_follow_terminates_with_rollback_epochs(ray_session, tmp_path):
     assert r2 == []  # fully fenced: no work, no re-applied rollback
     pd.testing.assert_frame_equal(eng.read_lake_pandas(), state)
     eng.close()
+
+
+def test_lev_le1_kernel_matches_bruteforce():
+    """The vectorized distance-≤1 decision and the FastSS deletion
+    neighborhood are both exact: cross-check every pair of a random short
+    corpus against a reference DP levenshtein."""
+    import random
+
+    from raycdc.queries.neardup import (
+        _deletion_keys,
+        _lev_le1_pairs,
+        _prefix_matrix,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    strs = ["".join(rng.choice("ab") for _ in range(rng.randint(0, 6))) for _ in range(120)]
+    strs += ["", "a", "ab", "ba", "abc", "abd", "axbc", "abcx", "xabc"]
+    mat, lens = _prefix_matrix(np.array(strs, dtype=object))
+    keys = _deletion_keys(mat, lens)
+
+    ii, jj = np.triu_indices(len(strs), k=1)
+    close = np.abs(lens[ii] - lens[jj]) <= 1
+    ii, jj = ii[close], jj[close]
+    got = _lev_le1_pairs(mat[ii], lens[ii], mat[jj], lens[jj])
+    for k in range(len(ii)):
+        true = lev(strs[ii[k]], strs[jj[k]])
+        assert (true <= 1) == (got[k] <= 1)
+        if true <= 1:
+            assert got[k] == true
+            # FastSS completeness: a true ≤1 pair must share a variant key
+            assert len(np.intersect1d(keys[ii[k]], keys[jj[k]])) > 0
+
+
+def test_hll_estimate_within_error_bound():
+    """The driver-side fold of the distributed HLL registers estimates the
+    true distinct count within the standard-error envelope for m=256."""
+    from raycdc.queries.sketches import HLL_M, hll_estimate
+    from raycdc import phash as H
+
+    true_n = 20000
+    keys = np.array([f"key-{i}" for i in range(true_n)], dtype=object)
+    h = H.poly_hash(keys)
+    bucket = (h % np.uint64(HLL_M)).astype("int64")
+    rem = (h // np.uint64(HLL_M)).astype("int64")
+    bitlen = np.frexp(rem.astype("float64"))[1]
+    df = pd.DataFrame({"bucket": bucket, "max_rho": (24 - bitlen).astype("int64")})
+    regs = df.groupby("bucket", as_index=False)["max_rho"].max()
+    est = hll_estimate(regs)
+    assert abs(est - true_n) / true_n < 0.25  # ~3.8 sigma at m=256
