@@ -669,6 +669,112 @@ QUALIFY row_number() OVER w <= {SAMPLE_PER_STRATUM}
 """
 
 
+# -- deterministic train/val/test split ---------------------------------------
+
+_SPLIT_MOD = 100
+_SPLIT_TRAIN = 90   # h%100 <  90 → train
+_SPLIT_VAL = 95     # 90–94 → val, 95–99 → test
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by portable hash of
+    the doc id — the standard leakage-safe split (stable across runs,
+    re-shards, and corpus growth: a doc's split never depends on which other
+    docs exist). Pure ``map_batches`` projection — embarrassingly parallel,
+    no shuffle at any scale."""
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            H.poly_hash(b["doc_id"].astype("string").to_numpy(dtype=object))
+            % np.uint64(_SPLIT_MOD)
+        ).astype("int64")
+        split = np.where(
+            h < _SPLIT_TRAIN, "train", np.where(h < _SPLIT_VAL, "val", "test")
+        )
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def _split_assign_sql() -> str:
+    from raycdc import phash as H
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN h < {_SPLIT_TRAIN} THEN 'train'
+            WHEN h < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {H.sql_poly("CAST(doc_id AS VARCHAR)")} % {_SPLIT_MOD} AS h
+      FROM documents)
+"""
+
+
+# -- sequence packing (offset-based concat packing) ----------------------------
+
+PACK_BUDGET = 256     # tokens per context window
+PACK_BUCKET = 100     # docs per independent packing unit
+
+
+def doc_pack_offsets(sf_dir: str):
+    """Sequence packing for training: documents are concatenated in doc-id
+    order inside fixed buckets of 100 ids and assigned to ``PACK_BUDGET``-
+    token context windows by their START offset (offset-based concat
+    packing — docs may straddle a window boundary, exactly like
+    concat-then-chunk LM data prep; greedy first-fit packing is inherently
+    sequential, offset packing is one cumsum, vectorized on both sides).
+
+    Scale shape: buckets are independent, so ``by_partition(pack_bucket)``
+    co-locates each bucket and ONE kernel does sort + C-speed
+    ``groupby().cumsum()`` per partition; the oracle is a plain window
+    running sum. No driver materialization beyond the result."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        stripped = b["text"].str.strip()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "pack_bucket": (b["doc_id"] // PACK_BUCKET).astype("int64"),
+                "n_tokens": stripped.str.split().str.len().fillna(0).astype("int64"),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pack_bucket", "doc_id"], kind="stable")
+        off = g.groupby("pack_bucket")["n_tokens"].cumsum() - g["n_tokens"]
+        g = g.assign(
+            tok_offset=off.astype("int64"),
+            bin_id=(off // PACK_BUDGET).astype("int64"),
+        )
+        return g[["doc_id", "pack_bucket", "bin_id", "tok_offset", "n_tokens"]]
+
+    keyed = ds.map_batches(with_bucket, batch_format="pandas")
+    return C.by_partition(keyed, "pack_bucket", kernel)
+
+
+PACK_OFFSETS_SQL = rf"""
+WITH t AS (
+    SELECT doc_id, doc_id // {PACK_BUCKET} AS pack_bucket,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+    FROM documents
+), o AS (
+    SELECT doc_id, pack_bucket, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+    FROM t
+)
+SELECT doc_id, pack_bucket, tok_offset // {PACK_BUDGET} AS bin_id,
+       tok_offset, n_tokens
+FROM o
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
@@ -681,6 +787,8 @@ QUERIES = {
     "vocab_top_terms": vocab_top_terms,
     "docs_stratified_sample": docs_stratified_sample,
     "tfidf_top_terms": tfidf_top_terms,
+    "docs_split_assign": docs_split_assign,
+    "doc_pack_offsets": doc_pack_offsets,
 }
 
 ORACLE_SQL = {
@@ -695,4 +803,6 @@ ORACLE_SQL = {
     "vocab_top_terms": VOCAB_SQL,
     "docs_stratified_sample": _strat_sample_sql(),
     "tfidf_top_terms": TFIDF_SQL,
+    "docs_split_assign": _split_assign_sql(),
+    "doc_pack_offsets": PACK_OFFSETS_SQL,
 }

@@ -82,7 +82,7 @@ def _sql_backed():
         "events_daily_type_pivot", "hll_registers", "heavy_hitter_users",
         "events_funnel", "events_rollup", "events_value_histogram",
         "user_retention_cohorts", "urgent_revenue_bloom",
-        "dedup_levenshtein_pairs",
+        "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
