@@ -123,6 +123,78 @@ def _read_rollback_cursor(path: str) -> int:
     return int(vals.iloc[0])
 
 
+def plan_rounds(
+    files: list[dict],
+    epochs_per_round: int,
+    processed: set,
+    last_cursor: int,
+) -> list[tuple]:
+    """Turn an ordered list of discovered epoch entries into an execution
+    plan of ``("round", group, round_id)`` and ``("rollback", target, epoch)``
+    steps — pure metadata planning (footer reads only), separated from
+    execution so the stream controller and tests can inspect plans.
+
+    Planning rules:
+
+    - an epoch carrying an explicit rollback event becomes its own
+      ``("rollback", target_cursor, epoch)`` step, and a round flush is
+      forced before it (a rollback target must be a committed round
+      boundary — mirrors Hemera rolling back whole block ranges);
+    - implicit reorg DETECTION (the reference's parent-hash consensus
+      check, ``indexer/controller/stream_controller.py`` +
+      ``indexer/jobs/check_block_consensus_job.py:30-79``): a fresh epoch
+      whose cursor range re-enters already-applied territory is a
+      re-emitted canonical chain without an explicit rollback event — the
+      rollback it implies is injected. ``sim_hi`` tracks the high-water
+      cursor as the plan would leave it;
+    - schema evolution forces a round boundary: a round's files share one
+      change schema (the evolved schema commits with its round);
+    - groups close at ``epochs_per_round`` or at a rollback target cursor
+      (so the target lands exactly on a round boundary).
+    """
+    rollback_epochs = {
+        f["epoch"]
+        for f in files
+        if any(_file_has_rollback(p) for p in f["paths"])
+    }
+    rollback_targets = {
+        _read_rollback_cursor(f["paths"][0])
+        for f in files
+        if f["epoch"] in rollback_epochs
+    }
+    plan: list = []
+    group: list[dict] = []
+
+    def flush():
+        if group:
+            rid = f"r{group[0]['epoch']:06d}-{group[-1]['epoch']:06d}"
+            plan.append(("round", list(group), rid))
+            group.clear()
+
+    sim_hi = last_cursor
+    for f in files:
+        if f["epoch"] in rollback_epochs:
+            flush()
+            target = _read_rollback_cursor(f["paths"][0])
+            plan.append(("rollback", target, f["epoch"]))
+            sim_hi = min(sim_hi, target)
+            continue
+        if f["epoch"] not in processed and f["cursor_lo"] <= sim_hi:
+            flush()
+            plan.append(("rollback", f["cursor_lo"] - 1, f["epoch"]))
+            sim_hi = f["cursor_lo"] - 1
+        if group and not pq.read_schema(f["paths"][0]).equals(
+            pq.read_schema(group[0]["paths"][0])
+        ):
+            flush()
+        group.append(f)
+        sim_hi = max(sim_hi, f["cursor_hi"])
+        if len(group) >= epochs_per_round or f["cursor_hi"] in rollback_targets:
+            flush()
+    flush()
+    return plan
+
+
 class _Normalize:
     """Stateless per-batch transform: conform every batch to the round's
     unified change schema (schema evolution is per batch, not per epoch —
@@ -1416,59 +1488,12 @@ class Engine:
     ) -> list[dict]:
         """Replay an explicit (ordered) list of discovered epoch entries —
         the unit the stream controller feeds (raycdc.stream.follow)."""
-        # reorg-aware planning: a rollback target must be a committed round
-        # boundary, so pre-scan rollback epochs and force a round flush at
-        # each target cursor (mirrors Hemera rolling back whole block ranges)
-        rollback_epochs = {
-            f["epoch"]
-            for f in files
-            if any(_file_has_rollback(p) for p in f["paths"])
-        }
-        rollback_targets = {
-            _read_rollback_cursor(f["paths"][0])
-            for f in files
-            if f["epoch"] in rollback_epochs
-        }
-        plan: list = []
-        group: list[dict] = []
-
-        def flush():
-            if group:
-                rid = f"r{group[0]['epoch']:06d}-{group[-1]['epoch']:06d}"
-                plan.append(("round", list(group), rid))
-                group.clear()
-
-        # reorg DETECTION (the reference's parent-hash consensus check,
-        # ``indexer/jobs/check_block_consensus_job.py:30-79``): a fresh
-        # epoch whose cursor range re-enters already-applied territory is
-        # a re-emitted canonical chain without an explicit rollback event —
-        # inject the rollback it implies. ``sim_hi`` tracks the high-water
-        # cursor as the plan would leave it.
-        processed = self.lake.processed_epochs()
-        sim_hi = self.lake.last_cursor()
-
-        for f in files:
-            if f["epoch"] in rollback_epochs:
-                flush()
-                target = _read_rollback_cursor(f["paths"][0])
-                plan.append(("rollback", target, f["epoch"]))
-                sim_hi = min(sim_hi, target)
-                continue
-            if f["epoch"] not in processed and f["cursor_lo"] <= sim_hi:
-                flush()
-                plan.append(("rollback", f["cursor_lo"] - 1, f["epoch"]))
-                sim_hi = f["cursor_lo"] - 1
-            # schema evolution forces a round boundary: a round's files share
-            # one change schema (the evolved schema commits with its round)
-            if group and not pq.read_schema(f["paths"][0]).equals(
-                pq.read_schema(group[0]["paths"][0])
-            ):
-                flush()
-            group.append(f)
-            sim_hi = max(sim_hi, f["cursor_hi"])
-            if len(group) >= epochs_per_round or f["cursor_hi"] in rollback_targets:
-                flush()
-        flush()
+        plan = plan_rounds(
+            files,
+            epochs_per_round,
+            processed=self.lake.processed_epochs(),
+            last_cursor=self.lake.last_cursor(),
+        )
 
         if self.exchange == "direct":
             return self._execute_plan_pipelined(plan)
@@ -1604,10 +1629,22 @@ class Engine:
         return L._schema_from_str(meta[t_idx][0])
 
     def read_lake(self, columns=None, include_system: bool = False,
-                  table: str | None = None, predicate=None):
+                  table: str | None = None, predicate=None,
+                  as_of_cursor: int | None = None,
+                  as_of_round: str | None = None):
         """A lake table as a Dataset of live rows (tombstones and system
         columns dropped unless requested). ``table`` selects a logical
         table (default: the primary).
+
+        ``as_of_cursor`` / ``as_of_round`` select a TIME-TRAVEL snapshot:
+        the table state as of a committed round boundary (cursor = the
+        round's high watermark — the same boundary resolution rollback
+        uses). Snapshots are served from the manifest's per-partition
+        version history, so they are bounded by the same ``undo_window``
+        that bounds rollback; older snapshots raise. Snapshot reads always
+        go through the per-partition fold (a snapshot base may have
+        in-window deltas stacked on it) and use the CURRENT table schema —
+        columns added after the snapshot read as null.
 
         ``predicate`` is a ``pyarrow.dataset`` expression. On base-only
         partitions it is pushed INTO the parquet read (row groups that
@@ -1625,10 +1662,17 @@ class Engine:
         t_idx = self._table_index(table)
         nparts = self.lake.num_partitions
         prange = (t_idx * nparts, (t_idx + 1) * nparts)
-        state_map = self.lake.live_state_map(prange)
+        if as_of_cursor is not None:
+            as_of_round = self.lake.round_id_at_cursor(as_of_cursor)
+        if as_of_round is not None:
+            state_map = self.lake.state_map_as_of(as_of_round, prange)
+        else:
+            state_map = self.lake.live_state_map(prange)
         schema = self._table_schema(t_idx)
         key_cols = list(self.tables[t_idx].key_cols)
-        needs_fold = any(ent["deltas"] for ent in state_map.values())
+        needs_fold = as_of_round is not None or any(
+            ent["deltas"] for ent in state_map.values()
+        )
         if needs_fold and schema is not None:
             return self._read_lake_folded(
                 state_map, schema, columns, include_system, key_cols, predicate
@@ -1709,6 +1753,67 @@ class Engine:
         return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
             drop=True
         )
+
+    def read_key(
+        self,
+        key,
+        table: str | None = None,
+        include_system: bool = False,
+        as_of_cursor: int | None = None,
+        as_of_round: str | None = None,
+    ) -> pd.DataFrame:
+        """Point lookup: the live (or snapshot) rows of ONE entity key,
+        reading exactly one partition's fragments — the partition-pruned
+        "current state of entity X" path (the reference serves this from a
+        PostgreSQL primary-key index; here the lake's hash layout IS the
+        index). Work is O(one partition), independent of lake size:
+        ``hash(key) % P`` names the home partition, parquet row-group
+        predicate pushdown prunes within its fragments, and the per-key
+        fold runs on just the matching rows. Driver-side by design — a
+        point lookup returns a handful of rows."""
+        t_idx = self._table_index(table)
+        nparts = self.lake.num_partitions
+        home = int(
+            P.assign_part(
+                np.asarray([key], dtype=object), nparts, self.lake.hash_version
+            )[0]
+        )
+        part = t_idx * nparts + home
+        if as_of_cursor is not None:
+            as_of_round = self.lake.round_id_at_cursor(as_of_cursor)
+        if as_of_round is not None:
+            sm = self.lake.state_map_as_of(as_of_round, (part, part + 1))
+        else:
+            sm = self.lake.live_state_map((part, part + 1))
+        schema = self._table_schema(t_idx)
+        key_cols = list(self.tables[t_idx].key_cols)
+        sys_cols = ["cursor", "seq"] if include_system else []
+        if schema is None:
+            cols = key_cols + sys_cols
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        fs = M.fragment_schema_for(schema, key_cols=key_cols)
+        pay = M.payload_columns([f.name for f in schema], key_cols=key_cols)
+        if part not in sm:
+            cols = key_cols + pay + sys_cols
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        ent = sm[part]
+        files = ([ent["base"]] if ent["base"] else []) + list(ent["deltas"])
+        frames = [
+            S.conform(
+                pq.read_table(p, filters=[(key_cols[0], "==", key)]), fs
+            )
+            for p in files
+        ]
+        st = M.fold_fragments_table(frames, pay, key_cols=key_cols)
+        if st is None or not st.num_rows:
+            cols = key_cols + pay + sys_cols
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        import pyarrow.compute as pc
+
+        st = st.filter(pc.invert(st.column(M.DELETED_COL)))
+        keep = key_cols + pay + sys_cols
+        df = st.select(keep).to_pandas()
+        return df.sort_values(key_cols, kind="stable").reset_index(drop=True)
 
 
 def _salt_batch_fn(

@@ -167,6 +167,62 @@ class Lake:
             out[p] = {"base": base, "deltas": deltas}
         return out
 
+    def round_position(self, round_id: str) -> int:
+        """Index of a committed round in the ledger (KeyError if unknown)."""
+        for i, r in enumerate(self.manifest["committed_rounds"]):
+            if r["round_id"] == round_id:
+                return i
+        raise KeyError(f"round {round_id!r} is not a committed round")
+
+    def round_id_at_cursor(self, cursor_hi: int) -> str:
+        """The committed round whose high watermark is ``cursor_hi`` —
+        the same boundary resolution :meth:`rollback` uses (snapshots, like
+        rollbacks, target whole committed rounds)."""
+        for r in self.manifest["committed_rounds"]:
+            if r["cursor_hi"] == cursor_hi:
+                return r["round_id"]
+        raise ValueError(
+            f"cursor {cursor_hi} is not a committed round boundary "
+            f"(committed: "
+            f"{[r['cursor_hi'] for r in self.manifest['committed_rounds']]})"
+        )
+
+    def state_map_as_of(
+        self, round_id: str, part_range: tuple | None = None
+    ) -> dict:
+        """Like :meth:`live_state_map`, but reconstructing the partition
+        state as of ``round_id`` — the time-travel read anchor. Bounded by
+        the same ``undo_window`` that bounds rollback: the GC keeps, per
+        partition, every in-window version plus the newest pre-window base
+        and its following deltas, which is exactly what reconstructing any
+        in-window snapshot needs. Versions committed after ``round_id`` are
+        skipped; a partition first touched later is absent (empty then)."""
+        idx = self.round_position(round_id)
+        rounds = self.manifest["committed_rounds"]
+        if len(rounds) - 1 - idx >= self.manifest["undo_window"]:
+            raise ValueError(
+                f"snapshot at {round_id} is {len(rounds) - 1 - idx} rounds "
+                f"old — outside undo_window={self.manifest['undo_window']}"
+            )
+        allowed = {r["round_id"] for r in rounds[: idx + 1]}
+        out = {}
+        for p, versions in self.manifest["partitions"].items():
+            p = int(p)
+            if part_range is not None and not (part_range[0] <= p < part_range[1]):
+                continue
+            base, deltas, seen = None, [], False
+            for v in versions:
+                if v["round"] not in allowed:
+                    continue
+                seen = True
+                if v.get("kind", "base") == "base":
+                    base, deltas = os.path.join(self.root, v["file"]), []
+                else:
+                    deltas.append(os.path.join(self.root, v["file"]))
+            if seen:
+                out[p] = {"base": base, "deltas": deltas}
+        return out
+
     def live_fragment_paths(self, part_range: tuple | None = None) -> list:
         paths = []
         for ent in self.live_state_map(part_range).values():

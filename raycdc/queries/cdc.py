@@ -117,6 +117,62 @@ def cdc_conv_stats(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+def _snapshot_round_epoch(sf_dir: str) -> tuple[str, int]:
+    """The deterministic mid-replay snapshot anchor shared by the Ray query
+    and its SQL oracle: the second-to-last committed round of the tier's
+    replay plan and the max epoch it covers. Pure metadata planning
+    (``plan_rounds`` reads only parquet footers), so both sides agree
+    without running the engine."""
+    from raycdc.engine import discover_epoch_files, plan_rounds
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    log_dir = gen.cached_change_log(spec)
+    files = discover_epoch_files(log_dir)
+    rounds = [s for s in plan_rounds(files, 2, set(), 0) if s[0] == "round"]
+    _, group, round_id = rounds[-2]
+    return round_id, max(f["epoch"] for f in group)
+
+
+def cdc_time_travel(sf_dir: str):
+    """Time travel: replay the full log, then read the lake AS OF a
+    historical committed round boundary (the second-to-last round) — the
+    snapshot is reconstructed from the manifest's per-partition version
+    history (base + deltas as of that round), bounded by the same
+    ``undo_window`` that bounds rollback. The Iceberg/Delta-style
+    snapshot-read analog of the reference's block-height-anchored reads."""
+    round_id, _ = _snapshot_round_epoch(sf_dir)
+    eng = _replayed_engine(sf_dir, salted=False)
+    df = eng.read_lake(include_system=True, as_of_round=round_id).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+# point-lookup key sample: deterministic spread over the tier's conv space
+_LOOKUP_FRACS = (0, 1, 3, 7, 9)
+
+
+def _lookup_keys(sf_dir: str) -> list[str]:
+    n = _spec_for(sf_dir).n_convs
+    return [f"conv-{min(i * n // 10, n - 1):06d}" for i in _LOOKUP_FRACS]
+
+
+def cdc_read_key(sf_dir: str):
+    """Point lookups: the current state of five sampled conversations via
+    ``Engine.read_key`` — each lookup touches exactly ONE partition's
+    fragments (hash(key) names the home partition; parquet row-group
+    predicate pushdown prunes within it), the lake's answer to the
+    reference serving ``current_*`` rows from a PostgreSQL PK index."""
+    eng = _replayed_engine(sf_dir, salted=False)
+    frames = [
+        eng.read_key(k, include_system=True) for k in _lookup_keys(sf_dir)
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
 # -- events-as-changelog: SQL-checkable CDC apply --------------------------
 
 TURN_MOD = 50
@@ -243,7 +299,7 @@ CDC_REPLAY_SQL_TEMPLATE = f"""
 WITH raw AS (
     SELECT op, conv_id, turn_idx, role, text, tool, ts, cursor, seq, epoch,
            rollback_to_cursor
-    FROM read_parquet('{{path}}')
+    FROM read_parquet('{{path}}'){{where}}
 ), ordered AS (
     -- reorg resolution: an event is orphaned iff ANY LATER rollback (in
     -- stream order) targets a cursor below it. rb_floor = running min of
@@ -305,12 +361,26 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
     path = os.path.join(log_dir, "changes-*.parquet")
-    replay = CDC_REPLAY_SQL_TEMPLATE.format(path=path)
+    replay = CDC_REPLAY_SQL_TEMPLATE.format(path=path, where="")
+    # time travel: the snapshot at a committed round boundary is exactly the
+    # replay of the log prefix up to that round's last epoch (plan_rounds is
+    # deterministic, so both sides pick the same round)
+    _, max_epoch = _snapshot_round_epoch(sf_dir)
+    time_travel = CDC_REPLAY_SQL_TEMPLATE.format(
+        path=path, where=f" WHERE epoch <= {max_epoch}"
+    )
+    keys = ", ".join(f"'{k}'" for k in _lookup_keys(sf_dir))
+    read_key = (
+        f"WITH replay AS ({replay})\n"
+        f"SELECT * FROM replay WHERE conv_id IN ({keys})"
+    )
     return {
         "cdc_replay": replay,
         "cdc_replay_salted": replay,  # salted path must be bit-identical
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
+        "cdc_time_travel": time_travel,
+        "cdc_read_key": read_key,
     }
 
 
@@ -320,6 +390,8 @@ QUERIES = {
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_apply_events": cdc_apply_events,
+    "cdc_time_travel": cdc_time_travel,
+    "cdc_read_key": cdc_read_key,
 }
 
 ORACLE_SQL = {

@@ -694,3 +694,158 @@ def test_update_balance_moves_hot_partition(ray_session, tmp_path, make_lake):
     assert eng._assign_rev == rev1, "unmovable hotspot must not thrash"
     eng._pool = None  # avoid teardown on fake handles
     eng.lake.release_writer_lock(eng.lake.root)
+
+
+# -- time travel / point lookup ---------------------------------------------
+
+def _prefix_oracle(log: str, max_epoch: int) -> pd.DataFrame:
+    """Oracle state as of the end of ``max_epoch``: replay only the log
+    files whose epoch is <= max_epoch (epochs align to cursor groups)."""
+    from raycdc.engine import discover_epoch_files
+
+    frames = [
+        pq.read_table(p).to_pandas()
+        for f in discover_epoch_files(log)
+        if f["epoch"] <= max_epoch
+        for p in f["paths"]
+    ]
+    return oracle.replay(pd.concat(frames, ignore_index=True))
+
+
+def test_time_travel_snapshot_matches_prefix_oracle(
+    ray_session, tmp_path, make_lake
+):
+    """read_lake(as_of_round=...) must reconstruct the lake exactly as it
+    stood at that committed round boundary — verified against the oracle
+    replay of the log prefix. Also: as_of_cursor resolves to the same
+    snapshot, and the newest snapshot equals the live read."""
+    spec = gen.GenSpec(seed=71, n_convs=150, mean_turns=6, n_epochs=6)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, compact_every=3)
+    eng.apply_log(log, epochs_per_round=2)
+    rounds = eng.lake.manifest["committed_rounds"]
+    assert len(rounds) == 3
+
+    def snap(**kw):
+        df = eng.read_lake(include_system=True, **kw).to_pandas()
+        return df.sort_values(
+            ["conv_id", "turn_idx"], kind="stable"
+        ).reset_index(drop=True)
+
+    for r in rounds:
+        expect = _prefix_oracle(log, max(int(e) for e in r["epochs"]))
+        got = snap(as_of_round=r["round_id"])[expect.columns.tolist()]
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+        by_cursor = snap(as_of_cursor=int(r["cursor_hi"]))
+        pd.testing.assert_frame_equal(
+            by_cursor, snap(as_of_round=r["round_id"]), check_dtype=False
+        )
+    # newest snapshot == live read
+    pd.testing.assert_frame_equal(
+        snap(as_of_round=rounds[-1]["round_id"]), snap(), check_dtype=False
+    )
+    eng.close()
+
+
+def test_time_travel_bounds(ray_session, tmp_path, make_lake):
+    """Snapshots outside the undo window raise (same bound as rollback);
+    a cursor that is not a committed round boundary raises."""
+    spec = gen.GenSpec(seed=72, n_convs=60, mean_turns=4, n_epochs=6,
+                       frac_update=0, frac_delete=0, frac_dup=0)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=4, undo_window=2)
+    eng.apply_log(log)  # 6 rounds, window keeps the last 2
+    rounds = eng.lake.manifest["committed_rounds"]
+    with pytest.raises(ValueError, match="undo_window"):
+        eng.read_lake(as_of_round=rounds[0]["round_id"])
+    with pytest.raises(ValueError, match="boundary"):
+        eng.read_lake(as_of_cursor=10**9)
+    # the newest in-window snapshot still reconstructs exactly
+    r = rounds[-1]
+    got = (
+        eng.read_lake(include_system=True, as_of_round=r["round_id"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expect = _prefix_oracle(log, max(int(e) for e in r["epochs"]))
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False
+    )
+    eng.close()
+
+
+def test_read_key_point_lookup(ray_session, tmp_path, make_lake):
+    """read_key(conv_id) must equal the full lake read filtered to that
+    key — live and as-of — and an unknown key returns an empty frame with
+    the table's columns."""
+    spec = gen.GenSpec(seed=73, n_convs=120, mean_turns=6, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, compact_every=3)
+    eng.apply_log(log, epochs_per_round=2)
+
+    full = eng.read_lake_pandas()
+    for conv in full["conv_id"].unique()[:5]:
+        got = eng.read_key(conv, include_system=True)
+        expect = (
+            full[full["conv_id"] == conv]
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[expect.columns.tolist()], expect, check_dtype=False
+        )
+    # as-of point lookup agrees with the as-of full read
+    r0 = eng.lake.manifest["committed_rounds"][0]
+    snap = (
+        eng.read_lake(include_system=True, as_of_round=r0["round_id"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    conv = snap["conv_id"].iloc[0]
+    got = eng.read_key(conv, include_system=True, as_of_round=r0["round_id"])
+    expect = snap[snap["conv_id"] == conv].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False
+    )
+    # unknown key -> empty, full column surface
+    empty = eng.read_key("conv-does-not-exist")
+    assert len(empty) == 0 and "conv_id" in empty.columns
+    eng.close()
+
+
+def test_plan_rounds_structure(ray_session, tmp_path, make_lake):
+    """plan_rounds (pure planning): groups of <= epochs_per_round, an
+    explicit-rollback epoch becomes its own step with a flush before it,
+    and a round never spans a schema evolution boundary."""
+    from raycdc.engine import discover_epoch_files, plan_rounds
+
+    spec = gen.GenSpec(
+        seed=74, n_convs=80, mean_turns=5, n_epochs=6,
+        rollback_epochs=(2,), evolve_at_epoch=5,
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    files = discover_epoch_files(log)
+    plan = plan_rounds(files, 3, processed=set(), last_cursor=0)
+    kinds = [step[0] for step in plan]
+    assert "rollback" in kinds
+    for step in plan:
+        if step[0] != "round":
+            continue
+        group = step[1]
+        assert len(group) <= 3
+        # all files in one round share one change schema
+        schemas = {
+            tuple(pq.read_schema(f["paths"][0]).names) for f in group
+        }
+        assert len(schemas) == 1
+    # executing exactly this plan matches the oracle end state
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log, epochs_per_round=3)
+    assert_matches_oracle(eng, log)
+    eng.close()
