@@ -133,6 +133,19 @@ def _snapshot_round_epoch(sf_dir: str) -> tuple[str, int]:
     return round_id, max(f["epoch"] for f in group)
 
 
+def _snapshot_round_cursor(sf_dir: str) -> tuple[str, int]:
+    """Same anchor round as :func:`_snapshot_round_epoch`, but returning
+    its high-water CURSOR (the changefeed filter both sides share)."""
+    from raycdc.engine import discover_epoch_files, plan_rounds
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    log_dir = gen.cached_change_log(spec)
+    files = discover_epoch_files(log_dir)
+    rounds = [s for s in plan_rounds(files, 2, set(), 0) if s[0] == "round"]
+    _, group, round_id = rounds[-2]
+    return round_id, max(f["cursor_hi"] for f in group)
+
+
 def cdc_time_travel(sf_dir: str):
     """Time travel: replay the full log, then read the lake AS OF a
     historical committed round boundary (the second-to-last round) — the
@@ -155,6 +168,20 @@ _LOOKUP_FRACS = (0, 1, 3, 7, 9)
 def _lookup_keys(sf_dir: str) -> list[str]:
     n = _spec_for(sf_dir).n_convs
     return [f"conv-{min(i * n // 10, n - 1):06d}" for i in _LOOKUP_FRACS]
+
+
+def cdc_changefeed(sf_dir: str):
+    """Change data feed: after the full replay, the NET row-level delta
+    committed after the mid-replay anchor round — current values tagged
+    ``upsert``, tombstoned keys tagged ``delete`` with null payloads.
+    Only partitions with post-anchor fragments are scanned (manifest
+    pruning), so cost tracks the delta, not the lake."""
+    round_id, _ = _snapshot_round_cursor(sf_dir)
+    eng = _replayed_engine(sf_dir, salted=False)
+    df = eng.read_changes(since_round=round_id).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
 
 
 def cdc_read_key(sf_dir: str):
@@ -295,7 +322,9 @@ SELECT conv_id,
 FROM eff GROUP BY conv_id
 """
 
-CDC_REPLAY_SQL_TEMPLATE = f"""
+# the replay's full CTE chain (raw → reorg-resolved → segmented → folded),
+# shared by the final-state replay and the changefeed (which keeps deletes)
+_FOLDED_CTES = f"""
 WITH raw AS (
     SELECT op, conv_id, turn_idx, role, text, tool, ts, cursor, seq, epoch,
            rollback_to_cursor
@@ -336,11 +365,34 @@ WITH raw AS (
         arg_max(op, wm) AS last_op
     FROM seg GROUP BY conv_id, turn_idx
 )
+"""
+
+CDC_REPLAY_SQL_TEMPLATE = (
+    _FOLDED_CTES
+    + f"""
 SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts,
        CAST(last_wm // {_WM} AS BIGINT) AS cursor,
        CAST(last_wm % {_WM} AS INTEGER) AS seq
 FROM folded WHERE last_op <> 'delete'
 """
+)
+
+# changefeed: every key whose final watermark post-dates the anchor cursor;
+# deletes survive (tagged, payload nulled) instead of being dropped
+CDC_CHANGEFEED_SQL_TEMPLATE = (
+    _FOLDED_CTES
+    + f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CASE WHEN last_op = 'delete' THEN NULL ELSE role END AS role,
+       CASE WHEN last_op = 'delete' THEN NULL ELSE text END AS text,
+       CASE WHEN last_op = 'delete' THEN NULL ELSE tool END AS tool,
+       CASE WHEN last_op = 'delete' THEN NULL ELSE ts END AS ts,
+       CAST(last_wm // {_WM} AS BIGINT) AS cursor,
+       CAST(last_wm % {_WM} AS INTEGER) AS seq,
+       CASE WHEN last_op = 'delete' THEN 'delete' ELSE 'upsert' END AS change_op
+FROM folded WHERE last_wm // {_WM} > {{anchor_cursor}}
+"""
+)
 
 CDC_CONV_STATS_SQL_TEMPLATE = """
 WITH replay AS ({replay})
@@ -374,6 +426,10 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         f"WITH replay AS ({replay})\n"
         f"SELECT * FROM replay WHERE conv_id IN ({keys})"
     )
+    _, anchor_cursor = _snapshot_round_cursor(sf_dir)
+    changefeed = CDC_CHANGEFEED_SQL_TEMPLATE.format(
+        path=path, where="", anchor_cursor=anchor_cursor
+    )
     return {
         "cdc_replay": replay,
         "cdc_replay_salted": replay,  # salted path must be bit-identical
@@ -381,6 +437,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
+        "cdc_changefeed": changefeed,
     }
 
 
@@ -392,6 +449,7 @@ QUERIES = {
     "cdc_apply_events": cdc_apply_events,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
+    "cdc_changefeed": cdc_changefeed,
 }
 
 ORACLE_SQL = {

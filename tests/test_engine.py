@@ -849,3 +849,45 @@ def test_plan_rounds_structure(ray_session, tmp_path, make_lake):
     eng.apply_log(log, epochs_per_round=3)
     assert_matches_oracle(eng, log)
     eng.close()
+
+
+def test_read_changes_composes_with_snapshot(ray_session, tmp_path, make_lake):
+    """The changefeed law: applying read_changes(since=R) on top of the
+    snapshot AT R must reproduce the live table exactly — upserts replace,
+    deletes remove, untouched keys persist. Full CDC mix incl. deletes."""
+    spec = gen.GenSpec(seed=75, n_convs=150, mean_turns=6, n_epochs=6,
+                       frac_delete=0.15)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, compact_every=3)
+    eng.apply_log(log, epochs_per_round=2)
+    rounds = eng.lake.manifest["committed_rounds"]
+    anchor = rounds[0]
+
+    snap = eng.read_lake(
+        include_system=True, as_of_round=anchor["round_id"]
+    ).to_pandas()
+    changes = eng.read_changes(since_round=anchor["round_id"]).to_pandas()
+    assert len(changes) > 0
+    assert set(changes["change_op"]) <= {"upsert", "delete"}
+    # every change post-dates the anchor; deletes carry null payloads
+    assert (changes["cursor"] > anchor["cursor_hi"]).all()
+    dels = changes[changes["change_op"] == "delete"]
+    if len(dels):
+        assert dels["text"].isna().all() and dels["role"].isna().all()
+
+    # apply the feed to the snapshot
+    key = ["conv_id", "turn_idx"]
+    changed_keys = set(map(tuple, changes[key].itertuples(index=False)))
+    kept = snap[~snap.set_index(key).index.isin(changed_keys)]
+    ups = changes[changes["change_op"] == "upsert"].drop(columns="change_op")
+    applied = (
+        pd.concat([kept, ups[kept.columns.tolist()]], ignore_index=True)
+        .sort_values(key, kind="stable")
+        .reset_index(drop=True)
+    )
+    live = eng.read_lake_pandas()
+    pd.testing.assert_frame_equal(
+        applied, live[applied.columns.tolist()], check_dtype=False
+    )
+    eng.close()
