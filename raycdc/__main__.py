@@ -98,7 +98,10 @@ def cmd_export(args) -> int:
         return 2
     _init_ray(args.num_cpus)
     eng = _engine(args)
-    ds = eng.read_lake(include_system=True, table=args.table)
+    ds = eng.read_lake(
+        include_system=True, table=args.table,
+        as_of_cursor=getattr(args, "as_of_cursor", None),
+    )
     if getattr(args, "output", None):
         # multi-sink URI list (reference --output factory,
         # indexer/exporters/item_exporter.py:9-79), e.g.
@@ -145,6 +148,46 @@ def cmd_aggregate(args) -> int:
         "out_dir": args.out_dir,
         "tables": ["conv_daily_stats", "conv_cumulative_stats"],
     }))
+    eng.close()
+    return 0
+
+
+def cmd_changes(args) -> int:
+    """Export (or print) the change data feed since a committed cursor —
+    the incremental-sync surface downstream consumers poll instead of
+    re-reading the whole lake."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    ds = eng.read_changes(since_cursor=args.since_cursor, table=args.table)
+    if args.out_dir:
+        ds.write_parquet(args.out_dir)
+        rows = sum(
+            pq.ParquetFile(os.path.join(args.out_dir, f)).metadata.num_rows
+            for f in os.listdir(args.out_dir)
+            if f.endswith(".parquet")
+        )
+        print(json.dumps({"out_dir": args.out_dir, "rows": rows}))
+    else:
+        for row in ds.limit(args.limit).take_all():
+            print(json.dumps(row, default=str))
+    eng.close()
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    """Point lookup of one entity key — driver-side only (the lake's hash
+    layout is the index; no Ray session needed)."""
+    eng = _engine(args)
+    df = eng.read_key(
+        args.key, table=args.table, include_system=True,
+        as_of_cursor=args.as_of_cursor,
+    )
+    for row in df.to_dict("records"):
+        print(json.dumps(row, default=str))
     eng.close()
     return 0
 
@@ -225,7 +268,28 @@ def main(argv: list[str] | None = None) -> int:
         "(console | void | csvfile://DIR | jsonfile://DIR | "
         "parquetfile://DIR | lake://DIR); overrides out_dir/--format",
     )
+    p.add_argument("--as-of-cursor", type=int, default=None,
+                   help="export a time-travel snapshot at this committed "
+                   "round boundary instead of the live state")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("changes", help="change data feed since a cursor")
+    _common(p)
+    p.add_argument("--since-cursor", type=int, required=True,
+                   help="committed round boundary the feed starts after")
+    p.add_argument("--table", default=None)
+    p.add_argument("--out-dir", default=None,
+                   help="write the feed as parquet (default: print rows)")
+    p.add_argument("--limit", type=int, default=20,
+                   help="max rows to print without --out-dir")
+    p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser("lookup", help="point lookup of one entity key")
+    _common(p)
+    p.add_argument("key")
+    p.add_argument("--table", default=None)
+    p.add_argument("--as-of-cursor", type=int, default=None)
+    p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser("aggregate", help="materialize derived aggregate tables")
     _common(p)

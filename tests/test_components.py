@@ -411,6 +411,30 @@ def test_cli_end_to_end(tmp_path):
     daily = _glob.glob(os.path.join(agg["out_dir"], "conv_daily_stats", "*.parquet"))
     assert daily, "no daily aggregate parquet written"
 
+    # change data feed since the first round's boundary (parquet + print)
+    first = show["recent_rounds"][0]["cursor_hi"]
+    feed = cli("changes", "--lake", lake, "--since-cursor", str(first),
+               "--out-dir", str(tmp_path / "feed"), "--num-cpus", "4")[-1]
+    assert feed["rows"] > 0
+    printed = cli("changes", "--lake", lake, "--since-cursor", str(first),
+                  "--limit", "5", "--num-cpus", "4")
+    assert 0 < len(printed) <= 5 and "change_op" in printed[0]
+
+    # point lookup of one key seen in the feed
+    key = printed[0]["conv_id"]
+    rows = cli("lookup", key, "--lake", lake)
+    assert rows and all(r["conv_id"] == key for r in rows)
+
+    # snapshot export at the first boundary has no post-boundary cursors
+    snap = cli("export", "--lake", lake, "--num-cpus", "4",
+               "--as-of-cursor", str(first),
+               "--output", f"jsonfile://{tmp_path}/jsnap")[-1]
+    assert snap["sinks"] == 1
+    import pandas as _pd
+    sfiles = _glob.glob(str(tmp_path / "jsnap" / "*"))
+    srows = _pd.concat([_pd.read_json(f, lines=True) for f in sfiles])
+    assert (srows["cursor"] <= first).all()
+
 
 # -- auto-discovery + per-step config --------------------------------------
 
