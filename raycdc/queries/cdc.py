@@ -90,15 +90,14 @@ def cdc_conv_latest(sf_dir: str):
     return eng.read_lake(table="conv_latest", include_system=True)
 
 
-def cdc_conv_stats(sf_dir: str):
-    """Derived aggregate over the replayed lake (the reference's
-    `aggr_jobs` analog): per-conversation turn count / latest ts —
-    distributed groupby over the lake Dataset, not driver pandas."""
+def _conv_stats_ds(eng: Engine, as_of_round: str | None = None):
+    """Per-conversation stats over the lake (optionally a snapshot):
+    distributed groupby, integer widths pinned to the oracle's BIGINTs."""
     from ray.data.aggregate import Count, Max
 
-    eng = _replayed_engine(sf_dir, salted=False)
     ds = eng.read_lake(
-        columns=["conv_id", "turn_idx", "ts", "cursor"], include_system=True
+        columns=["conv_id", "turn_idx", "ts", "cursor"], include_system=True,
+        as_of_round=as_of_round,
     )
     agg = ds.groupby("conv_id").aggregate(
         Count(alias_name="n_turns"),
@@ -108,7 +107,95 @@ def cdc_conv_stats(sf_dir: str):
     )
 
     def cast(t: pa.Table) -> pa.Table:
-        # pin integer widths so the DuckDB oracle's BIGINTs compare exactly
+        for c in ("n_turns", "max_turn", "max_cursor"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t.column(c).cast(pa.int64()))
+        return t
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def cdc_conv_stats(sf_dir: str):
+    """Derived aggregate over the replayed lake (the reference's
+    `aggr_jobs` analog): per-conversation turn count / latest ts —
+    distributed groupby over the lake Dataset, not driver pandas."""
+    eng = _replayed_engine(sf_dir, salted=False)
+    return _conv_stats_ds(eng)
+
+
+def cdc_incremental_stats(sf_dir: str):
+    """Incremental view maintenance of the conv-stats aggregate: given the
+    stats table as it was MATERIALIZED at the anchor round, refresh it by
+    recomputing only the conversations the changefeed marks dirty —
+    untouched groups are carried over, dirty groups are re-aggregated from
+    the live lake with the conv_id set PUSHED INTO the parquet read. The
+    result must hash-match the full recompute (same oracle SQL as
+    ``cdc_conv_stats``) — the reference's incremental ``aggr_jobs``
+    pattern (``indexer/aggr_jobs/aggr_job_scheduler.py:10-26``) done
+    without rescanning the lake.
+
+    Scale shape: the dirty-key set is O(one refresh interval's touched
+    keys) — the same bound the merger pool already holds per round — and
+    is broadcast once (ray.put) to the filter stages; everything else
+    streams. (The anchor table itself is built via a snapshot read here
+    only because the benchmark starts cold; a real deployment reads the
+    previously written stats parquet.)"""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    round_id, _ = _snapshot_round_cursor(sf_dir)
+    eng = _replayed_engine(sf_dir, salted=False)
+
+    # the "previously materialized" table (scaffolding for the benchmark)
+    base = _conv_stats_ds(eng, as_of_round=round_id)
+
+    # dirty groups since the anchor (net feed: upserts + deletes);
+    # per-block Arrow unique, then a driver-side set of the survivors
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.unique(t.column("conv_id"))})
+
+    dirty = sorted(
+        {
+            r["conv_id"]
+            for r in eng.read_changes(since_round=round_id)
+            .map_batches(_uniq, batch_format="pyarrow")
+            .take_all()
+        }
+    )
+    if not dirty:
+        return base
+    dirty_ref = _ray.put(pa.array(dirty, pa.string()))
+
+    def drop_dirty(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t.column("conv_id"), value_set=_ray.get(dirty_ref)))
+        )
+
+    kept = base.map_batches(drop_dirty, batch_format="pyarrow")
+    # recompute ONLY dirty conversations, pruned at the parquet read
+    refreshed = _conv_stats_ds_filtered(eng, dirty)
+    return kept.union(refreshed)
+
+
+def _conv_stats_ds_filtered(eng: Engine, conv_ids: list):
+    """conv-stats restricted to ``conv_ids`` via read-level predicate."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Max
+
+    pred = pads.field("conv_id").isin(conv_ids)
+    ds = eng.read_lake(
+        columns=["conv_id", "turn_idx", "ts", "cursor"], include_system=True,
+        predicate=pred,
+    )
+    agg = ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"),
+        Max("turn_idx", alias_name="max_turn"),
+        Max("ts", alias_name="last_ts"),
+        Max("cursor", alias_name="max_cursor"),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
         for c in ("n_turns", "max_turn", "max_cursor"):
             i = t.schema.get_field_index(c)
             t = t.set_column(i, c, t.column(c).cast(pa.int64()))
@@ -438,6 +525,10 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
+        # incremental refresh must equal the full recompute bit-for-bit
+        "cdc_incremental_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(
+            replay=replay
+        ),
     }
 
 
@@ -450,6 +541,7 @@ QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,
+    "cdc_incremental_stats": cdc_incremental_stats,
 }
 
 ORACLE_SQL = {
