@@ -713,6 +713,131 @@ FROM (SELECT doc_id,
 """
 
 
+# -- train/test contamination scan (decontamination) ------------------------
+
+CONTAM_N = 8  # word n-gram window (the standard 8-13-gram decontam range)
+
+
+def _gram_rows(
+    b: pd.DataFrame, lo: int, hi: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id, gram_hash) pairs for the batch's docs whose split bucket
+    (portable hash of doc_id, the ``docs_split_assign`` law) lies in
+    [lo, hi). Vectorized: pandas explode → object-array window concat (N
+    elementwise joins) → one poly_hash matrix pass."""
+    from raycdc import phash as H
+
+    hb = H.poly_hash(
+        b["doc_id"].astype("string").to_numpy(dtype=object)
+    ) % np.uint64(_SPLIT_MOD)
+    sel = (hb >= lo) & (hb < hi)
+    s = b.loc[sel, "text"].str.strip()
+    keep = s.str.len() > 0
+    if not keep.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    d = pd.DataFrame(
+        {
+            "doc_id": b.loc[sel, "doc_id"][keep].astype("int64").to_numpy(),
+            "tok": s[keep].str.split().to_numpy(),
+        }
+    )
+    e = d.explode("tok", ignore_index=True)
+    arr = e["tok"].to_numpy(dtype=object)
+    did = e["doc_id"].to_numpy()
+    n = len(arr)
+    if n < CONTAM_N:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    g = arr[: n - CONTAM_N + 1].copy()
+    for j in range(1, CONTAM_N):
+        g = g + " "
+        g = g + arr[j : n - CONTAM_N + 1 + j]
+    valid = did[: n - CONTAM_N + 1] == did[CONTAM_N - 1 :]
+    return did[: n - CONTAM_N + 1][valid], H.poly_hash(g[valid])
+
+
+def docs_contamination(sf_dir: str):
+    """Decontamination scan: TRAIN documents sharing at least one exact
+    word 8-gram with any TEST document (the ``docs_split_assign`` split),
+    with the count of distinct shared grams — the standard benchmark-leak
+    check run before LLM training (n-gram overlap decontamination).
+
+    Scale shape: two passes, NO shuffle. Pass 1 distills the test side to
+    a distinct gram-hash set — test/benchmark corpora are small by design,
+    so the set is gathered once and broadcast (ray.put), never re-shipped
+    per batch. Pass 2 streams the train side: per batch, gram hashes →
+    ``np.isin`` against the broadcast set → per-doc distinct count via one
+    sort + boundary scan (a doc is one row, so per-batch counts are
+    final). Gram hashing uses the portable poly-hash family so the DuckDB
+    oracle computes the identical hashes (identical collisions included)."""
+    import ray
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def test_side(b: pd.DataFrame) -> pd.DataFrame:
+        _, gh = _gram_rows(b, _SPLIT_VAL, _SPLIT_MOD)
+        return pd.DataFrame({"g": np.unique(gh)})
+
+    # gather the distilled test set once (small by design), broadcast it
+    tdf = ds.map_batches(test_side, batch_format="pandas").to_pandas()
+    test_grams = (
+        np.unique(tdf["g"].to_numpy().astype(np.uint64))
+        if len(tdf)
+        else np.zeros(0, np.uint64)
+    )
+    test_ref = ray.put(test_grams)
+
+    def train_scan(b: pd.DataFrame) -> pd.DataFrame:
+        tg = ray.get(test_ref)
+        did, gh = _gram_rows(b, 0, _SPLIT_TRAIN)
+        m = np.isin(gh, tg)
+        did, gh = did[m], gh[m]
+        if not len(did):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        order = np.lexsort((gh, did))
+        did, gh = did[order], gh[order]
+        uniq = np.ones(len(did), bool)
+        uniq[1:] = (did[1:] != did[:-1]) | (gh[1:] != gh[:-1])
+        docs, counts = np.unique(did[uniq], return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": docs.astype("int64"), "n_shared": counts.astype("int64")}
+        )
+
+    return ds.map_batches(train_scan, batch_format="pandas")
+
+
+def _contamination_sql() -> str:
+    from raycdc import phash as H
+
+    gram = H.sql_poly(f"array_to_string(list_slice(w, i, i + {CONTAM_N} - 1), ' ')")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= {CONTAM_N}
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - {CONTAM_N} + 1)) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, {gram} AS g FROM pos
+), split AS (
+  SELECT doc_id, {H.sql_poly("CAST(doc_id AS VARCHAR)")} % {_SPLIT_MOD} AS h
+  FROM documents
+), tg AS (
+  SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
+  WHERE h >= {_SPLIT_VAL}
+)
+SELECT grams.doc_id, CAST(count(DISTINCT grams.g) AS BIGINT) AS n_shared
+FROM grams JOIN split USING (doc_id) JOIN tg ON grams.g = tg.g
+WHERE split.h < {_SPLIT_TRAIN}
+GROUP BY grams.doc_id
+"""
+
+
 # -- sequence packing (offset-based concat packing) ----------------------------
 
 PACK_BUDGET = 256     # tokens per context window
@@ -789,6 +914,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "docs_split_assign": docs_split_assign,
     "doc_pack_offsets": doc_pack_offsets,
+    "docs_contamination": docs_contamination,
 }
 
 ORACLE_SQL = {
@@ -805,4 +931,5 @@ ORACLE_SQL = {
     "tfidf_top_terms": TFIDF_SQL,
     "docs_split_assign": _split_assign_sql(),
     "doc_pack_offsets": PACK_OFFSETS_SQL,
+    "docs_contamination": _contamination_sql(),
 }
