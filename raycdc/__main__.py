@@ -203,6 +203,28 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Force-fold all outstanding delta chains into fresh bases (the
+    maintenance OPTIMIZE), then vacuum crash orphans."""
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    out = eng.compact()
+    out["vacuumed"] = len(eng.lake.vacuum())
+    print(json.dumps(out))
+    eng.close()
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    # driver-side file walk — no Ray needed
+    from raycdc.lake import Lake
+
+    lake = Lake(args.lake)
+    deleted = lake.vacuum()
+    print(json.dumps({"vacuumed": len(deleted)}))
+    return 0
+
+
 def cmd_show(args) -> int:
     from raycdc.lake import Lake
 
@@ -295,6 +317,15 @@ def main(argv: list[str] | None = None) -> int:
     _common(p)
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_aggregate)
+
+    p = sub.add_parser("compact", help="fold all delta chains into bases")
+    _common(p)
+    p.add_argument("--with-conv-latest", action="store_true")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("vacuum", help="delete unreferenced fragment files")
+    p.add_argument("--lake", required=True)
+    p.set_defaults(fn=cmd_vacuum)
 
     p = sub.add_parser("rollback", help="restore lake to a cursor boundary")
     p.add_argument("--lake", required=True)

@@ -1927,6 +1927,80 @@ class Engine:
             change_batch, batch_format="pandas", batch_size=1
         )
 
+    def compact(self) -> dict:
+        """Force-fold every partition's outstanding delta chain into a
+        fresh base fragment — the maintenance OPTIMIZE (the scheduled
+        counterpart of the inline staggered compaction; the reference's
+        batch fix/maintenance jobs). Each new base is tagged with the LAST
+        committed round (a state-equivalent rewrite at an existing
+        boundary), so rollback/snapshot/fencing semantics are untouched
+        and rolling back that round deletes the compacted bases with it.
+
+        Distributed: one raw Ray task per delta-bearing partition (fold +
+        atomic rename — maintenance work the Dataset API has no reason to
+        express); the manifest commit is a single driver-side swap after
+        every file is in place. Deterministic output: a crash before the
+        commit leaves orphans that a re-run rewrites byte-identically (and
+        ``Lake.vacuum`` can reclaim). Merger caches are invalidated the
+        same way rollback does; the fragment-signature check makes stale
+        reuse impossible even without it."""
+        rounds = self.lake.manifest["committed_rounds"]
+        if not rounds:
+            return {"compacted": 0}
+        round_id = rounds[-1]["round_id"]
+        todo = {
+            p: ent
+            for p, ent in self.lake.live_state_map().items()
+            if ent["deltas"]
+        }
+        if not todo:
+            return {"compacted": 0, "round_id": round_id}
+        nparts = self.lake.num_partitions
+        meta = {}
+        for p in todo:
+            t_idx = p // nparts
+            if t_idx not in meta:
+                meta[t_idx] = (
+                    L._schema_to_str(self._table_schema(t_idx)),
+                    list(self.tables[t_idx].key_cols),
+                )
+        refs = [
+            _compact_partition.remote(
+                ([ent["base"]] if ent["base"] else []) + list(ent["deltas"]),
+                *meta[p // nparts],
+                self.lake.fragment_abspath(p, round_id, "base"),
+            )
+            for p, ent in sorted(todo.items())
+        ]
+        ray.get(refs)
+        self.lake.commit_compaction(sorted(todo))
+        if self.exchange == "direct":
+            ray.get([h.drop_cache.remote() for h in self._ensure_pool()])
+        return {"compacted": len(todo), "round_id": round_id}
+
+
+@ray.remote(num_cpus=1)
+def _compact_partition(
+    files: list, schema_str: str, key_cols: list, dst: str
+) -> str:
+    """Fold one partition's fragment chain and atomically install the new
+    base. Deterministic content (same inputs → same bytes), pid-suffixed
+    tmp for independent atomic renames on re-runs."""
+    _limit_arrow_threads()
+    sch = L._schema_from_str(schema_str)
+    fs = M.fragment_schema_for(sch, key_cols=key_cols)
+    pay = M.payload_columns([f.name for f in sch], key_cols=key_cols)
+    frames = [S.conform(pq.read_table(p), fs) for p in files]
+    st = M.fold_fragments_table(frames, pay, key_cols=key_cols)
+    if st is None:
+        st = fs.empty_table()
+    st = S.conform(st, fs).sort_by([(k, "ascending") for k in key_cols])
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + f".tmp{os.getpid()}"
+    pq.write_table(st, tmp)
+    os.replace(tmp, dst)
+    return dst
+
 
 def _salt_batch_fn(
     num_partitions: int,

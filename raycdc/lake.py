@@ -359,6 +359,59 @@ class Lake:
             self.manifest["partitions"][p] = kept
         return doomed
 
+    def vacuum(self) -> list:
+        """Delete fragment files under ``fragments/`` not referenced by ANY
+        manifest version — crash leftovers (a round that wrote fragments
+        but died before its manifest commit, interrupted post-commit GC
+        deletions, stray ``.tmp`` renames). Safe by the crash-ordering
+        contract: the manifest never references a file that was not fully
+        written, so anything unreferenced is garbage; uncommitted-round
+        fragments are rewritten byte-identically on replay. Mutating →
+        writer lock. Returns the deleted paths."""
+        self.ensure_writer_lock()
+        referenced = {
+            os.path.normpath(os.path.join(self.root, v["file"]))
+            for versions in self.manifest["partitions"].values()
+            for v in versions
+        }
+        deleted = []
+        frag_root = os.path.join(self.root, FRAGMENT_DIR)
+        for dirpath, _, files in os.walk(frag_root):
+            for f in files:
+                p = os.path.normpath(os.path.join(dirpath, f))
+                if p not in referenced:
+                    os.remove(p)
+                    deleted.append(p)
+        return sorted(deleted)
+
+    def commit_compaction(self, parts: list) -> None:
+        """Record a maintenance compaction: each partition in ``parts``
+        gains a fresh base fragment TAGGED WITH THE LAST COMMITTED ROUND —
+        a state-equivalent rewrite at an existing boundary, so the round
+        ledger (and therefore cursor→round resolution, rollback targets,
+        epoch fencing) is untouched. Rolling back that round deletes the
+        compacted base together with the round's deltas — consistent by
+        construction. GC then trims the superseded versions on the usual
+        manifest-swap-before-delete ordering."""
+        self.ensure_writer_lock()
+        rounds = self.manifest["committed_rounds"]
+        if not rounds:
+            raise ValueError("compaction needs at least one committed round")
+        round_id = rounds[-1]["round_id"]
+        for p in parts:
+            self.manifest["partitions"][str(int(p))].append(
+                {
+                    "round": round_id,
+                    "kind": "base",
+                    "file": self.fragment_relpath(int(p), round_id, "base"),
+                }
+            )
+        doomed = self._gc()
+        self._write_manifest()
+        for path in doomed:
+            if os.path.exists(path):
+                os.remove(path)
+
     # -- rollback (reorg analog) ------------------------------------------
 
     def rollback(self, to_cursor: int, rollback_epoch: int | None = None) -> None:

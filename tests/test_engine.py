@@ -891,3 +891,60 @@ def test_read_changes_composes_with_snapshot(ray_session, tmp_path, make_lake):
         applied, live[applied.columns.tolist()], check_dtype=False
     )
     eng.close()
+
+
+def test_compact_and_vacuum(ray_session, tmp_path, make_lake):
+    """Engine.compact folds every delta chain into a base tagged with the
+    last committed round: state identical, every live partition base-only,
+    rollback of that round still restores the prior boundary, and
+    Lake.vacuum reclaims unreferenced files without touching live ones."""
+    spec = gen.GenSpec(seed=76, n_convs=150, mean_turns=6, n_epochs=6,
+                       frac_delete=0.1)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, compact_every=1000)  # no inline compaction
+    eng.apply_log(log, epochs_per_round=2)
+    before = eng.read_lake_pandas()
+    sm = eng.lake.live_state_map()
+    assert any(ent["deltas"] for ent in sm.values()), "fixture needs deltas"
+
+    out = eng.compact()
+    assert out["compacted"] > 0
+    sm2 = eng.lake.live_state_map()
+    assert all(not ent["deltas"] for ent in sm2.values())
+    pd.testing.assert_frame_equal(eng.read_lake_pandas(), before)
+    assert_matches_oracle(eng, log)
+    # idempotent: nothing left to fold
+    assert eng.compact()["compacted"] == 0
+
+    # rollback across the compaction: the compacted bases are tagged with
+    # the last round, so rolling that round back removes them too and the
+    # prior boundary state is restored exactly
+    rounds = eng.lake.manifest["committed_rounds"]
+    snap_prev = eng.read_lake(
+        include_system=True, as_of_round=rounds[-2]["round_id"]
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    eng.lake.rollback(rounds[-2]["cursor_hi"])
+    if eng.exchange == "direct" and eng._pool is not None:
+        import ray as _ray
+        _ray.get([h.drop_cache.remote() for h in eng._ensure_pool()])
+    after_rb = eng.read_lake_pandas()
+    pd.testing.assert_frame_equal(
+        after_rb[snap_prev.columns.tolist()], snap_prev, check_dtype=False
+    )
+    # replay converges back to the oracle after the rollback
+    eng2 = make_lake(num_partitions=8, compact_every=1000)
+    eng2.apply_log(log, epochs_per_round=2)
+    assert_matches_oracle(eng2, log)
+    eng2.close()
+
+    # vacuum: plant an orphan + a stale tmp; both reclaimed, live intact
+    frag_dir = os.path.join(eng2.lake.root, "fragments", "part=00000")
+    orphan = os.path.join(frag_dir, "base-r999999-999999.parquet")
+    open(orphan, "wb").write(b"junk")
+    open(orphan + ".tmp123", "wb").write(b"junk")
+    live_before = set(eng2.lake.live_fragment_paths())
+    deleted = eng2.lake.vacuum()
+    assert orphan in deleted and orphan + ".tmp123" in deleted
+    assert set(eng2.lake.live_fragment_paths()) == live_before
+    assert all(os.path.exists(p) for p in live_before)
