@@ -120,6 +120,7 @@ def cmd_export(args) -> int:
             table=args.table or "transcripts",
             fmt=args.format,
             rows_per_file=args.rows_per_file,
+            resume=args.resume,
         )
         print(json.dumps({"files": len(paths), "out_dir": args.out_dir}))
     eng.close()
@@ -293,6 +294,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--as-of-cursor", type=int, default=None,
                    help="export a time-travel snapshot at this committed "
                    "round boundary instead of the live state")
+    p.add_argument("--resume", action="store_true",
+                   help="skip windows whose output file already landed")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("changes", help="change data feed since a cursor")

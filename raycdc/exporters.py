@@ -39,6 +39,7 @@ def export_ranged(
     fmt: str = "csv",
     range_key: str = "cursor",
     rows_per_file: int = 100_000,
+    resume: bool = False,
 ) -> list[str]:
     """Deterministic ranged file export, written by PARALLEL Ray tasks.
 
@@ -50,7 +51,11 @@ def export_ranged(
     ``{table}-{lo}-{hi}-f{idx}.{ext}``: the actual key range for filename
     range-pruning plus the global file index, which makes names unique and
     deterministic — re-running a failed export rewrites identical files
-    (idempotent resume)."""
+    (idempotent). With ``resume=True``, windows whose file already landed
+    are SKIPPED outright (the atomic tmp→rename write means an existing
+    file is complete by construction), so a restarted export pays only for
+    the missing windows' fetch+write — the brief's resumable-output
+    contract."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
@@ -93,23 +98,40 @@ def export_ranged(
         return []
 
     import bisect
+    import glob as _glob
+    import re as _re
 
     prefix = os.path.join(out_dir, table)
+    done: dict[int, str] = {}
+    if resume:
+        pat = _re.compile(
+            _re.escape(table) + r"-\d+-\d+-f(\d{5})\." + _re.escape(fmt) + r"$"
+        )
+        for p in _glob.glob(f"{prefix}-*-f*.{fmt}"):
+            m = pat.search(os.path.basename(p))
+            if m:
+                done[int(m.group(1))] = p
     futs = []
+    paths: list[str | None] = []
     n_files = -(-total // rows_per_file)
     for f in range(n_files):
+        if f in done:
+            paths.append(done[f])
+            continue
         start = f * rows_per_file
         stop = min(start + rows_per_file, total)
         b0 = bisect.bisect_right(offsets, start) - 1
         b1 = bisect.bisect_left(offsets, stop, lo=b0)  # exclusive block end
         blocks = [block_refs[i] for i in range(b0, max(b1, b0 + 1))]
+        paths.append(None)
         futs.append(
             _write_window.remote(
                 prefix, fmt, range_key, f, start - offsets[b0], stop - start,
                 *blocks,
             )
         )
-    return ray.get(futs)
+    written = iter(ray.get(futs))
+    return [p if p is not None else next(written) for p in paths]
 
 
 def read_ranged_csv(paths_or_dir, lo: int | None = None, hi: int | None = None):

@@ -165,6 +165,23 @@ def test_ranged_csv_export_and_pruned_reread(ray_session, tmp_path):
     df = narrow.to_pandas()
     assert len(df) > 0
     assert df["cursor"].between(lo, hi).all()
+
+    # resumable output: delete one file, re-export with resume=True —
+    # only the missing window is rewritten, survivors untouched (mtime)
+    victim = sorted(paths)[1]
+    keep_mtimes = {p: os.path.getmtime(p) for p in paths if p != victim}
+    os.remove(victim)
+    paths2 = export_ranged(
+        eng.read_lake(include_system=True), out, fmt="csv",
+        rows_per_file=200, resume=True,
+    )
+    assert sorted(paths2) == sorted(paths)
+    assert os.path.exists(victim)
+    for p, m in keep_mtimes.items():
+        assert os.path.getmtime(p) == m, f"{p} was rewritten on resume"
+    # rewritten file is byte-identical to a fresh full export
+    back2 = read_ranged_csv(out)
+    assert back2.count() == total
     eng.close()
 
 
