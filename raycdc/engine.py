@@ -1820,6 +1820,8 @@ class Engine:
         since_round: str | None = None,
         since_cursor: int | None = None,
         table: str | None = None,
+        until_round: str | None = None,
+        until_cursor: int | None = None,
     ):
         """Change data feed: the NET row-level delta committed after the
         anchor round — one row per key whose stored watermark post-dates
@@ -1835,20 +1837,39 @@ class Engine:
         inserted AND deleted after the anchor still emits a ``delete`` row
         (its tombstone is newer than the anchor).
 
+        ``until_round`` / ``until_cursor`` bound the feed at a LATER
+        committed round instead of the live state — the two-anchor window
+        variant (changes committed in (since, until]), served from the
+        snapshot at ``until`` and therefore bounded by the undo window
+        like any snapshot; the open-ended form has no such bound (its
+        filter runs on the CURRENT state's watermarks).
+
         Scale shape: partitions with no fragment committed after the
-        anchor are pruned from the scan via the manifest alone, so cost is
-        O(changed partitions), not O(lake). Unlike snapshots the anchor
-        may be ANY committed round (no undo-window bound) — the filter
-        runs on the CURRENT state's watermarks."""
+        anchor (and, for the window form, at or before ``until``) are
+        pruned from the scan via the manifest alone, so cost is
+        O(changed partitions), not O(lake)."""
         t_idx = self._table_index(table)
         nparts = self.lake.num_partitions
         prange = (t_idx * nparts, (t_idx + 1) * nparts)
         if since_cursor is not None:
             since_round = self.lake.round_id_at_cursor(since_cursor)
+        if until_cursor is not None:
+            until_round = self.lake.round_id_at_cursor(until_cursor)
         idx = self.lake.round_position(since_round)
         rounds = self.lake.manifest["committed_rounds"]
         anchor_cursor = int(rounds[idx]["cursor_hi"])
-        after = {r["round_id"] for r in rounds[idx + 1 :]}
+        if until_round is not None:
+            u_idx = self.lake.round_position(until_round)
+            if u_idx < idx:
+                raise ValueError(
+                    f"until round {until_round!r} precedes since round "
+                    f"{since_round!r}"
+                )
+            after = {r["round_id"] for r in rounds[idx + 1 : u_idx + 1]}
+            base_map = self.lake.state_map_as_of(until_round, prange)
+        else:
+            after = {r["round_id"] for r in rounds[idx + 1 :]}
+            base_map = self.lake.live_state_map(prange)
         schema = self._table_schema(t_idx)
         key_cols = list(self.tables[t_idx].key_cols)
         touched = {
@@ -1857,9 +1878,7 @@ class Engine:
             if any(v["round"] in after for v in versions)
         }
         state_map = {
-            p: ent
-            for p, ent in self.lake.live_state_map(prange).items()
-            if p in touched
+            p: ent for p, ent in base_map.items() if p in touched
         }
         if schema is None or not state_map:
             fs = M.fragment_schema_for(

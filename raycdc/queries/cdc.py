@@ -223,14 +223,26 @@ def _snapshot_round_epoch(sf_dir: str) -> tuple[str, int]:
 def _snapshot_round_cursor(sf_dir: str) -> tuple[str, int]:
     """Same anchor round as :func:`_snapshot_round_epoch`, but returning
     its high-water CURSOR (the changefeed filter both sides share)."""
+    round_id, _, cursor_hi = _plan_round_at(sf_dir, -2)
+    return round_id, cursor_hi
+
+
+def _plan_round_at(sf_dir: str, pos: int) -> tuple[str, int, int]:
+    """(round_id, max_epoch, cursor_hi) of the tier replay plan's round at
+    position ``pos`` — the shared deterministic anchor resolver (pure
+    footer-only planning on both the Ray and the SQL side)."""
     from raycdc.engine import discover_epoch_files, plan_rounds
 
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
     files = discover_epoch_files(log_dir)
     rounds = [s for s in plan_rounds(files, 2, set(), 0) if s[0] == "round"]
-    _, group, round_id = rounds[-2]
-    return round_id, max(f["cursor_hi"] for f in group)
+    _, group, round_id = rounds[pos]
+    return (
+        round_id,
+        max(f["epoch"] for f in group),
+        max(f["cursor_hi"] for f in group),
+    )
 
 
 def cdc_time_travel(sf_dir: str):
@@ -266,6 +278,23 @@ def cdc_changefeed(sf_dir: str):
     round_id, _ = _snapshot_round_cursor(sf_dir)
     eng = _replayed_engine(sf_dir, salted=False)
     df = eng.read_changes(since_round=round_id).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def cdc_changefeed_window(sf_dir: str):
+    """Two-anchor change data feed: the NET delta committed in
+    ``(first round, second-to-last round]`` — served from the snapshot at
+    the upper anchor, so the feed is exactly what a consumer syncing from
+    boundary A to boundary B would apply, independent of anything
+    committed later."""
+    lo_round, _, _ = _plan_round_at(sf_dir, 0)
+    hi_round, _, _ = _plan_round_at(sf_dir, -2)
+    eng = _replayed_engine(sf_dir, salted=False)
+    df = eng.read_changes(
+        since_round=lo_round, until_round=hi_round
+    ).to_pandas()
     return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
         drop=True
     )
@@ -517,6 +546,14 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
     changefeed = CDC_CHANGEFEED_SQL_TEMPLATE.format(
         path=path, where="", anchor_cursor=anchor_cursor
     )
+    # window feed: prefix replay to the upper anchor, filter past the lower
+    _, _, lo_cursor = _plan_round_at(sf_dir, 0)
+    _, hi_epoch, _ = _plan_round_at(sf_dir, -2)
+    changefeed_window = CDC_CHANGEFEED_SQL_TEMPLATE.format(
+        path=path,
+        where=f" WHERE epoch <= {hi_epoch}",
+        anchor_cursor=lo_cursor,
+    )
     return {
         "cdc_replay": replay,
         "cdc_replay_salted": replay,  # salted path must be bit-identical
@@ -525,6 +562,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
+        "cdc_changefeed_window": changefeed_window,
         # incremental refresh must equal the full recompute bit-for-bit
         "cdc_incremental_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(
             replay=replay
@@ -541,6 +579,7 @@ QUERIES = {
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,
+    "cdc_changefeed_window": cdc_changefeed_window,
     "cdc_incremental_stats": cdc_incremental_stats,
 }
 

@@ -948,3 +948,49 @@ def test_compact_and_vacuum(ray_session, tmp_path, make_lake):
     assert orphan in deleted and orphan + ".tmp123" in deleted
     assert set(eng2.lake.live_fragment_paths()) == live_before
     assert all(os.path.exists(p) for p in live_before)
+
+
+def test_read_changes_window_composes(ray_session, tmp_path, make_lake):
+    """Two-anchor feed law: snapshot(A) + read_changes(since=A, until=B)
+    must reproduce snapshot(B) exactly, independent of rounds after B."""
+    spec = gen.GenSpec(seed=77, n_convs=120, mean_turns=6, n_epochs=6,
+                       frac_delete=0.15)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log, epochs_per_round=2)
+    rounds = eng.lake.manifest["committed_rounds"]
+    a, b = rounds[0], rounds[1]
+
+    def snap(rid):
+        return (
+            eng.read_lake(include_system=True, as_of_round=rid)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    snap_a, snap_b = snap(a["round_id"]), snap(b["round_id"])
+    ch = eng.read_changes(
+        since_round=a["round_id"], until_round=b["round_id"]
+    ).to_pandas()
+    assert (ch["cursor"] > a["cursor_hi"]).all()
+    assert (ch["cursor"] <= b["cursor_hi"]).all()
+    key = ["conv_id", "turn_idx"]
+    changed = set(map(tuple, ch[key].itertuples(index=False)))
+    kept = snap_a[~snap_a.set_index(key).index.isin(changed)]
+    ups = ch[ch["change_op"] == "upsert"].drop(columns="change_op")
+    applied = (
+        pd.concat([kept, ups[kept.columns.tolist()]], ignore_index=True)
+        .sort_values(key, kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        applied, snap_b[applied.columns.tolist()], check_dtype=False
+    )
+    # until must not precede since
+    with pytest.raises(ValueError, match="precedes"):
+        eng.read_changes(
+            since_round=b["round_id"], until_round=a["round_id"]
+        )
+    eng.close()
