@@ -994,3 +994,64 @@ def test_read_changes_window_composes(ray_session, tmp_path, make_lake):
             since_round=b["round_id"], until_round=a["round_id"]
         )
     eng.close()
+
+
+def test_new_surfaces_on_derived_table(ray_session, tmp_path, make_lake):
+    """Time travel, point lookup, changefeed and compaction all compose
+    with derived tables: the conv_latest table obeys the same snapshot +
+    feed laws as the primary, read_key prunes to its partition namespace,
+    and compact() folds BOTH tables' chains."""
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(seed=78, n_convs=120, mean_turns=6, n_epochs=6,
+                       frac_delete=0.1)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(
+        str(tmp_path / "lake"), num_partitions=8, compact_every=1000,
+        tables=[T.PRIMARY, T.conv_latest()],
+    )
+    eng.apply_log(log, epochs_per_round=2)
+    rounds = eng.lake.manifest["committed_rounds"]
+    a = rounds[0]
+
+    def snap(**kw):
+        df = eng.read_lake(
+            include_system=True, table="conv_latest", **kw
+        ).to_pandas()
+        return df.sort_values("conv_id", kind="stable").reset_index(drop=True)
+
+    live = snap()
+    snap_a = snap(as_of_round=a["round_id"])
+    ch = eng.read_changes(
+        since_round=a["round_id"], table="conv_latest"
+    ).to_pandas()
+    assert len(ch) > 0
+    changed = set(ch["conv_id"])
+    kept = snap_a[~snap_a["conv_id"].isin(changed)]
+    ups = ch[ch["change_op"] == "upsert"].drop(columns="change_op")
+    applied = (
+        pd.concat([kept, ups[kept.columns.tolist()]], ignore_index=True)
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        applied, live[applied.columns.tolist()], check_dtype=False
+    )
+    # point lookup on the derived table == the full read's row
+    conv = live["conv_id"].iloc[0]
+    got = eng.read_key(conv, table="conv_latest", include_system=True)
+    expect = live[live["conv_id"] == conv].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False
+    )
+    # compaction folds both tables' partition namespaces; state unchanged
+    primary_before = eng.read_lake_pandas()
+    out = eng.compact()
+    assert out["compacted"] > 0
+    assert all(
+        not ent["deltas"] for ent in eng.lake.live_state_map().values()
+    )
+    pd.testing.assert_frame_equal(eng.read_lake_pandas(), primary_before)
+    pd.testing.assert_frame_equal(snap(), live)
+    eng.close()
