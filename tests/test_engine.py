@@ -1055,3 +1055,26 @@ def test_new_surfaces_on_derived_table(ray_session, tmp_path, make_lake):
     pd.testing.assert_frame_equal(eng.read_lake_pandas(), primary_before)
     pd.testing.assert_frame_equal(snap(), live)
     eng.close()
+
+
+def test_reader_isolation_between_rounds(ray_session, tmp_path, make_lake):
+    """Readers never block on (or observe) an in-flight round: a fresh
+    read-only Engine opened between rounds sees exactly the last committed
+    boundary's state — the manifest swap is the only visibility point."""
+    from raycdc.engine import discover_epoch_files
+
+    spec = gen.GenSpec(seed=79, n_convs=100, mean_turns=5, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    writer = make_lake(num_partitions=8)
+    files = discover_epoch_files(log)
+    for i, f in enumerate(files):
+        writer.apply_log_files([f])
+        # a separate reader engine (fresh manifest load, no writer lock)
+        reader = Engine(str(tmp_path / "lake"), num_partitions=8)
+        got = reader.read_lake_pandas()
+        expect = _prefix_oracle(log, f["epoch"])
+        got = got[expect.columns.tolist()].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+        assert reader.lake.last_cursor() == f["cursor_hi"]
+    writer.close()
