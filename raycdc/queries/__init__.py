@@ -20,6 +20,7 @@ from raycdc.queries import (
     events,
     multimodal,
     neardup,
+    scrub,
     sketches,
     tpch,
     traces,
@@ -27,7 +28,7 @@ from raycdc.queries import (
 
 _MODULES = [
     tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces,
-    sketches, analytics,
+    sketches, analytics, scrub,
 ]
 
 QUERIES: dict = {}

@@ -558,6 +558,40 @@ FROM reach GROUP BY v
 """
 
 
+# -- keep-one survivor corpus (dedup end state) -------------------------------
+
+def neardup_survivors(sf_dir: str):
+    """The dedup pipeline's terminal artifact: per vector, its near-dup
+    cluster id, whether it survives keep-one dedup, and its cluster's size.
+    Min-label propagation labels each component by its minimum member, so
+    the survivor test is ``vec_id == cluster_id`` — a pure vectorized
+    projection over :func:`neardup_clusters`; cluster sizes come from one
+    bounded ``by_partition`` count (cluster ids are a subset of vec ids).
+    Singleton clusters (no near-dup) survive by definition."""
+    labels = neardup_clusters(sf_dir)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        sizes = g.groupby("cluster_id")["vec_id"].transform("size")
+        g["n_members"] = sizes.astype("int64")
+        g["keep_flag"] = (
+            g["vec_id"].to_numpy() == g["cluster_id"].to_numpy()
+        ).astype("int64")
+        return g[["vec_id", "cluster_id", "n_members", "keep_flag"]]
+
+    return C.by_partition(labels, "cluster_id", kernel)
+
+
+NEARDUP_SURVIVORS_SQL = f"""
+WITH cl AS ({NEARDUP_CLUSTERS_SQL})
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+           AS keep_flag
+FROM cl
+"""
+
+
 def _vec_lit(v: np.ndarray) -> str:
     return "[" + ",".join(repr(float(x)) for x in v) + "]"
 
@@ -621,6 +655,7 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
+    "neardup_survivors": neardup_survivors,
 }
 
 ORACLE_SQL = {
@@ -629,4 +664,5 @@ ORACLE_SQL = {
     "embedding_norms": NORMS_SQL,
     "embedding_neardup": NEARDUP_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "neardup_survivors": NEARDUP_SURVIVORS_SQL,
 }
