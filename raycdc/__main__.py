@@ -179,6 +179,29 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_export_changes(args) -> int:
+    """Exactly-once incremental export: ship the changefeed window since
+    the previous invocation's anchor (state file in OUT_DIR), advance the
+    anchor atomically. Run it on a schedule to keep a downstream copy in
+    sync without ever re-reading the lake."""
+    from raycdc.exporters import export_incremental
+
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    res = export_incremental(
+        eng, args.out_dir, table=args.table, fmt=args.format,
+        rows_per_file=args.rows_per_file,
+    )
+    print(json.dumps({
+        "out_dir": args.out_dir,
+        "files": len(res["exported_files"]),
+        "window": res["window"],
+        "anchor": res["anchor"],
+    }))
+    eng.close()
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup of one entity key — driver-side only (the lake's hash
     layout is the index; no Ray session needed)."""
@@ -308,6 +331,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20,
                    help="max rows to print without --out-dir")
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser(
+        "export-changes",
+        help="exactly-once incremental export (anchor-fenced changefeed windows)",
+    )
+    _common(p)
+    p.add_argument("out_dir")
+    p.add_argument("--table", default=None)
+    p.add_argument("--format", default="parquet",
+                   choices=["csv", "json", "parquet"])
+    p.add_argument("--rows-per-file", type=int, default=100_000)
+    p.set_defaults(fn=cmd_export_changes)
 
     p = sub.add_parser("lookup", help="point lookup of one entity key")
     _common(p)

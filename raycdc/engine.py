@@ -1855,9 +1855,16 @@ class Engine:
             since_round = self.lake.round_id_at_cursor(since_cursor)
         if until_cursor is not None:
             until_round = self.lake.round_id_at_cursor(until_cursor)
-        idx = self.lake.round_position(since_round)
         rounds = self.lake.manifest["committed_rounds"]
-        anchor_cursor = int(rounds[idx]["cursor_hi"])
+        if since_round is None:
+            # bootstrap anchor "before everything": the feed emits the full
+            # current (or as-of-until) state as upserts plus standing
+            # tombstones as deletes — the first run of an incremental sink
+            idx = -1
+            anchor_cursor = -1
+        else:
+            idx = self.lake.round_position(since_round)
+            anchor_cursor = int(rounds[idx]["cursor_hi"])
         if until_round is not None:
             u_idx = self.lake.round_position(until_round)
             if u_idx < idx:

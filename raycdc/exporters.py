@@ -258,3 +258,92 @@ def export_multi(ds, outputs: str | None, **config) -> list:
     Dataset is lazy; each sink triggers its own execution, so sinks are
     independent (a failing sink does not corrupt the others' output)."""
     return [fn(ds) for fn in create_item_exporters(outputs, **config)]
+
+
+# -- incremental changefeed export (exactly-once downstream sink) ------------
+
+_STATE_FILE = "_export_state.json"
+
+
+class ExportAnchorLostError(RuntimeError):
+    """The recorded export anchor round is no longer committed (a rollback
+    removed it). The downstream copy may contain rows the lake has rolled
+    back — re-bootstrap the sink (fresh out_dir / delete the state file)."""
+
+
+def export_incremental(
+    engine,
+    out_dir: str,
+    table: str | None = None,
+    fmt: str = "parquet",
+    rows_per_file: int = 100_000,
+) -> dict:
+    """Exactly-once incremental export: each invocation ships ONLY the
+    changefeed window since the previous invocation's anchor round to
+    cursor-ranged files, then atomically advances the anchor — the
+    reference's stream-controller → downstream-sink feed
+    (``indexer/controller/stream_controller.py`` exporting each synced
+    block range exactly once) re-expressed over the lake's committed-round
+    ledger.
+
+    Mechanics per run: anchor = ``{out_dir}/_export_state.json`` (absent →
+    bootstrap: the full current state as upserts + standing tombstones as
+    deletes); window = ``Engine.read_changes(anchor, head)`` where head is
+    the latest committed round — a DETERMINISTIC dataset (both ends are
+    committed boundaries, so a retry re-derives byte-identical rows);
+    files land via :func:`export_ranged` with ``resume=True`` under a
+    window-unique table prefix ``{table}-chg-{from}-{to}``; the state file
+    is swapped tmp→rename only after every file is durable.
+
+    Crash matrix: die before any file → nothing changed; die mid-files →
+    rerun re-exports the same window, ``resume`` skips landed files
+    (deterministic names + atomic per-file rename mean an existing file is
+    complete); die between last file and state swap → rerun rewrites
+    nothing (all files skip) and then advances the anchor. The anchor
+    itself is the exactly-once fence — no window is ever shipped twice.
+
+    If a rollback removed the anchor round from the committed ledger the
+    downstream copy may hold rolled-back rows; that is detected (the
+    anchor is absent from the ledger) and raised as
+    :class:`ExportAnchorLostError` rather than silently re-feeding."""
+    import json
+
+    lake = engine.lake
+    rounds = lake.manifest["committed_rounds"]
+    os.makedirs(out_dir, exist_ok=True)
+    state_path = os.path.join(out_dir, _STATE_FILE)
+    state = {"last_round": None, "windows": []}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    anchor = state["last_round"]
+    if anchor is not None and anchor not in {r["round_id"] for r in rounds}:
+        raise ExportAnchorLostError(
+            f"anchor round {anchor!r} is no longer committed (rolled back); "
+            f"re-bootstrap the sink"
+        )
+    if not rounds or (anchor is not None and rounds[-1]["round_id"] == anchor):
+        return {"exported_files": [], "window": None, "anchor": anchor}
+    head = rounds[-1]["round_id"]
+    lo_idx = -1 if anchor is None else lake.round_position(anchor)
+    hi_idx = lake.round_position(head)
+    feed = engine.read_changes(
+        since_round=anchor, until_round=head, table=table
+    )
+    prefix = f"{table or 'transcripts'}-chg-{lo_idx + 1:06d}-{hi_idx:06d}"
+    files = export_ranged(
+        feed, out_dir, table=prefix, fmt=fmt,
+        rows_per_file=rows_per_file, resume=True,
+    )
+    new_state = {
+        "last_round": head,
+        "windows": state["windows"]
+        + [{"from_idx": lo_idx + 1, "to_idx": hi_idx, "round": head,
+            "prefix": prefix, "n_files": len(files)}],
+    }
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_state, f)
+    os.replace(tmp, state_path)
+    return {"exported_files": files, "window": (lo_idx + 1, hi_idx),
+            "anchor": head}

@@ -1078,3 +1078,94 @@ def test_reader_isolation_between_rounds(ray_session, tmp_path, make_lake):
         pd.testing.assert_frame_equal(got, expect, check_dtype=False)
         assert reader.lake.last_cursor() == f["cursor_hi"]
     writer.close()
+
+
+def test_incremental_export_exactly_once(ray_session, tmp_path, make_lake):
+    """export_incremental law: bootstrap window + later change windows,
+    folded in window order (upserts replace, deletes remove), reproduce
+    the live lake exactly; a repeat invocation is a no-op; a crash between
+    file landing and the anchor swap re-ships the same window into the
+    SAME file names (skip-if-exists) and converges; a rollback past the
+    anchor is detected, never silently re-fed."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from raycdc.engine import discover_epoch_files
+    from raycdc.exporters import ExportAnchorLostError, export_incremental
+
+    spec = gen.GenSpec(seed=81, n_convs=120, mean_turns=5, n_epochs=6,
+                       frac_delete=0.15)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    files = discover_epoch_files(log)
+    eng = make_lake(num_partitions=8)
+    out = str(tmp_path / "sink")
+
+    # phase 1: three epochs, bootstrap export
+    eng.apply_log_files(files[:3])
+    r1 = export_incremental(eng, out, rows_per_file=500)
+    assert r1["window"][0] == 0 and len(r1["exported_files"]) >= 1
+    assert export_incremental(eng, out)["window"] is None  # no-op repeat
+
+    # phase 2: the rest (committed rounds skip), second window
+    eng.apply_log_files(files)
+    r2 = export_incremental(eng, out, rows_per_file=500)
+    assert r2["window"][0] == r1["window"][1] + 1
+    assert set(r1["exported_files"]).isdisjoint(r2["exported_files"])
+
+    # fold windows in order → live state
+    def load(paths, w):
+        df = pd.concat([_pq.read_table(p).to_pandas() for p in paths])
+        return df.assign(_w=w)
+
+    allw = pd.concat(
+        [load(r1["exported_files"], 0), load(r2["exported_files"], 1)],
+        ignore_index=True,
+    )
+    key = ["conv_id", "turn_idx"]
+    last = (
+        allw.sort_values(["_w"], kind="stable")
+        .groupby(key, as_index=False)
+        .tail(1)
+    )
+    folded = (
+        last[last["change_op"] == "upsert"]
+        .drop(columns=["change_op", "_w"])
+        .sort_values(key, kind="stable")
+        .reset_index(drop=True)
+    )
+    live = eng.read_lake_pandas()
+    live = live[folded.columns.tolist()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(folded, live, check_dtype=False)
+
+    # crash between window-2 files and the anchor swap: rewind the state
+    # file to the post-window-1 anchor, delete one landed file → the rerun
+    # rewrites only the missing file under the same name and re-advances
+    state_path = os.path.join(out, "_export_state.json")
+    with open(state_path) as f:
+        final_state = _json.load(f)
+    rewound = dict(final_state, last_round=r1["anchor"],
+                   windows=final_state["windows"][:1])
+    with open(state_path, "w") as f:
+        _json.dump(rewound, f)
+    victim = sorted(r2["exported_files"])[0]
+    survivors = {
+        p: os.path.getmtime(p) for p in r2["exported_files"] if p != victim
+    }
+    os.remove(victim)
+    r2b = export_incremental(eng, out, rows_per_file=500)
+    assert sorted(r2b["exported_files"]) == sorted(r2["exported_files"])
+    for p, mt in survivors.items():
+        assert os.path.getmtime(p) == mt  # untouched
+    assert os.path.exists(victim)
+    with open(state_path) as f:
+        assert _json.load(f)["last_round"] == final_state["last_round"]
+
+    # rollback past the anchor → typed failure, not silent re-feed
+    first_boundary = eng.lake.manifest["committed_rounds"][0]["cursor_hi"]
+    eng.lake.rollback(first_boundary)
+    with pytest.raises(ExportAnchorLostError):
+        export_incremental(eng, out)
+    eng.close()
