@@ -112,19 +112,32 @@ def q3_top_orders(sf_dir: str):
 
     orders = orders.map_batches(filter_building, batch_format="pandas")
     line = C.read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    j = line.join(
+
+    # per-batch revenue combiner BEFORE the join: lineitem carries ~4 rows
+    # per order, so partial-summing by l_orderkey inside each batch cuts
+    # the join's shuffle volume ~4x at any scale (sums stay exact: price
+    # and discount are 2-decimal, so revenue partials are exact 4-decimal
+    # values and the final round is an identity, not a boundary)
+    def partial_rev(t: pa.Table) -> pd.DataFrame:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "revenue": rev.to_numpy(),
+            }
+        )
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    j = line.map_batches(partial_rev, batch_format="pyarrow").join(
         orders,
         join_type="inner",
         num_partitions=C.join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
-        )
-        return t.select(["l_orderkey", "o_orderdate"]).append_column("revenue", rev)
 
     # round BEFORE ranking so the top-k boundary ranks on the same values
     # as the oracle (which orders by the rounded alias); per-block local
@@ -138,8 +151,7 @@ def q3_top_orders(sf_dir: str):
         ).head(10)
 
     cand = (
-        j.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_orderkey", "o_orderdate"])
+        j.groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("revenue", alias_name="revenue"))
         .map_batches(localtop, batch_format="pyarrow")
         .to_pandas()
