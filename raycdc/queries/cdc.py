@@ -90,6 +90,41 @@ def cdc_conv_latest(sf_dir: str):
     return eng.read_lake(table="conv_latest", include_system=True)
 
 
+def cdc_tool_index(sf_dir: str):
+    """Two-table replay with the ``tool_index`` inverted-index table (the
+    reference's address-index pattern: per-entity index rows committed in
+    the same transaction as the primary): every canonical tool-carrying
+    event upserts ``(tool, conv_id, turn_idx)`` with its watermark; reorg
+    rollback removes index rows with everything else. Returns the final
+    index — key columns + high watermark; liveness of the indexed turn is
+    the primary's business (non-covering index contract)."""
+    from raycdc import tables as T
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    log_dir = gen.cached_change_log(spec)
+    lake_dir = os.path.join(
+        "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-ti"
+    )
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    eng = Engine(
+        lake_dir, num_partitions=32, tables=[T.PRIMARY, T.tool_index()]
+    )
+    eng.apply_log(log_dir, epochs_per_round=2)
+    eng.close()
+    ds = eng.read_lake(
+        table="tool_index",
+        include_system=True,
+        columns=["tool", "conv_id", "turn_idx", "cursor", "seq"],
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cursor")
+        t = t.set_column(i, "cursor", t.column("cursor").cast(pa.int64()))
+        return t
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
 def _conv_stats_ds(eng: Engine, as_of_round: str | None = None):
     """Per-conversation stats over the lake (optionally a snapshot):
     distributed groupby, integer widths pinned to the oracle's BIGINTs."""
@@ -510,6 +545,21 @@ FROM folded WHERE last_wm // {_WM} > {{anchor_cursor}}
 """
 )
 
+# inverted index: per canonical tool-carrying event (rollback-resolved
+# `eff` CTE), the max watermark per (tool, conv_id, turn_idx) — deletes
+# never retract (non-covering index), orphaned epochs never appear
+CDC_TOOL_INDEX_SQL_TEMPLATE = (
+    _FOLDED_CTES
+    + f"""
+SELECT tool, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+       CAST(max(wm) // {_WM} AS BIGINT) AS cursor,
+       CAST(max(wm) % {_WM} AS INTEGER) AS seq
+FROM eff
+WHERE tool IS NOT NULL AND tool <> ''
+GROUP BY tool, conv_id, turn_idx
+"""
+)
+
 CDC_CONV_STATS_SQL_TEMPLATE = """
 WITH replay AS ({replay})
 SELECT conv_id,
@@ -559,6 +609,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_replay_salted": replay,  # salted path must be bit-identical
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
+        "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -575,6 +626,7 @@ QUERIES = {
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
+    "cdc_tool_index": cdc_tool_index,
     "cdc_apply_events": cdc_apply_events,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,

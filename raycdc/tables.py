@@ -78,3 +78,45 @@ def conv_latest() -> TableSpec:
     return TableSpec(
         name="conv_latest", key_cols=("conv_id",), derive=_derive_conv_latest
     )
+
+
+def _derive_tool_index(batch: pa.Table) -> pa.Table:
+    """Inverted-index exemplar (the reference's address-index tables,
+    ``indexer/modules/custom/address_index/`` — per-entity index rows
+    written in the same transaction as the primary): every canonical event
+    carrying a non-empty ``tool`` maps to an index upsert keyed by
+    ``(tool, conv_id, turn_idx)``, payload empty — the index stores keys +
+    watermarks only.
+
+    Index semantics are NON-COVERING and insert-only, like the reference's
+    (whose indexed attributes are immutable chain facts): ``tool`` is an
+    insert-time attribute of a turn, so entries never go stale; primary
+    deletes don't retract index rows (consumers verify liveness against
+    the primary — the standard secondary-index contract); reorg rollbacks
+    DO remove index rows because the global undo buffer restores index
+    partitions with everything else."""
+    import pyarrow.compute as pc
+
+    t = batch.column("tool")
+    mask = pc.fill_null(
+        pc.and_kleene(pc.is_valid(t), pc.not_equal(t, pa.scalar(""))), False
+    )
+    sub = batch.filter(mask)
+    return pa.table(
+        {
+            "op": pa.array(np.repeat("insert", sub.num_rows), pa.string()),
+            "tool": sub.column("tool"),
+            "conv_id": sub.column("conv_id"),
+            "turn_idx": sub.column("turn_idx"),
+            "cursor": sub.column("cursor"),
+            "seq": sub.column("seq"),
+        }
+    )
+
+
+def tool_index() -> TableSpec:
+    return TableSpec(
+        name="tool_index",
+        key_cols=("tool", "conv_id", "turn_idx"),
+        derive=_derive_tool_index,
+    )

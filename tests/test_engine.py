@@ -1169,3 +1169,51 @@ def test_incremental_export_exactly_once(ray_session, tmp_path, make_lake):
     with pytest.raises(ExportAnchorLostError):
         export_incremental(eng, out)
     eng.close()
+
+
+def test_tool_index_lookup(ray_session, tmp_path, make_lake):
+    """Inverted-index derived table: every live primary turn with a tool is
+    reachable through the index (completeness), and read_key on the index
+    table serves an O(one-partition) lookup by tool identical to filtering
+    the full index read."""
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(seed=83, n_convs=100, mean_turns=5, n_epochs=4,
+                       rollback_epochs=(1,), frac_delete=0.1)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, tables=[T.PRIMARY, T.tool_index()])
+    eng.apply_log(log)
+
+    idx = eng.read_lake(table="tool_index", include_system=True).to_pandas()
+    assert len(idx) > 0
+    assert set(idx.columns) >= {"tool", "conv_id", "turn_idx", "cursor", "seq"}
+    # index keys are unique
+    assert not idx.duplicated(["tool", "conv_id", "turn_idx"]).any()
+
+    # completeness: every live tool-carrying primary row is indexed
+    prim = eng.read_lake_pandas()
+    live_tools = prim[prim["tool"].notna() & (prim["tool"] != "")]
+    keyed = set(map(tuple, idx[["tool", "conv_id", "turn_idx"]].itertuples(index=False)))
+    missing = [
+        t for t in map(tuple, live_tools[["tool", "conv_id", "turn_idx"]]
+                       .itertuples(index=False))
+        if t not in keyed
+    ]
+    assert not missing, f"{len(missing)} live tool rows unindexed"
+
+    # point lookup by tool == filter of the full read
+    some_tool = idx["tool"].iloc[0]
+    got = eng.read_key(some_tool, table="tool_index", include_system=True)
+    want = (
+        idx[idx["tool"] == some_tool]
+        .sort_values(["tool", "conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    got = (
+        got[want.columns.tolist()]
+        .sort_values(["tool", "conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    eng.close()
