@@ -661,8 +661,53 @@ FROM events GROUP BY event_type
 """
 
 
+# -- window offset functions (LAG) -------------------------------------------
+
+def events_value_delta(sf_dir: str):
+    """Per-user LAG: each event's previous value (user stream ordered by
+    ``(ts, event_id)``) and the delta — the window OFFSET family (the
+    rolling-window query covers frames; this covers lag/lead). Composed as
+    bounded partitions (all rows of a user co-located via ``by_partition``)
+    + one vectorized kernel per partition: sort, shift, mask the first row
+    of each user run. The subtraction uses the identical double operands
+    on both sides, so the hash needs no float tolerance."""
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        prev = np.empty_like(v)
+        prev[1:] = v[:-1]
+        prev[0] = np.nan
+        same = np.empty(len(u), bool)
+        same[1:] = u[1:] == u[:-1]
+        same[0] = False
+        prev = np.where(same, prev, np.nan)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "prev_value": prev,
+                "delta": v - prev,
+            }
+        )
+
+    return C.by_partition(ds, "user_id", kernel)
+
+
+VALUE_DELTA_SQL = """
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "events_asof_orders": events_asof_orders,
+    "events_value_delta": events_value_delta,
     "events_latest_per_user": events_latest_per_user,
     "events_hourly_stats": events_hourly_stats,
     "events_user_daily": events_user_daily,
@@ -678,6 +723,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_asof_orders": ASOF_SQL,
+    "events_value_delta": VALUE_DELTA_SQL,
     "events_latest_per_user": LATEST_SQL,
     "events_hourly_stats": HOURLY_SQL,
     "events_user_daily": USER_DAILY_SQL,
