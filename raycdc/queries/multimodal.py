@@ -361,6 +361,153 @@ def video_frame_sample(sf_dir: str):
     )
 
 
+# -- audio analog: PCM container + windowed loudness / silence ---------------
+
+AMAGIC = b"FAKEAUD1"
+_AMAGIC_ARR = np.frombuffer(AMAGIC, dtype=np.uint8)
+AUDIO_WIN = 256          # samples per loudness window
+SILENCE_SUM = 63 * AUDIO_WIN  # window abs-dev sum below this = silent
+
+
+def attach_audio_blobs(sf_dir: str):
+    """documents → (doc_id, media:binary) fake AUDIO containers: 8-byte
+    magic, u32 sample_rate ∈ {8,16,22,44}kHz-ish, u32 n_samples ∈
+    [512, 2048), then ``n_samples`` affine pseudo-samples (uint8 centered
+    at 128) — the same SQL-expressible byte family as the image/video
+    blobs."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = np.asarray(t.column("text").to_pylist(), dtype=object)
+        n = len(ids)
+        hs = H.poly_hash(list(texts))
+        sr = (8000 * (1 + (hs % np.uint64(4)))).astype(np.int64)
+        ns = (512 + ((hs >> np.uint64(8)) % np.uint64(1536))).astype(np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(16 + ns, out=off[1:])
+        data = np.zeros(int(off[-1]), dtype=np.uint8)
+        hdr = np.empty((n, 16), dtype=np.uint8)
+        hdr[:, :8] = _AMAGIC_ARR[None, :]
+        hdr[:, 8:12] = sr.astype("<u4").view(np.uint8).reshape(n, 4)
+        hdr[:, 12:16] = ns.astype("<u4").view(np.uint8).reshape(n, 4)
+        data[off[:-1][:, None] + np.arange(16)[None, :]] = hdr
+        total = int(ns.sum())
+        if total:
+            pfx = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            i_flat = np.arange(total, dtype=np.int64) - np.repeat(pfx, ns) + 1
+            vals = (
+                (np.repeat(hs, ns) + i_flat.astype(np.uint64) * np.uint64(H.B))
+                % np.uint64(H.P)
+            ) % np.uint64(256)
+            data[np.repeat(off[:-1] + 16, ns) + i_flat - 1] = vals.astype(np.uint8)
+        blobs = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "media": blobs})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class AudioAnalyzer:
+    """Actor-pool windowed-loudness stage: per doc, count silent windows
+    and find the peak window (first-index tie-break) over fixed
+    ``AUDIO_WIN``-sample windows of abs deviation from the midpoint — the
+    VAD/silence-trim shape of an audio prep pipeline. All integer until
+    the reported loudness, so the ranking needs no float tolerance.
+    Vectorized: one |data-128| cumsum per batch, window sums as boundary
+    gathers, per-doc reduction via ``reduceat`` (windows are contiguous
+    per doc)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("media")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off, data = _binary_offsets(arr)
+        starts = off[:-1]
+        n = len(arr)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "sample_rate": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_silent": pa.array([], pa.int64()),
+            "peak_idx": pa.array([], pa.int64()),
+            "peak_loudness": pa.array([], pa.float64()),
+        })
+        if n == 0 or not len(data):
+            return empty
+        magic = data[starts[:, None] + np.arange(8)[None, :]]
+        if not (magic == _AMAGIC_ARR[None, :]).all():
+            raise ValueError("bad audio magic")
+        b4 = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+        sr = (data[starts[:, None] + (8 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+        ns = (data[starts[:, None] + (12 + np.arange(4))[None, :]].astype(np.int64) * b4).sum(axis=1)
+        nw = ns // AUDIO_WIN  # trailing partial window dropped
+        if int(nw.sum()) == 0:
+            return empty
+        absdev = np.abs(data.astype(np.int64) - 128)
+        cs = np.concatenate(([0], np.cumsum(absdev)))
+        pfx = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        total = int(nw.sum())
+        k = np.arange(total, dtype=np.int64) - np.repeat(pfx, nw)
+        ws = np.repeat(starts + 16, nw) + k * AUDIO_WIN
+        wsum = cs[ws + AUDIO_WIN] - cs[ws]
+        # per-doc reduction over contiguous window runs
+        red = pfx  # reduceat boundaries (every doc here has nw >= 1)
+        peak = np.maximum.reduceat(wsum, red)
+        silent = np.add.reduceat((wsum < SILENCE_SUM).astype(np.int64), red)
+        is_peak = wsum == np.repeat(peak, nw)
+        idx_or_big = np.where(is_peak, k, np.iinfo(np.int64).max)
+        peak_idx = np.minimum.reduceat(idx_or_big, red)  # first max
+        loud = np.floor(peak / AUDIO_WIN * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy().astype(np.int64), pa.int64()),
+            "sample_rate": pa.array(sr, pa.int64()),
+            "n_windows": pa.array(nw, pa.int64()),
+            "n_silent": pa.array(silent, pa.int64()),
+            "peak_idx": pa.array(peak_idx, pa.int64()),
+            "peak_loudness": pa.array(loud, pa.float64()),
+        })
+
+
+def audio_loudness(sf_dir: str):
+    """Audio pipeline: synthesize PCM containers → actor-pool windowed
+    loudness / silence / peak-window analysis."""
+    return attach_audio_blobs(sf_dir).map_batches(
+        AudioAnalyzer, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
+AUDIO_LOUDNESS_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), a AS (
+    SELECT doc_id, 8000 * (1 + hv % 4) AS sr,
+           512 + (hv // 256) % 1536 AS ns, hv
+    FROM h
+), w AS (
+    SELECT doc_id, sr, ns // {AUDIO_WIN} AS nw,
+        list_transform(generate_series(0, CAST(ns // {AUDIO_WIN} - 1 AS BIGINT)), k ->
+            list_aggregate(
+                list_transform(
+                    generate_series(CAST(k * {AUDIO_WIN} + 1 AS BIGINT),
+                                    CAST((k + 1) * {AUDIO_WIN} AS BIGINT)),
+                    i -> abs(CAST(((hv + i * {H.B}) % {H.P}) % 256 AS BIGINT) - 128)),
+                'sum')) AS wsums
+    FROM a
+)
+SELECT doc_id,
+    CAST(sr AS BIGINT) AS sample_rate,
+    CAST(nw AS BIGINT) AS n_windows,
+    CAST(len(list_filter(wsums, x -> x < {SILENCE_SUM})) AS BIGINT) AS n_silent,
+    CAST(list_position(wsums, list_max(wsums)) - 1 AS BIGINT) AS peak_idx,
+    floor(CAST(list_max(wsums) AS DOUBLE) / {AUDIO_WIN} * 10000 + 0.5) / 10000
+        AS peak_loudness
+FROM w
+"""
+
+
 # the oracle reproduces the blob FORMAT from the text hash: dims, byte
 # count, and the affine pseudo-pixel average — everything the decoder emits
 MEDIA_FEATURES_SQL = f"""
@@ -433,10 +580,12 @@ QUERIES = {
     "media_features": media_features,
     "media_resize": media_resize,
     "video_frame_sample": video_frame_sample,
+    "audio_loudness": audio_loudness,
 }
 
 ORACLE_SQL = {
     "media_features": MEDIA_FEATURES_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
+    "audio_loudness": AUDIO_LOUDNESS_SQL,
 }
