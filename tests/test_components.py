@@ -582,3 +582,51 @@ def test_hll_estimate_within_error_bound():
     regs = df.groupby("bucket", as_index=False)["max_rho"].max()
     est = hll_estimate(regs)
     assert abs(est - true_n) / true_n < 0.25  # ~3.8 sigma at m=256
+
+
+def test_repetition_kernel_edge_cases(ray_session):
+    """docs_repetition's batch kernel on crafted frames: empty text,
+    whitespace-only, single token, all-duplicate grams, adjacent repeats —
+    the batch-composition hazards (trailing empty docs must not steal
+    votes from neighbors, per the SimHash lesson)."""
+    import pandas as pd
+
+    from raycdc.queries.scrub import docs_repetition
+
+    b = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "",                    # empty
+                "   ",                 # whitespace only
+                "solo",                # single token (no 2-grams)
+                "a a a a",             # all adjacent repeats, 3 grams all 'a a'
+                "x y x y",             # 'x y' dup, 'y x' once; no adjacents
+            ],
+        }
+    )
+    # run the kernel exactly as the Dataset stage would
+    import raycdc.queries.common as C
+
+    captured = {}
+
+    class FakeDS:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            return self
+
+    orig = C.read
+    C.read = lambda *a, **k: FakeDS()
+    try:
+        docs_repetition("/unused")
+    finally:
+        C.read = orig
+    out = captured["fn"](b).set_index("doc_id")
+
+    assert out.loc[0, "n_grams"] == 0 and out.loc[0, "frac_dup"] == 0.0
+    assert out.loc[1, "n_grams"] == 0
+    assert out.loc[2, "n_grams"] == 0 and out.loc[2, "n_adjacent_repeats"] == 0
+    assert out.loc[3, "n_grams"] == 3 and out.loc[3, "n_dup_grams"] == 2
+    assert out.loc[3, "n_adjacent_repeats"] == 3
+    assert out.loc[4, "n_grams"] == 3 and out.loc[4, "n_dup_grams"] == 1
+    assert out.loc[4, "n_adjacent_repeats"] == 0
