@@ -65,8 +65,27 @@ def _cdc_spec():
     )
 
 
+
+def host_gflops() -> float:
+    """One-number host-speed gauge (see scripts/hostgauge.py): this shared
+    box throttles 4-5x under sibling-VM load with loadavg/steal staying
+    low, so bench JSON embeds the gauge to make runs comparable. Quiet
+    ~40+; degraded <15."""
+    import numpy as np
+
+    a = np.random.rand(2000, 2000)
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a @ a
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * 2000**3 / best / 1e9, 1)
+
+
 def run_bench() -> dict:
     import ray
+
+    gauge_pre = host_gflops()
 
     ray.init(
         address="local",
@@ -144,6 +163,7 @@ def run_bench() -> dict:
             "sf": SF_DIR,
             "num_cpus": NCPU,
             "cdc": cdc,
+            "host_gflops": [gauge_pre, host_gflops()],
         }
         ray.shutdown()
         return out
@@ -164,6 +184,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NCPU,
         "cdc": cdc,
+        "host_gflops": [gauge_pre, host_gflops()],
     }
     ray.shutdown()
     return out
@@ -216,6 +237,10 @@ def run_scaling(lo: int | None = None, hi: int | None = None, reps: int = 4) -> 
         "cpus": [lo, hi],
         "cdc_sec": [t_lo, t_hi],
         "cdc_sec_samples": {"lo": lo_secs, "hi": hi_secs},
+        "host_gflops_samples": {
+            "lo": [r.get("host_gflops") for r in lo_runs],
+            "hi": [r.get("host_gflops") for r in hi_runs],
+        },
         "cdc_events_per_sec": [
             round(max(r["cdc"]["events_per_sec"] for r in lo_runs), 1),
             round(max(r["cdc"]["events_per_sec"] for r in hi_runs), 1),
