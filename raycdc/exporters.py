@@ -40,28 +40,35 @@ def export_ranged(
     range_key: str = "cursor",
     rows_per_file: int = 100_000,
     resume: bool = False,
+    sort_keys: list[str] | None = None,
 ) -> list[str]:
     """Deterministic ranged file export, written by PARALLEL Ray tasks.
 
-    Sorts by ``range_key`` (the reference sorts by block number before
-    splitting, ``csv_file_item_exporter.py:46-49``), splits the sorted
-    Dataset's blocks into exact ``rows_per_file`` row windows by METADATA
-    (block row counts — no row ever passes through the driver), and writes
-    one file per window as an independent Ray task. Files are named
-    ``{table}-{lo}-{hi}-f{idx}.{ext}``: the actual key range for filename
-    range-pruning plus the global file index, which makes names unique and
-    deterministic — re-running a failed export rewrites identical files
-    (idempotent). With ``resume=True``, windows whose file already landed
-    are SKIPPED outright (the atomic tmp→rename write means an existing
-    file is complete by construction), so a restarted export pays only for
-    the missing windows' fetch+write — the brief's resumable-output
-    contract."""
+    Sorts by ``sort_keys`` (default ``[range_key]``; the reference sorts by
+    block number before splitting, ``csv_file_item_exporter.py:46-49``),
+    splits the sorted Dataset's blocks into exact ``rows_per_file`` row
+    windows by METADATA (block row counts — no row ever passes through the
+    driver), and writes one file per window as an independent Ray task.
+    Files are named ``{table}-{lo}-{hi}-f{idx}.{ext}``: the actual key
+    range for filename range-pruning plus the global file index, which
+    makes names unique and deterministic — re-running a failed export
+    rewrites identical files (idempotent). With ``resume=True``, windows
+    whose file already landed are SKIPPED outright (the atomic tmp→rename
+    write means an existing file is complete by construction), so a
+    restarted export pays only for the missing windows' fetch+write — the
+    brief's resumable-output contract.
+
+    ``resume`` correctness caveat: skipping a landed window is only sound
+    when the sort order is TOTAL — with ties in ``sort_keys`` a rerun may
+    permute rows across a window boundary, duplicating/dropping rows
+    around a skipped file. Pass enough ``sort_keys`` to break ties
+    (``export_incremental`` sorts by the watermark + key columns)."""
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
     # Block row counts come from the sorted Dataset's OWN block metadata —
     # no block is ever shipped to a counting task (nor to the driver).
-    sorted_ds = ds.sort(range_key)
+    sorted_ds = ds.sort(sort_keys or [range_key])
     block_refs: list = []
     sizes: list[int] = []
     for bundle in sorted_ds.iter_internal_ref_bundles():
@@ -330,10 +337,29 @@ def export_incremental(
     feed = engine.read_changes(
         since_round=anchor, until_round=head, table=table
     )
-    prefix = f"{table or 'transcripts'}-chg-{lo_idx + 1:06d}-{hi_idx:06d}"
+    tbl = table or "transcripts"
+    prefix = f"{tbl}-chg-{lo_idx + 1:06d}-{hi_idx:06d}"
+    # reap orphans: a crashed run that was overtaken by NEW commits left
+    # partial files under a prefix that will never be completed or
+    # recorded — anything from this window start that is neither a
+    # recorded window nor the prefix about to be (re)written ships the
+    # same rows twice downstream if left behind
+    recorded = tuple(w["prefix"] for w in state["windows"])
+    stale = f"{tbl}-chg-{lo_idx + 1:06d}-"
+    for f in os.listdir(out_dir):
+        if (
+            f.startswith(stale)
+            and not f.startswith(prefix)
+            and not f.startswith(recorded or ("\0",))
+        ):
+            os.remove(os.path.join(out_dir, f))
+    # total sort order (watermark + key) so a crash-rerun reproduces the
+    # exact row→file assignment and resume can skip landed files safely
+    key_cols = list(engine.tables[engine._table_index(table)].key_cols)
     files = export_ranged(
         feed, out_dir, table=prefix, fmt=fmt,
         rows_per_file=rows_per_file, resume=True,
+        sort_keys=["cursor", "seq", *key_cols],
     )
     new_state = {
         "last_round": head,

@@ -677,12 +677,12 @@ def events_value_delta(sf_dir: str):
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         u = g["user_id"].to_numpy()
         v = g["value"].to_numpy()
-        prev = np.empty_like(v)
+        prev = np.empty_like(v, dtype=np.float64)
         prev[1:] = v[:-1]
-        prev[0] = np.nan
+        prev[:1] = np.nan  # slice-assign: safe on an empty partition frame
         same = np.empty(len(u), bool)
         same[1:] = u[1:] == u[:-1]
-        same[0] = False
+        same[:1] = False
         prev = np.where(same, prev, np.nan)
         return pd.DataFrame(
             {

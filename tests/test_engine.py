@@ -1163,6 +1163,21 @@ def test_incremental_export_exactly_once(ray_session, tmp_path, make_lake):
     with open(state_path) as f:
         assert _json.load(f)["last_round"] == final_state["last_round"]
 
+    # crash overtaken by new commits: a partial file from an ABANDONED
+    # window (same start, earlier head) must be reaped by the next run,
+    # not left to double-ship its rows
+    with open(state_path, "w") as f:
+        _json.dump(rewound, f)
+    stale = os.path.join(
+        out, f"transcripts-chg-{r2['window'][0]:06d}-"
+             f"{r2['window'][1] - 1:06d}-0-0-f00000.parquet"
+    )
+    with open(stale, "wb") as f:
+        f.write(b"partial")
+    r2c = export_incremental(eng, out, rows_per_file=500)
+    assert not os.path.exists(stale)
+    assert sorted(r2c["exported_files"]) == sorted(r2["exported_files"])
+
     # rollback past the anchor → typed failure, not silent re-feed
     first_boundary = eng.lake.manifest["committed_rounds"][0]["cursor_hi"]
     eng.lake.rollback(first_boundary)
