@@ -256,3 +256,95 @@ def test_lex_searchsorted_left_matches_bruteforce(data, queries):
     got = lex_searchsorted_left(a1, a2, q1, q2)
     want = [sum(1 for d in data if d < q) for q in queries]
     assert got.tolist() == want
+
+
+# -- scrub kernels vs brute-force references ---------------------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["a", "b", "ab", "user", "batch", ""]),
+    min_size=0, max_size=12,
+).map(" ".join)
+
+
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_repetition_kernel_matches_bruteforce(texts):
+    """docs_repetition's vectorized batch kernel == a per-doc Python
+    reference on arbitrary token streams (incl. empty/whitespace docs and
+    batch-composition edges)."""
+    from raycdc.queries import common as C
+    from raycdc.queries.scrub import REP_N, docs_repetition
+
+    captured = {}
+
+    class FakeDS:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            return self
+
+    orig = C.read
+    C.read = lambda *a, **k: FakeDS()
+    try:
+        docs_repetition("/unused")
+    finally:
+        C.read = orig
+
+    b = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = captured["fn"](b).set_index("doc_id")
+
+    from raycdc import phash as H
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [
+            " ".join(toks[j : j + REP_N])
+            for j in range(max(len(toks) - REP_N + 1, 0))
+        ]
+        hashes = list(H.poly_hash(np.asarray(grams, dtype=object))) if grams else []
+        n_dup = len(hashes) - len(set(hashes))
+        adj = sum(1 for j in range(len(toks) - 1) if toks[j] == toks[j + 1])
+        assert out.loc[i, "n_grams"] == len(grams)
+        assert out.loc[i, "n_dup_grams"] == n_dup
+        assert out.loc[i, "n_adjacent_repeats"] == adj
+
+
+@given(st.lists(
+    st.text(alphabet="abe@.r 0123456789", min_size=0, max_size=30),
+    min_size=1, max_size=6,
+))
+@settings(max_examples=60, deadline=None)
+def test_redact_kernel_matches_python_re(texts):
+    """docs_redact's Arrow RE2 pass == Python re applied pattern-by-pattern
+    (the patterns use only RE2/'s and re's common subset)."""
+    import re
+
+    import pyarrow as pa
+
+    from raycdc.queries import common as C
+    from raycdc.queries.scrub import REDACT_PATTERNS, REDACT_TOKEN, docs_redact
+
+    captured = {}
+
+    class FakeDS:
+        def map_batches(self, fn, **kw):
+            captured["fn"] = fn
+            return self
+
+    orig = C.read
+    C.read = lambda *a, **k: FakeDS()
+    try:
+        docs_redact("/unused")
+    finally:
+        C.read = orig
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = captured["fn"](t).to_pandas().set_index("doc_id")
+
+    for i, txt in enumerate(texts):
+        n = 0
+        for _, pat in REDACT_PATTERNS:
+            n += len(re.findall(pat, txt))
+            txt = re.sub(pat, REDACT_TOKEN, txt)
+        assert out.loc[i, "clean_text"] == txt
+        assert out.loc[i, "n_redacted"] == n
