@@ -261,9 +261,10 @@ class _Normalize:
         outs = [batch]
         for t_idx, spec in enumerate(self.tables[1:], start=1):
             d = S.conform(spec.derive(batch), self.schema)
+            pcols = spec.part_cols or (spec.key_cols[0],)
             dpart = (
-                P.assign_part(
-                    d.column(spec.key_cols[0]),
+                P.assign_part_cols(
+                    [d.column(c) for c in pcols],
                     self.num_partitions,
                     self.hash_version,
                 )
@@ -803,8 +804,11 @@ def _push_shard(
     send(batch, 0)
     for t_idx, spec in enumerate(specs[1:], start=1):
         d = spec.derive(batch)
+        pcols = spec.part_cols or (spec.key_cols[0],)
         dpart = (
-            P.assign_part(d.column(spec.key_cols[0]), nparts, hash_version)
+            P.assign_part_cols(
+                [d.column(c) for c in pcols], nparts, hash_version
+            )
             + t_idx * nparts
         )
         send(d.append_column("part", pa.array(dpart, pa.int32())), t_idx)
@@ -1770,21 +1774,34 @@ class Engine:
         ``hash(key) % P`` names the home partition, parquet row-group
         predicate pushdown prunes within its fragments, and the per-key
         fold runs on just the matching rows. Driver-side by design — a
-        point lookup returns a handful of rows."""
+        point lookup returns a handful of rows.
+
+        Tables partitioned by a LONGER key prefix (``TableSpec.part_cols``,
+        used when the first key column is low-cardinality, e.g. the tool
+        index) can't name one home partition from the first column alone;
+        for those the lookup degrades gracefully to a pruned scan of the
+        table's partitions — row-group predicate pushdown (fragments are
+        key-sorted, first column leading) keeps the read near the matching
+        rows, and the table itself is skinny by design."""
         t_idx = self._table_index(table)
         nparts = self.lake.num_partitions
-        home = int(
-            P.assign_part(
-                np.asarray([key], dtype=object), nparts, self.lake.hash_version
-            )[0]
-        )
-        part = t_idx * nparts + home
+        spec_pcols = self.tables[t_idx].part_cols
+        if spec_pcols is None or len(spec_pcols) == 1:
+            home = int(
+                P.assign_part(
+                    np.asarray([key], dtype=object), nparts,
+                    self.lake.hash_version,
+                )[0]
+            )
+            prange = (t_idx * nparts + home, t_idx * nparts + home + 1)
+        else:
+            prange = (t_idx * nparts, (t_idx + 1) * nparts)
         if as_of_cursor is not None:
             as_of_round = self.lake.round_id_at_cursor(as_of_cursor)
         if as_of_round is not None:
-            sm = self.lake.state_map_as_of(as_of_round, (part, part + 1))
+            sm = self.lake.state_map_as_of(as_of_round, prange)
         else:
-            sm = self.lake.live_state_map((part, part + 1))
+            sm = self.lake.live_state_map(prange)
         schema = self._table_schema(t_idx)
         key_cols = list(self.tables[t_idx].key_cols)
         sys_cols = ["cursor", "seq"] if include_system else []
@@ -1793,11 +1810,14 @@ class Engine:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
         fs = M.fragment_schema_for(schema, key_cols=key_cols)
         pay = M.payload_columns([f.name for f in schema], key_cols=key_cols)
-        if part not in sm:
+        files = [
+            f
+            for ent in sm.values()
+            for f in ([ent["base"]] if ent["base"] else []) + list(ent["deltas"])
+        ]
+        if not files:
             cols = key_cols + pay + sys_cols
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-        ent = sm[part]
-        files = ([ent["base"]] if ent["base"] else []) + list(ent["deltas"])
         frames = [
             S.conform(
                 pq.read_table(p, filters=[(key_cols[0], "==", key)]), fs

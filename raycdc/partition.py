@@ -145,3 +145,24 @@ def assign_salted(
         np.uint64
     )
     return (h % np.uint64(num_partitions * salt_factor)).astype(np.int32)
+
+
+def assign_part_cols(
+    cols: list, num_partitions: int, version: int = HASH_VERSION_DEFAULT
+) -> np.ndarray:
+    """Partition id from one OR several key columns (mixed per-column
+    hashes). Derived tables whose FIRST key column is low-cardinality (an
+    index attribute like ``tool``: a handful of distinct values) would
+    concentrate every write on a handful of mergers if partitioned by it
+    alone; spreading by a longer key PREFIX removes the write skew while
+    keeping all rows of any full key co-located (every row of a key shares
+    every prefix column's value). Reads by the first column alone then
+    become a pruned scan over the table's partitions instead of one
+    partition — see ``Engine.read_key``."""
+    if len(cols) == 1:
+        return assign_part(cols[0], num_partitions, version)
+    h = None
+    for c in cols:
+        hc = hash_conv(c, version)
+        h = hc if h is None else h * np.uint64(1000003) + hc
+    return (h % np.uint64(num_partitions)).astype(np.int32)

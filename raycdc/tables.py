@@ -47,6 +47,10 @@ class TableSpec:
     name: str
     key_cols: tuple
     derive: Callable | None = None
+    # partition-assignment columns: defaults to (key_cols[0],). Set a longer
+    # key PREFIX when the first key column is low-cardinality (index
+    # attributes) — same merger co-location guarantee, no write skew.
+    part_cols: tuple | None = None
 
 
 PRIMARY = TableSpec(name="turns", key_cols=tuple(S.KEY_COLS), derive=None)
@@ -115,8 +119,15 @@ def _derive_tool_index(batch: pa.Table) -> pa.Table:
 
 
 def tool_index() -> TableSpec:
+    # partitioned by (tool, conv_id), not tool alone: tool has a handful of
+    # distinct values, so hashing it alone would funnel every index write
+    # into a few mergers at corpus scale; the longer prefix spreads writes
+    # across the pool while still co-locating all rows of any full key.
+    # Lookups by tool become a pruned scan of the (skinny) index table —
+    # fragments are sorted by key, so tool==X prunes at row-group stats.
     return TableSpec(
         name="tool_index",
         key_cols=("tool", "conv_id", "turn_idx"),
         derive=_derive_tool_index,
+        part_cols=("tool", "conv_id"),
     )
