@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -390,11 +391,29 @@ def spec_fingerprint(spec: GenSpec) -> str:
 
 
 def cached_change_log(spec: GenSpec, root: str = "/tmp/raycdc-gen") -> str:
-    """Generate-once cache keyed by the spec (bench reuses inputs)."""
+    """Generate-once cache keyed by the spec (bench reuses inputs).
+
+    Publication is ATOMIC (generate into a PID-unique staging dir, then one
+    ``os.rename`` into place) so concurrent processes sharing the cache
+    (pytest + preflight + bench on one box) never observe, or write into, a
+    half-generated log; the rename loser discards its redundant copy."""
     out_dir = os.path.join(root, spec_fingerprint(spec))
     done = os.path.join(out_dir, "_DONE")
-    if not os.path.exists(done):
-        write_change_log(spec, out_dir)
-        with open(done, "w") as f:
-            f.write(repr(spec))
-    return out_dir
+    if os.path.exists(done):
+        return out_dir
+    stage = f"{out_dir}.stage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_change_log(spec, stage)
+    with open(os.path.join(stage, "_DONE"), "w") as f:
+        f.write(repr(spec))
+    for _ in range(2):
+        try:
+            os.rename(stage, out_dir)
+            return out_dir
+        except OSError:
+            if os.path.exists(done):  # concurrent generator won the race
+                shutil.rmtree(stage, ignore_errors=True)
+                return out_dir
+            # crashed pre-atomicity leftover without _DONE: clear and retry
+            shutil.rmtree(out_dir, ignore_errors=True)
+    raise RuntimeError(f"could not publish change log at {out_dir}")

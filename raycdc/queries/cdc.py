@@ -36,15 +36,24 @@ def _spec_for(sf_dir: str, **overrides) -> gen.GenSpec:
     return gen.GenSpec(seed=42, **base)
 
 
+def _scratch_lake(spec: gen.GenSpec, tag: str) -> str:
+    """Per-process scratch lake root for a query replay. The dir is wiped
+    and rebuilt fresh on every call, so a stable name buys nothing — and a
+    PID-unique name keeps concurrent processes (pytest + preflight + bench
+    on one box) from rmtree-ing each other's half-replayed lake."""
+    return os.path.join(
+        "/tmp/raycdc-lakes",
+        f"{gen.spec_fingerprint(spec)}-{tag}-p{os.getpid()}",
+    )
+
+
 def _replayed_engine(sf_dir: str, salted: bool) -> Engine:
     """Replay the sf tier's generated change log into a fresh /tmp lake and
     return the Engine (its lake is then consumed as a streaming Dataset via
     ``read_lake`` — never materialized driver-side by the callers)."""
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
-    lake_dir = os.path.join(
-        "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-{'s' if salted else 'h'}"
-    )
+    lake_dir = _scratch_lake(spec, "s" if salted else "h")
     shutil.rmtree(lake_dir, ignore_errors=True)  # fresh deterministic replay
     eng = Engine(lake_dir, num_partitions=32, salted=salted)
     eng.apply_log(log_dir, epochs_per_round=2)
@@ -78,9 +87,7 @@ def cdc_conv_latest(sf_dir: str):
 
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
-    lake_dir = os.path.join(
-        "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-2t"
-    )
+    lake_dir = _scratch_lake(spec, "2t")
     shutil.rmtree(lake_dir, ignore_errors=True)
     eng = Engine(
         lake_dir, num_partitions=32, tables=[T.PRIMARY, T.conv_latest()]
@@ -102,9 +109,7 @@ def cdc_tool_index(sf_dir: str):
 
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
-    lake_dir = os.path.join(
-        "/tmp/raycdc-lakes", f"{gen.spec_fingerprint(spec)}-ti"
-    )
+    lake_dir = _scratch_lake(spec, "ti")
     shutil.rmtree(lake_dir, ignore_errors=True)
     eng = Engine(
         lake_dir, num_partitions=32, tables=[T.PRIMARY, T.tool_index()]
