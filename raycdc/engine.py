@@ -362,6 +362,18 @@ class MergeWorker:
         )
 
 
+def _barrier_timeout() -> float:
+    """Finalize count-barrier timeout (seconds). Env-tunable because the
+    right value is a HOST property, not an engine one: this VM's shared
+    hypervisor throttles memory bandwidth 4-5x under sibling load (see
+    scripts/hostgauge.py), and a fixed 60 s that is generous on a quiet
+    host starves on a degraded one. A barrier TimeoutError is retriable
+    (_gather_with_recovery replays the round), so the default stays tight;
+    CI/drivers on known-slow hosts raise RAYCDC_BARRIER_TIMEOUT instead of
+    paying a retry."""
+    return float(os.environ.get("RAYCDC_BARRIER_TIMEOUT", "120"))
+
+
 # num_cpus=1: mergers respect the session's CPU budget (the N-vs-4N
 # scaling evidence is only honest if the pool is bounded by num_cpus).
 # max_concurrency=2: one thread can buffer round N+1's slices while the
@@ -1167,8 +1179,8 @@ class Engine:
                         )
                         twin_ref = twin.finalize_round.remote(
                             round_id, schema_str, live_map, cnt,
-                            int(cursor_lo), self.compact_every, 60.0,
-                            tables_meta,
+                            int(cursor_lo), self.compact_every,
+                            _barrier_timeout(), tables_meta,
                         )
                         spec[i] = (twin, twin_ref)
                         if os.environ.get("RAYCDC_STATS"):
@@ -1255,9 +1267,22 @@ class Engine:
                 expected[a] = expected.get(a, 0) + 1
         # fast liveness probe: a merger that died during the push took its
         # buffered slices with it — rebuild and re-push NOW instead of
-        # letting the finalize count barrier time out
+        # letting the finalize count barrier time out. The probe is an
+        # OPTIMIZATION: on a throttled host a merger deep in the previous
+        # round's merge answers late (actors serve serially), so a probe
+        # timeout is INCONCLUSIVE, not a death — fall through and let the
+        # finalize barrier + _gather_with_recovery catch genuinely dead
+        # actors (the r03 suite flake was exactly this GetTimeoutError
+        # surfacing as a failure on a 4-5x slowed hypervisor).
         try:
-            ray.get([h.ping.remote() for h in handles], timeout=30)
+            ray.get(
+                [h.ping.remote() for h in handles],
+                timeout=float(os.environ.get("RAYCDC_PING_TIMEOUT", "30")),
+            )
+        except ray.exceptions.GetTimeoutError:
+            if os.environ.get("RAYCDC_STATS"):
+                print(f"[direct] round {round_id}: liveness probe timed out "
+                      "(busy host?) — deferring to the finalize barrier")
         except ray.exceptions.RayActorError:
             if _retries <= 0:
                 raise
@@ -1364,7 +1389,7 @@ class Engine:
                 int(expected.get(i, 0)),
                 int(cursor_lo),
                 self.compact_every,
-                60.0,
+                _barrier_timeout(),
                 tables_meta,
             )
             for i, h in enumerate(self._ensure_pool())

@@ -278,6 +278,12 @@ class ExportAnchorLostError(RuntimeError):
     back — re-bootstrap the sink (fresh out_dir / delete the state file)."""
 
 
+class ExportTableMismatchError(RuntimeError):
+    """The out_dir's export state belongs to a DIFFERENT table. An anchor
+    is per-feed: inheriting another table's anchor silently skips the new
+    table's entire pre-anchor history. Use a separate out_dir per feed."""
+
+
 def export_incremental(
     engine,
     out_dir: str,
@@ -319,10 +325,19 @@ def export_incremental(
     rounds = lake.manifest["committed_rounds"]
     os.makedirs(out_dir, exist_ok=True)
     state_path = os.path.join(out_dir, _STATE_FILE)
-    state = {"last_round": None, "windows": []}
+    tbl = table or "transcripts"
+    state = {"last_round": None, "windows": [], "table": tbl}
     if os.path.exists(state_path):
         with open(state_path) as f:
             state = json.load(f)
+    # the anchor is PER-FEED: a state file written for another table must
+    # never be inherited (it would skip this table's pre-anchor history)
+    recorded_tbl = state.get("table", tbl)
+    if recorded_tbl != tbl:
+        raise ExportTableMismatchError(
+            f"out_dir {out_dir!r} holds the export state of table "
+            f"{recorded_tbl!r}, not {tbl!r}; use a separate out_dir per feed"
+        )
     anchor = state["last_round"]
     if anchor is not None and anchor not in {r["round_id"] for r in rounds}:
         raise ExportAnchorLostError(
@@ -337,7 +352,6 @@ def export_incremental(
     feed = engine.read_changes(
         since_round=anchor, until_round=head, table=table
     )
-    tbl = table or "transcripts"
     prefix = f"{tbl}-chg-{lo_idx + 1:06d}-{hi_idx:06d}"
     # reap orphans: a crashed run that was overtaken by NEW commits left
     # partial files under a prefix that will never be completed or
@@ -363,6 +377,7 @@ def export_incremental(
     )
     new_state = {
         "last_round": head,
+        "table": tbl,
         "windows": state["windows"]
         + [{"from_idx": lo_idx + 1, "to_idx": hi_idx, "round": head,
             "prefix": prefix, "n_files": len(files)}],

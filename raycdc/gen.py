@@ -406,14 +406,39 @@ def cached_change_log(spec: GenSpec, root: str = "/tmp/raycdc-gen") -> str:
     write_change_log(spec, stage)
     with open(os.path.join(stage, "_DONE"), "w") as f:
         f.write(repr(spec))
+    return atomic_publish(stage, out_dir)
+
+
+def atomic_publish(stage: str, out_dir: str) -> str:
+    """Publish a fully-built staging dir (must already contain ``_DONE``)
+    to ``out_dir`` with one atomic ``os.rename``, safely under concurrent
+    builders and readers sharing the cache root (pytest + preflight + bench
+    on one box). The rename loser discards its redundant copy; a suspect
+    leftover without ``_DONE`` is moved aside atomically — never rmtree'd in
+    place, which could delete a complete copy published between check and
+    removal — re-inspected, and restored if it turns out complete."""
+    done = os.path.join(out_dir, "_DONE")
     for _ in range(2):
         try:
             os.rename(stage, out_dir)
             return out_dir
         except OSError:
-            if os.path.exists(done):  # concurrent generator won the race
+            if os.path.exists(done):  # concurrent builder won the race
                 shutil.rmtree(stage, ignore_errors=True)
                 return out_dir
-            # crashed pre-atomicity leftover without _DONE: clear and retry
-            shutil.rmtree(out_dir, ignore_errors=True)
-    raise RuntimeError(f"could not publish change log at {out_dir}")
+            trash = f"{out_dir}.trash-{os.getpid()}"
+            try:
+                os.rename(out_dir, trash)
+            except FileNotFoundError:
+                continue  # vanished (another cleaner); just retry publish
+            if os.path.exists(os.path.join(trash, "_DONE")):
+                # raced with a completed publish — restore it (or, if yet
+                # another complete copy landed meanwhile, keep that one)
+                try:
+                    os.rename(trash, out_dir)
+                except OSError:
+                    shutil.rmtree(trash, ignore_errors=True)
+                shutil.rmtree(stage, ignore_errors=True)
+                return out_dir
+            shutil.rmtree(trash, ignore_errors=True)  # genuine crash debris
+    raise RuntimeError(f"could not publish staged dir at {out_dir}")

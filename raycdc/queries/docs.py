@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from raycdc import textkit as T
 from raycdc.queries import common as C
 
 
@@ -70,18 +71,17 @@ def token_counts(sf_dir: str):
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
 
     def count(b: pd.DataFrame) -> pd.DataFrame:
-        stripped = b["text"].str.strip()
-        b["n_tokens"] = stripped.str.split().str.len().fillna(0).astype("int64")
+        # textkit tokenizer: RE2-\s-identical on both engines (unicode-safe)
+        b["n_tokens"] = T.token_counts(b["text"]).astype("int64")
         b["n_chars"] = b["text"].str.len().astype("int64")
         return b[["doc_id", "n_tokens", "n_chars"]]
 
     return ds.map_batches(count, batch_format="pandas")
 
 
-TOKEN_COUNTS_SQL = r"""
+TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       CAST(len({T.toks_sql('text')}) AS BIGINT) AS n_tokens,
        length(text) AS n_chars
 FROM documents
 """
@@ -110,8 +110,8 @@ def doc_chunks(sf_dir: str):
 
 def _chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, text) batch → fixed-size token-window chunk rows."""
-    s = b["text"].str.strip()
-    keep = s.str.len() > 0
+    lists = T.token_lists(b["text"])
+    keep = lists.str.len() > 0
     empty = pd.DataFrame(
         {
             "doc_id": pd.Series(dtype="int64"),
@@ -125,7 +125,7 @@ def _chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
     d = pd.DataFrame(
         {
             "doc_id": b.loc[keep, "doc_id"].to_numpy(),
-            "tok": s[keep].str.split().to_numpy(),
+            "tok": lists[keep].to_numpy(),
         }
     )
     e = d.explode("tok", ignore_index=True)
@@ -141,8 +141,9 @@ def _chunk_batch(b: pd.DataFrame) -> pd.DataFrame:
 
 DOC_CHUNKS_SQL = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {T.toks_sql('text')} AS w FROM documents)
+  WHERE len(w) > 0
 ),
 st AS (
   SELECT doc_id, w,
@@ -213,8 +214,9 @@ keep AS (
 ),
 ded AS (SELECT min(doc_id) AS doc_id, text FROM keep GROUP BY text),
 toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-    FROM ded WHERE length(trim(text)) > 0
+    SELECT doc_id, w
+    FROM (SELECT doc_id, {T.toks_sql('text')} AS w FROM ded)
+    WHERE len(w) > 0
 ),
 st AS (
     SELECT doc_id, w,
@@ -483,7 +485,7 @@ def vocab_top_terms(sf_dir: str):
     ds = C.read(sf_dir, "documents", ["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.strip().str.split().explode()
+        toks = T.token_lists(b["text"]).explode()
         vc = toks[toks.notna()].value_counts()
         return pd.DataFrame(
             {"token": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
@@ -505,8 +507,7 @@ def vocab_top_terms(sf_dir: str):
 
 VOCAB_SQL = rf"""
 SELECT t.token, count(*) AS n
-FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(token)
-WHERE t.token <> ''
+FROM documents, unnest({T.toks_sql('text')}) AS t(token)
 GROUP BY 1
 ORDER BY n DESC, t.token
 LIMIT {VOCAB_TOP}
@@ -537,7 +538,7 @@ def tfidf_top_terms(sf_dir: str):
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].str.strip().str.split()
+        toks = T.token_lists(b["text"])
         e = b[["doc_id"]].assign(token=toks).explode("token").dropna()
         vc = e.drop_duplicates().value_counts("token")
         return pd.DataFrame(
@@ -556,7 +557,7 @@ def tfidf_top_terms(sf_dir: str):
             self.df = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            toks = b["text"].str.strip().str.split()
+            toks = T.token_lists(b["text"])
             e = b[["doc_id"]].assign(token=toks).explode("token").dropna()
             tf = e.groupby(["doc_id", "token"], as_index=False).size()
             tf["score"] = (
@@ -590,8 +591,7 @@ def tfidf_top_terms(sf_dir: str):
 TFIDF_SQL = rf"""
 WITH tok AS (
     SELECT doc_id, t.token
-    FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(token)
-    WHERE t.token <> ''
+    FROM documents, unnest({T.toks_sql('text')}) AS t(token)
 ), tf AS (
     SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
 ), df AS (
@@ -731,14 +731,14 @@ def _gram_rows(
         b["doc_id"].astype("string").to_numpy(dtype=object)
     ) % np.uint64(_SPLIT_MOD)
     sel = (hb >= lo) & (hb < hi)
-    s = b.loc[sel, "text"].str.strip()
-    keep = s.str.len() > 0
+    lists = T.token_lists(b.loc[sel, "text"])
+    keep = lists.str.len() > 0
     if not keep.any():
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     d = pd.DataFrame(
         {
             "doc_id": b.loc[sel, "doc_id"][keep].astype("int64").to_numpy(),
-            "tok": s[keep].str.split().to_numpy(),
+            "tok": lists[keep].to_numpy(),
         }
     )
     e = d.explode("tok", ignore_index=True)
@@ -816,9 +816,9 @@ def _contamination_sql() -> str:
     gram = H.sql_poly(f"array_to_string(list_slice(w, i, i + {CONTAM_N} - 1), ' ')")
     return rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-  FROM documents
-  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= {CONTAM_N}
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {T.toks_sql('text')} AS w FROM documents)
+  WHERE len(w) >= {CONTAM_N}
 ), pos AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w) - {CONTAM_N} + 1)) AS i
   FROM toks
@@ -859,12 +859,11 @@ def doc_pack_offsets(sf_dir: str):
     ds = C.read(sf_dir, "documents", ["doc_id", "text"])
 
     def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        stripped = b["text"].str.strip()
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "pack_bucket": (b["doc_id"] // PACK_BUCKET).astype("int64"),
-                "n_tokens": stripped.str.split().str.len().fillna(0).astype("int64"),
+                "n_tokens": T.token_counts(b["text"]).astype("int64"),
             }
         )
 
@@ -884,17 +883,18 @@ def doc_pack_offsets(sf_dir: str):
 PACK_OFFSETS_SQL = rf"""
 WITH t AS (
     SELECT doc_id, doc_id // {PACK_BUCKET} AS pack_bucket,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE length(regexp_split_to_array(trim(text), '\s+')) END
-               AS n_tokens
+           CAST(len({T.toks_sql('text')}) AS BIGINT) AS n_tokens
     FROM documents
 ), o AS (
+    -- window sum() yields DECIMAL (float64 in pandas) — cast back to the
+    -- engine's int64 so the value hash matches (r03 red-row root cause)
     SELECT doc_id, pack_bucket, n_tokens,
-           sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+           CAST(sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS tok_offset
     FROM t
 )
-SELECT doc_id, pack_bucket, tok_offset // {PACK_BUDGET} AS bin_id,
+SELECT doc_id, pack_bucket, CAST(tok_offset // {PACK_BUDGET} AS BIGINT) AS bin_id,
        tok_offset, n_tokens
 FROM o
 """

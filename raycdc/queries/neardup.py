@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from raycdc import phash as H
+from raycdc import textkit as T
 from raycdc.queries import common as C
 
 NUM_PERM = 64
@@ -32,7 +33,7 @@ _P = np.uint64(H.P)
 
 
 def _shingle_strings(text: str) -> list:
-    toks = text.split()
+    toks = T.py_tokens(text)  # RE2-\s-identical tokenization (textkit)
     if len(toks) < SHINGLE_W:
         return [" ".join(toks)]
     return [" ".join(toks[i : i + SHINGLE_W]) for i in range(len(toks) - SHINGLE_W + 1)]
@@ -529,11 +530,11 @@ def ngram_jaccard_pairs(sf_dir: str):
 
 # -- DuckDB oracle SQL (exact signature semantics, portable hash) ----------
 
-# shared CTE: word tokens per doc (matches Python str.split())
-_TOKS_CTE = r"""
+# shared CTE: word tokens per doc (textkit semantics — identical to
+# T.py_tokens on every input, unicode whitespace included)
+_TOKS_CTE = f"""
 toks AS (
-    SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+    SELECT doc_id, {T.toks_sql('text')} AS t
     FROM documents
 )"""
 
@@ -621,10 +622,10 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
 """
 
-NGRAM_JACCARD_SQL = """
+NGRAM_JACCARD_SQL = f"""
 WITH toks AS (
     SELECT doc_id, CAST(doc_id // 2 AS BIGINT) AS pair_key,
-           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+           {T.toks_sql('text')} AS t
     FROM documents
 ), tris AS (
     SELECT doc_id, pair_key,

@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raycdc import textkit as T
 from raycdc.queries import common as C
 
 # -- configurable-pattern redaction (PII scrub) ------------------------------
@@ -38,6 +39,16 @@ REDACT_PATTERNS: list[tuple[str, str]] = [
     ("agent_token", r"\b\w+er\b"),
 ]
 REDACT_TOKEN = "<redacted>"
+
+# the pattern list is documented as configurable and gets interpolated into
+# single-quoted SQL literals (_redact_sql); a quote would break — or inject
+# into — the oracle SQL, so reject it at import
+for _name, _pat in REDACT_PATTERNS:
+    if "'" in _pat:
+        raise ValueError(
+            f"REDACT_PATTERNS[{_name!r}] contains a single quote; "
+            "escape it or rewrite the pattern (oracle SQL interpolation)"
+        )
 
 
 def docs_redact(sf_dir: str):
@@ -69,8 +80,9 @@ def _redact_sql() -> str:
     txt = "text"
     counts = []
     for _, pat in REDACT_PATTERNS:
-        counts.append(f"len(regexp_extract_all({txt}, '{pat}'))")
-        txt = f"regexp_replace({txt}, '{pat}', '{REDACT_TOKEN}', 'g')"
+        p = pat.replace("'", "''")  # defense in depth (also import-checked)
+        counts.append(f"len(regexp_extract_all({txt}, '{p}'))")
+        txt = f"regexp_replace({txt}, '{p}', '{REDACT_TOKEN}', 'g')"
     return f"""
 SELECT doc_id, {txt} AS clean_text,
        CAST({' + '.join(counts)} AS BIGINT) AS n_redacted
@@ -109,14 +121,14 @@ def docs_repetition(sf_dir: str):
                 "n_adjacent_repeats": np.zeros(len(b), np.int64),
             }
         )
-        s = b["text"].str.strip()
-        keep = s.str.len() > 0
+        lists = T.token_lists(b["text"])
+        keep = lists.str.len() > 0
         if not keep.any():
             return out
         d = pd.DataFrame(
             {
                 "doc_id": b.loc[keep, "doc_id"].astype("int64").to_numpy(),
-                "tok": s[keep].str.split().to_numpy(),
+                "tok": lists[keep].to_numpy(),
             }
         )
         e = d.explode("tok", ignore_index=True)
@@ -162,8 +174,9 @@ def _repetition_sql() -> str:
     gram_h = H.sql_poly(f"array_to_string(list_slice(w, i, i + {REP_N} - 1), ' ')")
     return rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {T.toks_sql('text')} AS w FROM documents)
+  WHERE len(w) > 0
 ), pos AS (
   SELECT doc_id, w, unnest(generate_series(1, len(w) - {REP_N} + 1)) AS i
   FROM toks WHERE len(w) >= {REP_N}

@@ -115,9 +115,12 @@ def q3_top_orders(sf_dir: str):
 
     # per-batch revenue combiner BEFORE the join: lineitem carries ~4 rows
     # per order, so partial-summing by l_orderkey inside each batch cuts
-    # the join's shuffle volume ~4x at any scale (sums stay exact: price
-    # and discount are 2-decimal, so revenue partials are exact 4-decimal
-    # values and the final round is an identity, not a boundary)
+    # the join's shuffle volume ~4x at any scale. The partial sums change
+    # the summation tree vs the oracle's; 2-decimal doubles are NOT exact
+    # in binary FP, but the accumulated relative error (~1e-12 over ~4-row
+    # partials) sits far below the 1e-4 rounding quantum, so the rounded
+    # top-10 boundary cannot flip. (Integer-cents partials would make it
+    # exactly exact; unnecessary at this error margin.)
     def partial_rev(t: pa.Table) -> pd.DataFrame:
         rev = pc.multiply(
             t.column("l_extendedprice"),

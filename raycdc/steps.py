@@ -24,9 +24,25 @@ class Step:
 
     inputs: list = []
     outputs: list = []
+    # a filter step consumes only a PREDICATE-NARROWED slice of its source
+    # tables; when EVERY required step is a filter, the pipeline runs in
+    # filter mode and the union of the steps' source predicates is pushed
+    # down to the source Datasets before any transform runs (the analog of
+    # the reference's is_filter jobs whose collected get_filter() specs are
+    # handed to the SOURCE job — job_scheduler.py:117-150, 194-256 and
+    # base_job.py:279-288 in /root/reference).
+    is_filter: bool = False
 
     def transform(self, tables: dict) -> dict:
         raise NotImplementedError
+
+    def source_filter(self) -> dict:
+        """``{source table name -> Ray ``Dataset.filter`` expression
+        string}`` — the rows this filter step needs. Only consulted in
+        filter mode. Expressions for the same table from different steps
+        are OR-combined (a row any step wants must be loaded — same union
+        semantics as the reference's ``filters`` list)."""
+        return {}
 
     @classmethod
     def name(cls) -> str:
@@ -107,23 +123,58 @@ class Pipeline:
     """Plan + run: resolve required steps for the wanted outputs, topo-sort,
     execute each ``transform`` feeding a shared table namespace (the typed
     analog of the reference's ``_data_buff``, but one lazy Dataset per
-    logical table instead of row lists)."""
+    logical table instead of row lists).
+
+    Filter mode: iff EVERY required step declares ``is_filter`` (or the
+    caller forces it), the union of the steps' ``source_filter()``
+    predicates is applied to the source Datasets up front — Ray pushes the
+    expression into the parquet scan, so the WHOLE pipeline runs over the
+    filtered rows only (never "scan everything, discard later"). One
+    non-filter step anywhere disables it, because that step's semantics
+    need the full input (the reference's AND-fold,
+    ``job_scheduler.py:117-150``)."""
 
     def __init__(self, registry: StepRegistry):
         self.registry = registry
 
-    def run(self, tables: dict, wanted_outputs: list) -> dict:
+    def _instantiate(self, cls) -> "Step":
+        return cls()
+
+    def run(
+        self, tables: dict, wanted_outputs: list, force_filter_mode: bool = False
+    ) -> dict:
         available = set(tables)
         steps = self.registry.required_steps(wanted_outputs, available)
         order = self.registry.topo_sort(steps, available)
+        insts = [self._instantiate(cls) for cls in order]
         ns = dict(tables)
-        for cls in order:
-            produced = cls().transform(ns)
+        if force_filter_mode or (bool(insts) and all(s.is_filter for s in insts)):
+            for tbl, expr in self._union_filters(insts, available).items():
+                ns[tbl] = ns[tbl].filter(expr=expr)
+        for inst in insts:
+            cls = type(inst)
+            produced = inst.transform(ns)
             unexpected = set(produced) - set(cls.outputs)
             if unexpected:
                 raise ValueError(f"{cls.__name__} produced undeclared {unexpected}")
             ns.update(produced)
         return {o: ns[o] for o in wanted_outputs}
+
+    @staticmethod
+    def _union_filters(insts: list, available: set) -> dict:
+        """OR-combine the steps' per-table source predicates."""
+        preds: dict = {}
+        for inst in insts:
+            for tbl, expr in (inst.source_filter() or {}).items():
+                if tbl not in available:
+                    raise KeyError(
+                        f"{type(inst).__name__}.source_filter names {tbl!r}, "
+                        "which is not a source table"
+                    )
+                preds[tbl] = (
+                    expr if tbl not in preds else f"({preds[tbl]}) or ({expr})"
+                )
+        return preds
 
     def run_entities(self, tables: dict, entity_types: str, bundles) -> dict:
         """Entity-bundle front door: expand ``"core,analytics"`` via the
@@ -239,23 +290,13 @@ class BundleRegistry:
 class ConfiguredPipeline(Pipeline):
     """Pipeline whose steps receive their config section at construction:
     a step may define ``__init__(self, **config)`` (or accept none). The
-    section key is the step's snake-case name."""
+    section key is the step's snake-case name. Inherits ``run`` (filter
+    mode included) — only instantiation differs."""
 
     def __init__(self, registry: StepRegistry, config: dict | None = None):
         super().__init__(registry)
         self.config = config or {}
 
-    def run(self, tables: dict, wanted_outputs: list) -> dict:
-        available = set(tables)
-        steps = self.registry.required_steps(wanted_outputs, available)
-        order = self.registry.topo_sort(steps, available)
-        ns = dict(tables)
-        for cls in order:
-            kwargs = self.config.get(cls.name(), {})
-            inst = cls(**kwargs) if kwargs else cls()
-            produced = inst.transform(ns)
-            unexpected = set(produced) - set(cls.outputs)
-            if unexpected:
-                raise ValueError(f"{cls.__name__} produced undeclared {unexpected}")
-            ns.update(produced)
-        return {o: ns[o] for o in wanted_outputs}
+    def _instantiate(self, cls) -> "Step":
+        kwargs = self.config.get(cls.name(), {})
+        return cls(**kwargs) if kwargs else cls()

@@ -64,9 +64,12 @@ def main() -> int:
 
     import ray
 
+    import os
+
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=16, include_dashboard=False,
-                 ignore_reinit_error=True)
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAYCDC_PREFLIGHT_CPUS", "16")),
+                 include_dashboard=False, ignore_reinit_error=True)
 
     import __ray_entry__ as entry
 

@@ -86,6 +86,109 @@ def test_steps_cycle_detected():
         reg.topo_sort([A, B], set())
 
 
+def _filter_registry():
+    """Two filter steps over one source + a pruned-away non-filter."""
+    reg = StepRegistry()
+
+    @reg.register
+    class SmallOnly(Step):
+        inputs = ["numbers"]
+        outputs = ["small"]
+        is_filter = True
+
+        def source_filter(self):
+            return {"numbers": "x < 3"}
+
+        def transform(self, t):
+            # the step applies its OWN predicate — the source_filter union
+            # is an IO pushdown, not a substitute (another step's rows flow
+            # through the same narrowed source)
+            return {
+                "small": t["numbers"].map_batches(
+                    lambda b: {"x": b["x"][b["x"] < 3]}
+                )
+            }
+
+    @reg.register
+    class BigOnly(Step):
+        inputs = ["numbers"]
+        outputs = ["big"]
+        is_filter = True
+
+        def source_filter(self):
+            return {"numbers": "x >= 8"}
+
+        def transform(self, t):
+            return {
+                "big": t["numbers"].map_batches(
+                    lambda b: {"x": b["x"][b["x"] >= 8]}
+                )
+            }
+
+    @reg.register
+    class FullScan(Step):
+        inputs = ["numbers"]
+        outputs = ["everything"]  # is_filter stays False
+
+        def transform(self, t):
+            return {"everything": t["numbers"]}
+
+    return reg
+
+
+def test_steps_filter_mode(ray_session):
+    """All required steps are filters → the OR-union of their source
+    predicates is pushed onto the source Dataset, so every step reads only
+    the union slice (0,1,2,8,9 here), never the full table; each step's
+    own predicate then narrows its slice inside its transform."""
+    import ray.data
+
+    def src():
+        return ray.data.range(10).map_batches(lambda b: {"x": b["id"]})
+
+    reg = _filter_registry()
+    out = Pipeline(reg).run({"numbers": src()}, ["small", "big"])
+    assert sorted(r["x"] for r in out["small"].take_all()) == [0, 1, 2]
+    assert sorted(r["x"] for r in out["big"].take_all()) == [8, 9]
+
+    # one non-filter step anywhere in the required set disables the mode:
+    # FullScan must observe ALL rows even alongside the filter steps
+    out = Pipeline(reg).run({"numbers": src()}, ["everything", "small"])
+    assert len(out["everything"].take_all()) == 10
+    # ... unless the caller forces filter mode (reference
+    # force_filter_mode): then even FullScan reads the union slice — which
+    # for this required set (SmallOnly + FullScan; BigOnly is pruned away)
+    # is SmallOnly's predicate alone
+    out = Pipeline(reg).run(
+        {"numbers": src()}, ["everything", "small"], force_filter_mode=True
+    )
+    assert sorted(r["x"] for r in out["everything"].take_all()) == [0, 1, 2]
+
+
+def test_steps_filter_mode_unknown_table_rejected(ray_session):
+    import ray.data
+
+    reg = StepRegistry()
+
+    @reg.register
+    class Bad(Step):
+        inputs = ["numbers"]
+        outputs = ["out"]
+        is_filter = True
+
+        def source_filter(self):
+            return {"nope": "x < 3"}
+
+        def transform(self, t):  # pragma: no cover — rejected before run
+            return {"out": t["numbers"]}
+
+    with pytest.raises(KeyError, match="nope"):
+        Pipeline(reg).run(
+            {"numbers": ray.data.range(3).map_batches(lambda b: {"x": b["id"]})},
+            ["out"],
+        )
+
+
 def test_step_snake_name():
     class MyFancyStep(Step):
         pass

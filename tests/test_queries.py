@@ -117,6 +117,50 @@ def test_ann_ivf_matches_sql_oracle(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
 
 
+def test_ann_ivf_layout_matches_sql_oracle(ray_session):
+    """Persisted-layout occupancy (footer-metadata counts per inverted
+    list) vs the oracle's centroid-literal assignment counts."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_ivf_layout"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_ivf_layout"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ann_ivf_search_prunes_io(ray_session):
+    """The point of the persisted layout: the search's candidate read must
+    touch ≤ nprobe/N_CENTROIDS of the corpus (footer row counts of the
+    probed partition files vs the base table), with slack only for
+    occupancy skew — and the layout build must be cached (second call
+    returns the published dir without rebuilding)."""
+    import pyarrow.parquet as pq
+
+    from raycdc.queries.ann import (
+        N_CENTROIDS,
+        NPROBE,
+        _probe_lists,
+        _probe_paths,
+        _query_vec,
+        ivf_layout,
+    )
+
+    lay = ivf_layout(SF_DIR)
+    assert ivf_layout(SF_DIR) == lay  # cached: no rebuild
+    cent = np.load(os.path.join(lay, "centroids.npy"))
+    probe = _probe_lists(cent, _query_vec(SF_DIR))
+    assert len(probe) == NPROBE
+    files = _probe_paths(lay, probe)
+    probed = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    total = pq.ParquetFile(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).metadata.num_rows
+    frac = probed / total
+    assert frac <= (NPROBE / N_CENTROIDS) * 1.5, (
+        f"candidate IO not pruned: reads {probed}/{total} = {frac:.3f}"
+    )
+
+
 def test_ann_lsh_matches_sql_oracle(ray_session):
     """Hyperplane-LSH ANN vs a DuckDB oracle carrying the (data-independent)
     hyperplanes and the query's band codes as literals."""
