@@ -360,6 +360,142 @@ def cdc_read_key(sf_dir: str):
     )
 
 
+def cdc_snapshot_diff(sf_dir: str):
+    """Snapshot-to-snapshot table diff: every key whose USER-VISIBLE payload
+    (role/text/tool/ts) differs between the mid-replay anchor snapshot and
+    the live table, tagged ``insert`` / ``delete`` / ``update`` with old and
+    new values side by side — the "what changed between version A and B"
+    audit read (Delta CDF `table_changes` analog; the reference answers it
+    by re-running an export job over the block range,
+    ``indexer/controller/stream_controller.py``).
+
+    Scale shape: cost tracks the DELTA, not the lake. The changefeed (a
+    superset of payload-changed keys — any payload change bumps the stored
+    watermark, and no reorg crosses this window) names the candidate keys
+    and carries the NEW values; old values are read from the anchor
+    snapshot with the candidate conv set PUSHED INTO the parquet read.
+    The two delta-sized sides co-shuffle by conv_id into bounded
+    partitions (tagged union — no ``Dataset.join``, whose empty-block
+    schema loss broke neardup at 32 CPUs in r03) and ONE vectorized merge
+    kernel per partition classifies and filters. Nothing corpus-sized
+    touches the driver; the conv-id set is O(one window's touched keys),
+    the same bound the merger pool holds per round."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from raycdc import schema as S
+
+    lo_round, _ = _snapshot_round_cursor(sf_dir)
+    eng = _replayed_engine(sf_dir, salted=False)
+
+    feed = eng.read_changes(since_round=lo_round)
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.unique(t.column("conv_id"))})
+
+    dirty = sorted(
+        {
+            r["conv_id"]
+            for r in feed.map_batches(_uniq, batch_format="pyarrow").take_all()
+        }
+    )
+    payload = ["role", "text", "tool", "ts"]
+    old = eng.read_lake(
+        columns=["conv_id", "turn_idx", *payload],
+        as_of_round=lo_round,
+        predicate=pads.field("conv_id").isin(dirty) if dirty else None,
+    )
+
+    side_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("change_op", pa.string()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    # explicit-schema Arrow out of BOTH mappers: empty blocks keep their
+    # schema through the shuffle (the r03 neardup lesson, VERDICT r3 #1)
+    def tag_old(t: pa.Table) -> pa.Table:
+        t = t.append_column("side", pa.array(np.zeros(len(t), np.int8)))
+        return S.conform(t, side_schema)
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        t = t.append_column("side", pa.array(np.ones(len(t), np.int8)))
+        return S.conform(t, side_schema)
+
+    both = old.map_batches(tag_old, batch_format="pyarrow").union(
+        feed.map_batches(tag_new, batch_format="pyarrow")
+    )
+
+    def _ne(a: pd.Series, b: pd.Series) -> pd.Series:
+        # NULL-safe inequality (IS DISTINCT FROM): both-null compares equal
+        return (a != b) & ~(a.isna() & b.isna())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        nw = g[g["side"] == 1]
+        o = g[g["side"] == 0][["conv_id", "turn_idx", *payload]]
+        m = nw.merge(
+            o, on=["conv_id", "turn_idx"], how="left",
+            suffixes=("_new", "_old"), indicator=True,
+        )
+        in_old = (m["_merge"] == "both").to_numpy()
+        is_del = (m["change_op"] == "delete").to_numpy()
+        differs = np.zeros(len(m), bool)
+        for c in payload:
+            differs |= _ne(m[f"{c}_new"], m[f"{c}_old"]).to_numpy()
+        # delete without an old row = inserted+deleted inside the window
+        # (no-op at both boundaries); upsert with equal payload = watermark-
+        # only motion (e.g. a patch re-asserting current values) — neither
+        # is a snapshot-visible change
+        keep = np.where(is_del, in_old, ~in_old | differs)
+        kind = np.where(is_del, "delete", np.where(in_old, "update", "insert"))
+        out = pd.DataFrame(
+            {
+                "conv_id": m["conv_id"],
+                "turn_idx": m["turn_idx"].astype("int32"),
+                "kind": kind,
+                "old_role": m["role_old"],
+                "new_role": m["role_new"],
+                "old_text": m["text_old"],
+                "new_text": m["text_new"],
+                "old_tool": m["tool_old"],
+                "new_tool": m["tool_new"],
+                "old_ts": m["ts_old"],
+                "new_ts": m["ts_new"],
+            }
+        )
+        return out[keep]
+
+    return C.by_partition(both, "conv_id", kernel)
+
+
+CDC_SNAPSHOT_DIFF_SQL_TEMPLATE = """
+WITH lo AS ({lo_replay}), hi AS ({hi_replay})
+SELECT COALESCE(lo.conv_id, hi.conv_id) AS conv_id,
+       CAST(COALESCE(lo.turn_idx, hi.turn_idx) AS INTEGER) AS turn_idx,
+       CASE WHEN lo.conv_id IS NULL THEN 'insert'
+            WHEN hi.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS kind,
+       lo.role AS old_role, hi.role AS new_role,
+       lo.text AS old_text, hi.text AS new_text,
+       lo.tool AS old_tool, hi.tool AS new_tool,
+       lo.ts AS old_ts, hi.ts AS new_ts
+FROM lo FULL OUTER JOIN hi
+  ON lo.conv_id = hi.conv_id AND lo.turn_idx = hi.turn_idx
+WHERE lo.conv_id IS NULL OR hi.conv_id IS NULL
+   OR lo.role IS DISTINCT FROM hi.role
+   OR lo.text IS DISTINCT FROM hi.text
+   OR lo.tool IS DISTINCT FROM hi.tool
+   OR lo.ts   IS DISTINCT FROM hi.ts
+"""
+
+
 # -- events-as-changelog: SQL-checkable CDC apply --------------------------
 
 TURN_MOD = 50
@@ -613,9 +749,15 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         where=f" WHERE epoch <= {hi_epoch}",
         anchor_cursor=lo_cursor,
     )
+    # snapshot diff: anchor snapshot (prefix replay) vs live (full replay),
+    # full outer join on the key, NULL-safe payload-difference filter
+    snapshot_diff = CDC_SNAPSHOT_DIFF_SQL_TEMPLATE.format(
+        lo_replay=time_travel, hi_replay=replay
+    )
     return {
         "cdc_replay": replay,
         "cdc_replay_salted": replay,  # salted path must be bit-identical
+        "cdc_snapshot_diff": snapshot_diff,
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
@@ -642,6 +784,7 @@ QUERIES = {
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_window": cdc_changefeed_window,
     "cdc_incremental_stats": cdc_incremental_stats,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
 }
 
 ORACLE_SQL = {
