@@ -97,6 +97,44 @@ def sql_pairs(a: np.ndarray, c: np.ndarray) -> str:
     return "[" + ",".join(f"[{int(x)},{int(y)}]" for x, y in zip(a, c)) + "]"
 
 
+_SIMHASH_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def simhash64(texts: np.ndarray) -> np.ndarray:
+    """64-bit SimHash over word unigrams for a batch of texts → int64.
+
+    Batch-vectorized: one portable poly hash over every token of the
+    batch, 64 affine bit hashes, one segmented ``add.reduceat`` for the
+    per-doc bit votes. A sentinel zero row makes ``starts == len(tokens)``
+    (trailing empty docs) a valid reduceat index, so signatures are
+    independent of batch composition. Empty / token-less docs get the
+    canonical zero signature. The SQL twin is
+    ``raycdc.queries.neardup.simhash_sig_cte`` (same family, same votes).
+    """
+    toks_per_doc: list = []
+    bounds = [0]
+    for t in texts:
+        toks_per_doc.extend(t.split())
+        bounds.append(len(toks_per_doc))
+    n = len(texts)
+    if not toks_per_doc:
+        return np.zeros(n, np.int64)
+    starts = np.asarray(bounds[:-1])
+    counts = np.diff(bounds)
+    hs = poly_hash(toks_per_doc)
+    bits = (
+        ((hs[:, None] * SIMHASH_A[None, :] + SIMHASH_C[None, :])
+         % np.uint64(P)) & np.uint64(1)
+    ).astype(np.int32)
+    signed = np.vstack([2 * bits - 1, np.zeros((1, 64), np.int32)])
+    votes = np.add.reduceat(signed, starts, axis=0)
+    sig = ((votes > 0).astype(np.uint64) * _SIMHASH_POW2[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    sig[counts == 0] = 0
+    return sig.view(np.int64)
+
+
 def window_min_hash(texts: list, w: int, s: int) -> np.ndarray:
     """min over H(window) for fixed-width char windows of size ``w`` at
     stride ``s`` (1-perm winnowing fingerprint). Fully vectorized: one

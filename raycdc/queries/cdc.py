@@ -98,15 +98,30 @@ def cdc_replay_salted(sf_dir: str):
     return _replay(sf_dir, salted=True)
 
 
+def _derived_engine(sf_dir: str) -> Engine:
+    """ONE four-table replay shared by every derived-index query
+    (current-state, inverted index, fingerprint index): the reference
+    maintains dozens of logical tables from one item stream in the same
+    transaction (``indexer/exporters/postgres_item_exporter.py``); here one
+    replay commits all four atomically per round — and one memoized lake
+    serves three queries (the r03 driver budget lesson)."""
+    from raycdc import tables as T
+
+    return _memo_engine(
+        sf_dir,
+        "dx",
+        tables=[T.PRIMARY, T.conv_latest(), T.tool_index(), T.text_fp()],
+    )
+
+
 def cdc_conv_latest(sf_dir: str):
-    """Two-table replay: the derived ``conv_latest`` current-state table
+    """Multi-table replay: the derived ``conv_latest`` current-state table
     (key = conv_id, per-column last-non-null fold) maintained incrementally
     in the same commit rounds as the primary — the reference's
     ``current_*`` table pattern (``common/models/current_token_balances.py``)."""
-    from raycdc import tables as T
-
-    eng = _memo_engine(sf_dir, "2t", tables=[T.PRIMARY, T.conv_latest()])
-    return eng.read_lake(table="conv_latest", include_system=True)
+    return _derived_engine(sf_dir).read_lake(
+        table="conv_latest", include_system=True
+    )
 
 
 def cdc_tool_index(sf_dir: str):
@@ -117,9 +132,7 @@ def cdc_tool_index(sf_dir: str):
     rollback removes index rows with everything else. Returns the final
     index — key columns + high watermark; liveness of the indexed turn is
     the primary's business (non-covering index contract)."""
-    from raycdc import tables as T
-
-    eng = _memo_engine(sf_dir, "ti", tables=[T.PRIMARY, T.tool_index()])
+    eng = _derived_engine(sf_dir)
     ds = eng.read_lake(
         table="tool_index",
         include_system=True,
@@ -130,6 +143,33 @@ def cdc_tool_index(sf_dir: str):
         i = t.schema.get_field_index("cursor")
         t = t.set_column(i, "cursor", t.column("cursor").cast(pa.int64()))
         return t
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def cdc_fingerprint_index(sf_dir: str):
+    """Incrementally-maintained content-fingerprint (near-dup signature)
+    index: per live turn, the SimHash64 of its CURRENT text plus the
+    watermark of the event that set it — the ``text_fp`` derived table
+    (``raycdc/tables.py``), kept fresh by the SAME commit rounds as the
+    primary: text updates overwrite the fingerprint by LWW, deletes
+    tombstone the index row, reorg rollbacks restore it with everything
+    else. At 100 TB this is how the near-dup family
+    (``queries/neardup.py``) stays incremental: dedup candidate scans read
+    this skinny index, never re-sign the corpus. (On this synthetic corpus
+    text is a pure function of the key, so duplicate GROUPS are empty by
+    construction — ``dedup_simhash`` on the documents table is the
+    group-consumer witness; this query verifies the maintenance.)"""
+    eng = _derived_engine(sf_dir)
+    ds = eng.read_lake(
+        table="text_fp",
+        include_system=True,
+        columns=["conv_id", "turn_idx", "simhash", "cursor", "seq"],
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cursor")
+        return t.set_column(i, "cursor", t.column("cursor").cast(pa.int64()))
 
     return ds.map_batches(cast, batch_format="pyarrow")
 
@@ -705,6 +745,35 @@ GROUP BY tool, conv_id, turn_idx
 """
 )
 
+# fingerprint index: per live key, the SimHash of the last text-SETTING
+# event's text and THAT event's watermark (later text-less patches bump the
+# primary watermark but not the index — the fingerprint is still current).
+# Segment restriction is immaterial for text: every segment starter carries
+# text, so the global text LWW equals the surviving-segment one.
+def _fingerprint_sql(path: str) -> str:
+    from raycdc import textkit as TK
+    from raycdc.queries.neardup import simhash_sig_cte
+
+    return (
+        _FOLDED_CTES.format(path=path, where="")
+        + f""", fp AS (
+    SELECT conv_id, turn_idx,
+        arg_max(text, wm) FILTER (WHERE text IS NOT NULL) AS text,
+        max(wm) FILTER (WHERE text IS NOT NULL) AS text_wm,
+        arg_max(op, wm) AS last_op
+    FROM seg GROUP BY conv_id, turn_idx
+), toks AS (
+    SELECT conv_id, turn_idx, text_wm, {TK.toks_sql('text')} AS t
+    FROM fp WHERE last_op <> 'delete'
+), {simhash_sig_cte('conv_id, turn_idx, text_wm')[1:]}
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, simhash,
+       CAST(text_wm // {_WM} AS BIGINT) AS cursor,
+       CAST(text_wm % {_WM} AS INTEGER) AS seq
+FROM sig
+"""
+    )
+
+
 CDC_CONV_STATS_SQL_TEMPLATE = """
 WITH replay AS ({replay})
 SELECT conv_id,
@@ -761,6 +830,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
+        "cdc_fingerprint_index": _fingerprint_sql(path),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -778,6 +848,7 @@ QUERIES = {
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
+    "cdc_fingerprint_index": cdc_fingerprint_index,
     "cdc_apply_events": cdc_apply_events,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,

@@ -279,40 +279,12 @@ def dedup_minhash_pairs(sf_dir: str):
 
 # -- SimHash ---------------------------------------------------------------
 
-_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-
-
 def simhash_batch(b: pd.DataFrame) -> pd.DataFrame:
-    """64-bit SimHash over word unigrams — batch-vectorized: one portable
-    poly hash over every token of the batch, 64 affine bit hashes, one
-    segmented ``add.reduceat`` for the per-doc bit votes. A sentinel zero
-    row makes ``starts == len(tokens)`` (trailing empty docs) a valid
-    reduceat index, so signatures are independent of batch composition
-    (empty docs previously stole the previous doc's last token vote)."""
+    """64-bit SimHash per doc — the shared ``raycdc.phash.simhash64``
+    kernel (batch-vectorized, batch-composition-independent), also used by
+    the lake's incrementally-maintained ``text_fp`` fingerprint index."""
     texts = b["text"].to_numpy()
-    toks_per_doc: list = []
-    bounds = [0]
-    for t in texts:
-        toks_per_doc.extend(t.split())
-        bounds.append(len(toks_per_doc))
-    starts = np.asarray(bounds[:-1])
-    counts = np.diff(bounds)
-    if not toks_per_doc:
-        return pd.DataFrame(
-            {"doc_id": b["doc_id"], "simhash": np.zeros(len(b), np.int64)}
-        )
-    hs = H.poly_hash(toks_per_doc)
-    bits = (
-        ((hs[:, None] * H.SIMHASH_A[None, :] + H.SIMHASH_C[None, :]) % _P)
-        & np.uint64(1)
-    ).astype(np.int32)
-    signed = np.vstack([2 * bits - 1, np.zeros((1, 64), np.int32)])
-    votes = np.add.reduceat(signed, starts, axis=0)
-    sig = ((votes > 0).astype(np.uint64) * _POW2[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    sig[counts == 0] = 0  # empty docs: no votes, canonical zero signature
-    return pd.DataFrame({"doc_id": b["doc_id"], "simhash": sig.view(np.int64)})
+    return pd.DataFrame({"doc_id": b["doc_id"], "simhash": H.simhash64(texts)})
 
 
 def dedup_simhash(sf_dir: str):
@@ -590,23 +562,30 @@ _SIMHASH_BIT_TERMS = " + ".join(
     f"(CASE WHEN v[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)" for b in range(64)
 )
 
-_SIMHASH_SIG_CTE = f"""
+def simhash_sig_cte(key: str) -> str:
+    """The SimHash signature CTE chain keyed by ``key`` (one or more comma-
+    separated columns), consuming a ``toks(key..., t)`` CTE — the SQL twin
+    of ``raycdc.phash.simhash64``. Emits ``sig(key..., simhash BIGINT)``."""
+    return f"""
 th AS (
-    SELECT doc_id, list_transform(t, x -> {H.sql_poly('x')}) AS h FROM toks
+    SELECT {key}, list_transform(t, x -> {H.sql_poly('x')}) AS h FROM toks
 ), votes AS (
-    SELECT doc_id,
+    SELECT {key},
         [COALESCE(list_sum(list_transform(h, hv ->
             CASE WHEN ((p[1]*hv + p[2]) % {H.P}) % 2 = 1 THEN 1 ELSE -1 END)
          ), 0)
          for p in {H.sql_pairs(H.SIMHASH_A, H.SIMHASH_C)}] AS v
     FROM th
 ), sig AS (
-    SELECT doc_id,
+    SELECT {key},
         CAST(CASE WHEN s >= 9223372036854775808
                   THEN s - 18446744073709551616 ELSE s END AS BIGINT)
             AS simhash
-    FROM (SELECT doc_id, {_SIMHASH_BIT_TERMS} AS s FROM votes)
+    FROM (SELECT {key}, {_SIMHASH_BIT_TERMS} AS s FROM votes)
 )"""
+
+
+_SIMHASH_SIG_CTE = simhash_sig_cte("doc_id")
 
 SIMHASH_GROUPS_SQL = f"""
 WITH {_TOKS_CTE}, {_SIMHASH_SIG_CTE}

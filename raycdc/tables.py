@@ -131,3 +131,57 @@ def tool_index() -> TableSpec:
         derive=_derive_tool_index,
         part_cols=("tool", "conv_id"),
     )
+
+
+def _derive_text_fp(batch: pa.Table) -> pa.Table:
+    """Content-fingerprint index exemplar: per live turn, the 64-bit
+    SimHash of its CURRENT text — the near-duplicate signature index a
+    100 TB dedup pipeline keeps FRESH incrementally instead of re-signing
+    the corpus per run (the batch analog is ``queries/neardup.py``'s
+    sign-once stage; the reference analog is the per-entity feature rows
+    its custom modules commit alongside the primary,
+    ``indexer/modules/custom/*``).
+
+    Unlike the insert-only ``tool_index``, this index tracks a MUTABLE
+    attribute, exercising the other two index-maintenance paths: a
+    text-carrying event maps to an ``update`` whose recomputed fingerprint
+    overwrites the stale one by watermark LWW; a ``delete`` passes through
+    and tombstones the index row in the same commit; a patch that does NOT
+    touch text contributes nothing (the standing fingerprint is still
+    current). Novel payload columns (``simhash``) ride the raw-task ingest
+    path, which keys each derived table on its own induced schema."""
+    import pyarrow.compute as pc
+
+    from raycdc import phash as H
+
+    op = batch.column("op")
+    conv_ok = pc.is_valid(batch.column("conv_id"))
+    is_del = pc.and_kleene(pc.equal(op, "delete"), conv_ok)
+    has_text = pc.and_kleene(pc.is_valid(batch.column("text")), conv_ok)
+    sub = batch.filter(pc.fill_null(pc.or_kleene(is_del, has_text), False))
+
+    del_mask = pc.equal(sub.column("op"), "delete").to_numpy(
+        zero_copy_only=False
+    )
+    texts = sub.column("text").to_numpy(zero_copy_only=False)
+    texts = np.where(del_mask, "", texts)  # deletes carry no payload
+    sims = pa.array(H.simhash64(texts), pa.int64())
+    return pa.table(
+        {
+            # text-carrying inserts/updates both fold as LWW patches
+            "op": pc.if_else(
+                pa.array(del_mask), pa.scalar("delete"), pa.scalar("update")
+            ),
+            "conv_id": sub.column("conv_id"),
+            "turn_idx": sub.column("turn_idx"),
+            "simhash": pc.if_else(pa.array(del_mask), pa.scalar(None, pa.int64()), sims),
+            "cursor": sub.column("cursor"),
+            "seq": sub.column("seq"),
+        }
+    )
+
+
+def text_fp() -> TableSpec:
+    return TableSpec(
+        name="text_fp", key_cols=("conv_id", "turn_idx"), derive=_derive_text_fp
+    )

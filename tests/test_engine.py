@@ -1232,3 +1232,37 @@ def test_tool_index_lookup(ray_session, tmp_path, make_lake):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     eng.close()
+
+
+def test_text_fp_index_tracks_mutations(ray_session, tmp_path, make_lake):
+    """Content-fingerprint derived table (mutable-attribute index): after a
+    full replay with updates, deletes and a reorg rollback, the index holds
+    EXACTLY the live primary keys, each fingerprint equal to the SimHash of
+    the key's CURRENT text — i.e. text updates overwrote stale fingerprints
+    (LWW), deletes tombstoned index rows, and the rollback restored index
+    partitions with everything else."""
+    import numpy as np
+
+    from raycdc import phash as H
+    from raycdc import tables as T
+
+    spec = gen.GenSpec(seed=91, n_convs=100, mean_turns=5, n_epochs=5,
+                       rollback_epochs=(2,), frac_delete=0.15)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, tables=[T.PRIMARY, T.text_fp()])
+    eng.apply_log(log)
+
+    idx = eng.read_lake(table="text_fp", include_system=True).to_pandas()
+    prim = eng.read_lake_pandas()
+    assert len(idx) == len(prim) > 0
+    assert not idx["simhash"].isna().any()
+
+    merged = prim.merge(idx, on=["conv_id", "turn_idx"],
+                        suffixes=("", "_fp"), how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()  # same key set, both ways
+    want = H.simhash64(merged["text"].to_numpy())
+    assert (merged["simhash"].to_numpy().astype(np.int64) == want).all()
+    # the index watermark is the TEXT event's, never ahead of the primary's
+    assert (merged["cursor_fp"].to_numpy() <= merged["cursor"].to_numpy()).all()
+    eng.close()

@@ -275,7 +275,7 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
     ["cdc_replay", "cdc_replay_salted", "cdc_conv_stats", "cdc_conv_latest",
      "conv_daily_stats", "conv_cumulative_stats", "cdc_time_travel",
      "cdc_read_key", "cdc_changefeed", "cdc_changefeed_window",
-     "cdc_incremental_stats", "cdc_snapshot_diff"],
+     "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_fingerprint_index"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
     """The flagship CDC replay (and its derived aggregates) checked against
