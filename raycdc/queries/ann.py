@@ -510,6 +510,159 @@ def _lsh_band_sql_exprs() -> list[str]:
     return bands
 
 
+# -- persisted LSH layout: per-band hash tables as hive partitions ----------
+#
+# Same IO story as the IVF layout: ``ann_lsh`` prunes candidate COMPUTE (the
+# band matmul kills ~3/4 of each batch) but still SCANS the whole corpus per
+# query family. The classic LSH index is one hash table PER BAND
+# (Indyk–Motwani; the MinHash-LSH banding in ``neardup.py`` is the same
+# construction over a different signature): every row is written once per
+# band under bucket id ``band * 2^BAND_BITS + band_code``, so a query reads
+# exactly NBANDS partition dirs — ~NBANDS/2^BAND_BITS of the exploded table
+# (the corpus's any-band candidate mass) instead of everything. Storage is
+# ×NBANDS: the standard LSH space/IO tradeoff. At cluster scale BAND_BITS
+# grows (e.g. 8 bands × 16 bits → 1/65536 per bucket) so the read fraction
+# SHRINKS with corpus size; these test params stay oracle-tractable.
+# Reference analog: same PG-partial-index pattern as the IVF layout
+# (indexer/modules/custom/address_index/*).
+
+LSH_LAYOUT_VERSION = 1
+
+
+def _lsh_fingerprint(sf_dir: str) -> str:
+    import hashlib
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (
+        f"v{LSH_LAYOUT_VERSION}:{os.path.abspath(sf_dir)}:{st.st_size}:"
+        f"{st.st_mtime_ns}:{LSH_NBITS}:{LSH_NBANDS}:{_LSH_SEED}"
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _lsh_bucket_ids(codes: np.ndarray) -> np.ndarray:
+    """Global bucket id per (row, band): band b's code c lives in bucket
+    ``b * 2^BAND_BITS + c`` so all NBANDS hash tables share one partition
+    column."""
+    offs = (np.arange(LSH_NBANDS) << LSH_BAND_BITS)[None, :]
+    return (codes + offs).astype(np.int64)
+
+
+def lsh_layout(sf_dir: str, root: str = "/tmp/raycdc-lsh") -> str:
+    """Build-once (atomic-publish, concurrent-safe) hive-partitioned LSH
+    layout: each corpus row is exploded into NBANDS copies tagged with its
+    per-band bucket id and written with
+    ``write_parquet(partition_cols=["lsh_bucket"])``. The planes are
+    data-INdependent (seeded), so unlike the IVF layout there is no
+    training pass and nothing to broadcast — the 16×64 plane matrix rides
+    in the task closure."""
+    from raycdc.gen import atomic_publish
+
+    out_dir = os.path.join(root, _lsh_fingerprint(sf_dir))
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+
+    planes = _lsh_planes()
+
+    def explode(t: pa.Table) -> pa.Table:
+        # embedding column passes through UNTOUCHED (same arrow type on
+        # disk as the source); rows are replicated via take — one copy per
+        # band — and only lsh_bucket is appended
+        emb = t.column("embedding").combine_chunks()
+        m = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(t), -1)
+            .astype(np.float64)
+        )
+        buckets = _lsh_bucket_ids(_band_codes(m, planes))  # N × NBANDS
+        idx = np.repeat(np.arange(len(t)), LSH_NBANDS)
+        return t.take(pa.array(idx)).append_column(
+            "lsh_bucket", pa.array(buckets.reshape(-1))
+        )
+
+    stage = f"{out_dir}.stage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    (
+        C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(explode, batch_format="pyarrow")
+        .write_parquet(stage, partition_cols=["lsh_bucket"])
+    )
+    with open(os.path.join(stage, "_DONE"), "w") as f:
+        f.write(_lsh_fingerprint(sf_dir))
+    return atomic_publish(stage, out_dir)
+
+
+def _lsh_bucket_paths(layout_dir: str, buckets: list[int]) -> list[str]:
+    """Parquet files of the probed buckets' partition dirs (an unoccupied
+    bucket has no dir — skip)."""
+    out = []
+    for b in buckets:
+        d = os.path.join(layout_dir, f"lsh_bucket={b}")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def ann_lsh_indexed(sf_dir: str):
+    """LSH search over the PERSISTED per-band layout: compute the query's
+    NBANDS bucket ids, read ONLY those partition dirs (file-level pruning:
+    ≈ NBANDS/2^BAND_BITS of the exploded table leaves storage,
+    test-asserted), exact-cosine the candidates, global top-k. The
+    candidate SET is identical to ``ann_lsh``'s any-band match — a row
+    matching in k bands is read k times, so candidates dedupe by vec_id
+    before each local top-k (duplicates carry identical sims; deduping
+    inside the batch keeps the local-top-k-superset invariant exact)."""
+    import ray
+
+    lay = lsh_layout(sf_dir)
+    planes = _lsh_planes()
+    q = _query_vec(sf_dir)
+    q_buckets = [int(b) for b in _lsh_bucket_ids(_band_codes(q[None, :], planes))[0]]
+    paths = _lsh_bucket_paths(lay, q_buckets)
+    if not paths:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "cosine_sim": pd.Series(dtype="float64")}
+        )
+    qn = q / np.linalg.norm(q)
+    ref = ray.put(qn)
+    import ray.data
+
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    # stateless task fn (see ann_bruteforce_multi for the pool rationale)
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        q_ = _r.get(ref)
+        b = b.drop_duplicates("vec_id")
+        m = _emb_matrix(b)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ q_) / norms
+        return _local_top(
+            pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].astype("int64").to_numpy(),
+                    "cosine_sim": np.round(sims, 4),
+                }
+            )
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    # cross-batch duplicates (same id read via two buckets in different
+    # batches) carry identical sims — dedupe then reduce
+    return (
+        _local_top(out.drop_duplicates("vec_id")).reset_index(drop=True)
+    )
+
+
 # -- embedding-cosine near-dup (restricted pair space, SQL-checkable) ------
 
 NEARDUP_LIMIT_IDS = 400
@@ -863,7 +1016,14 @@ SELECT CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS ivf_list,
        count(*) AS n_vecs
 FROM d GROUP BY 1
 """
-    return {"ann_ivf": sql, "ann_lsh": lsh_sql, "ann_ivf_layout": layout_sql}
+    return {
+        "ann_ivf": sql,
+        "ann_lsh": lsh_sql,
+        # the indexed variant's candidate set is IDENTICAL by construction
+        # (any-band match), so it shares ann_lsh's oracle verbatim
+        "ann_lsh_indexed": lsh_sql,
+        "ann_ivf_layout": layout_sql,
+    }
 
 
 QUERIES = {
@@ -872,6 +1032,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_layout": ann_ivf_layout,
     "ann_lsh": ann_lsh,
+    "ann_lsh_indexed": ann_lsh_indexed,
     "embedding_norms": embedding_norms,
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,

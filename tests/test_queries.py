@@ -161,6 +161,59 @@ def test_ann_ivf_search_prunes_io(ray_session):
     )
 
 
+def test_ann_lsh_indexed_matches_sql_oracle(ray_session):
+    """The persisted-layout LSH search must return EXACTLY what the
+    full-scan ann_lsh (and its SQL oracle) returns — same any-band
+    candidate set, same exact-cosine top-k."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_lsh_indexed"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_lsh_indexed"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+
+def test_ann_lsh_indexed_prunes_io(ray_session):
+    """The point of the per-band layout: the probed buckets' parquet files
+    hold ≈ NBANDS/2^BAND_BITS of the EXPLODED table (= the corpus's
+    any-band candidate mass) — file-level pruning, with slack only for
+    bucket-occupancy skew — and the build is cached."""
+    import pyarrow.parquet as pq
+
+    from raycdc.queries.ann import (
+        LSH_BAND_BITS,
+        LSH_NBANDS,
+        _band_codes,
+        _lsh_bucket_ids,
+        _lsh_bucket_paths,
+        _lsh_planes,
+        _query_vec,
+        lsh_layout,
+    )
+
+    lay = lsh_layout(SF_DIR)
+    assert lsh_layout(SF_DIR) == lay  # cached: no rebuild
+    q = _query_vec(SF_DIR)
+    buckets = [
+        int(b) for b in _lsh_bucket_ids(_band_codes(q[None, :], _lsh_planes()))[0]
+    ]
+    assert len(buckets) == LSH_NBANDS
+    files = _lsh_bucket_paths(lay, buckets)
+    probed = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    total = pq.ParquetFile(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).metadata.num_rows
+    # one bucket per band holds ≈ N/2^BAND_BITS corpus rows; probing NBANDS
+    # of them reads ≈ NBANDS/2^BAND_BITS of the corpus
+    frac = probed / total
+    expect = LSH_NBANDS / (1 << LSH_BAND_BITS)
+    assert frac <= expect * 2.0, (
+        f"candidate IO not pruned: reads {probed}/{total} = {frac:.3f} "
+        f"(expected ≈{expect:.3f})"
+    )
+
+
 def test_ann_lsh_matches_sql_oracle(ray_session):
     """Hyperplane-LSH ANN vs a DuckDB oracle carrying the (data-independent)
     hyperplanes and the query's band codes as literals."""
