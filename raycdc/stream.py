@@ -26,13 +26,28 @@ def follow(
     period_seconds: float = 0.5,
     max_idle_polls: int = 3,
     max_rounds: int | None = None,
+    adaptive: bool = False,
 ) -> list[dict]:
     """Poll ``log_dir`` for new epoch files and apply them in commit rounds.
 
     Returns after ``max_idle_polls`` consecutive polls with no new work
     (a bounded stand-in for the reference's run-forever loop so tests and
     batch callers terminate), or after ``max_rounds`` applied rounds.
+
+    ``adaptive=True`` puts the round width under the
+    :class:`raycdc.adaptive.AdaptiveBatcher` policy (the reference
+    executor's halve-on-retriable / cool-down-regrow): a round that dies
+    with a timeout-shaped error halves the next attempt's
+    ``epochs_per_round`` instead of retrying the same too-big unit of
+    work forever; the manifest fence makes the retry exact — committed
+    rounds skip, the failed round's epochs re-apply idempotently in the
+    narrower rounds.
     """
+    batcher = None
+    if adaptive:
+        from raycdc.adaptive import AdaptiveBatcher
+
+        batcher = AdaptiveBatcher(size=epochs_per_round)
     results: list = []
     idle = 0
     while idle < max_idle_polls:
@@ -52,7 +67,18 @@ def follow(
             continue
         # apply_log handles fencing/rollbacks; restrict to the watermark by
         # applying only the ready prefix (epoch files are append-only)
-        batch = engine.apply_log_files(ready, epochs_per_round=epochs_per_round)
+        if batcher is not None:
+            try:
+                batch = engine.apply_log_files(
+                    ready, epochs_per_round=batcher.size
+                )
+            except BaseException as exc:  # noqa: BLE001 - policy classifies
+                if not batcher.failure(exc):
+                    raise
+                continue  # retry the poll with the halved round width
+            batcher.success()
+        else:
+            batch = engine.apply_log_files(ready, epochs_per_round=epochs_per_round)
         applied = [r for r in batch if not r.get("skipped")]
         results.extend(applied)
         if not applied:

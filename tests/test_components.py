@@ -236,6 +236,88 @@ def test_stream_follow_watermark_delay(ray_session, tmp_path):
     eng.close()
 
 
+# -- adaptive batch sizing ---------------------------------------------------
+
+def test_adaptive_batcher_policy():
+    """Halve on retriable, floor at 1, regrow ×2 after the cool-down streak,
+    cap at the start size; non-retriable is the caller's problem."""
+    from raycdc.adaptive import AdaptiveBatcher
+
+    b = AdaptiveBatcher(size=8, cooldown=2)
+    assert b.failure(TimeoutError("t")) and b.size == 4
+    assert b.failure(TimeoutError("t")) and b.size == 2
+    assert not b.failure(ValueError("not retriable")) and b.size == 2
+    b.success()
+    assert b.size == 2  # streak 1 < cooldown
+    b.success()
+    assert b.size == 4  # regrown
+    b.success(); b.success()
+    assert b.size == 8
+    b.success(); b.success()
+    assert b.size == 8  # capped at the start size
+
+    floor = AdaptiveBatcher(size=2, give_up=2)
+    assert floor.failure(TimeoutError("t")) and floor.size == 1
+    assert floor.failure(TimeoutError("t"))  # floor failure 1
+    assert not floor.failure(TimeoutError("t"))  # give_up: surface it
+
+
+def test_adaptive_batcher_run_retries_to_fixpoint():
+    from raycdc.adaptive import AdaptiveBatcher
+
+    attempts = []
+
+    def flaky(batch_size):
+        attempts.append(batch_size)
+        if batch_size > 2:
+            raise TimeoutError("too wide")
+        return batch_size
+
+    b = AdaptiveBatcher(size=8)
+    assert b.run(flaky) == 2
+    assert attempts == [8, 4, 2]
+
+
+def test_stream_follow_adaptive_narrows_rounds(ray_session, tmp_path):
+    """A follower whose wide rounds die with a timeout-shaped error must
+    converge: the adaptive policy narrows epochs_per_round, the manifest
+    fence keeps the retry exact, and the final lake state is identical to
+    an unthrottled replay."""
+    from raycdc.stream import follow
+
+    spec = gen.GenSpec(seed=14, n_convs=60, mean_turns=4, n_epochs=4)
+    live = str(tmp_path / "live")
+    gen.write_change_log(spec, live)
+
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4)
+    real = eng.apply_log_files
+    calls = []
+
+    def throttled(files, epochs_per_round=1):
+        calls.append(epochs_per_round)
+        if epochs_per_round > 1:
+            raise TimeoutError("barrier timed out (host throttled)")
+        return real(files, epochs_per_round=epochs_per_round)
+
+    eng.apply_log_files = throttled
+    r = follow(
+        eng, live, epochs_per_round=4, adaptive=True,
+        period_seconds=0.02, max_idle_polls=1,
+    )
+    assert calls[:3] == [4, 2, 1]  # halved to the workable width
+    assert len(r) == 4  # every epoch landed as its own round
+    got = eng.read_lake_pandas().sort_values(["conv_id", "turn_idx"])
+    eng.close()
+
+    ref = Engine(str(tmp_path / "lake_ref"), num_partitions=4)
+    ref.apply_log(live)
+    want = ref.read_lake_pandas().sort_values(["conv_id", "turn_idx"])
+    ref.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
 # -- exporters -------------------------------------------------------------
 
 def test_ranged_csv_export_and_pruned_reread(ray_session, tmp_path):
