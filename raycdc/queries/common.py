@@ -62,6 +62,35 @@ def broadcast(obj):
     return ray.put(obj)
 
 
+def table_sig(sf_dir: str, table: str) -> str:
+    """File-identity signature for cache keys: a rewritten table invalidates
+    every broadcast derived from it."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{table}={st.st_size}.{st.st_mtime_ns}"
+
+
+def broadcast_cached(key: str, builder):
+    """Shared-KV-pinned broadcast (the reference's Redis ``CacheDict``
+    pattern, ``indexer/cache/cache_dict.py:7-63``): the first caller builds
+    the dimension object, ``ray.put``\\ s it and registers the ObjectRef in
+    the cluster's named KV actor (:mod:`raycdc.kvcache`); every later
+    caller — another query in the same driver pass, another worker — gets
+    THE SAME pinned object-store copy instead of re-reading and re-putting
+    the dim. Racing builders converge via set-if-absent (first writer wins;
+    the loser's copy is GC'd when its ref drops). ``key`` must embed
+    :func:`table_sig` of every source table so stale caches self-invalidate."""
+    from raycdc.kvcache import shared_kv
+
+    kv = shared_kv()
+    # refs ride WRAPPED in a list: a bare ObjectRef argument would be
+    # auto-dereferenced at the actor boundary (Ray's by-value semantics)
+    # and the KV would pin the payload copy instead of the ref
+    found, wrapped = ray.get(kv.get.remote(key))
+    if found:
+        return wrapped[0]
+    return ray.get(kv.putnx.remote(key, [ray.put(builder())]))[0]
+
+
 class MapJoin:
     """Broadcast hash-join stage: joins each batch against a small
     dimension DataFrame shipped once via the object store."""

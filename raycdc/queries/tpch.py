@@ -12,6 +12,8 @@ aggregates (`indexer/aggr_jobs/order_jobs/period_wallet_addresses_aggregates.sql
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -182,14 +184,25 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 # -- Q5-style: chained broadcast-dim joins + groupby -----------------------
 
 def q5_nation_revenue(sf_dir: str):
-    nation = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
-    region = C.read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
-    supplier = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    asia = asia[asia["r_name"] == "ASIA"]
-    sup = supplier.merge(asia, left_on="s_nationkey", right_on="n_nationkey")
-    sup_to_nation = dict(zip(sup["s_suppkey"], sup["n_name"]))
-    ref = C.broadcast(sup_to_nation)
+    def build_lut():
+        nation = C.read_pandas(
+            sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+        )
+        region = C.read_pandas(sf_dir, "region", ["r_regionkey", "r_name"])
+        supplier = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        asia = asia[asia["r_name"] == "ASIA"]
+        sup = supplier.merge(asia, left_on="s_nationkey", right_on="n_nationkey")
+        return dict(zip(sup["s_suppkey"], sup["n_name"]))
+
+    # shared-KV-pinned broadcast (CacheDict analog): keyed by the identity
+    # of every source table so a rewritten dim self-invalidates
+    sig = ":".join(
+        C.table_sig(sf_dir, t) for t in ("nation", "region", "supplier")
+    )
+    ref = C.broadcast_cached(
+        f"q5-supnation-lut:{os.path.abspath(sf_dir)}:{sig}", build_lut
+    )
 
     line = C.read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -371,8 +384,16 @@ FROM orders
 # -- small-dim aggregate (customer per nation) -----------------------------
 
 def nation_customer_stats(sf_dir: str):
-    nation = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
-    ref = C.broadcast(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    # shared-KV-pinned broadcast: every query in a driver pass that needs
+    # the nation-name lut gets ONE object-store copy (CacheDict analog)
+    def build_lut():
+        nation = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+        return dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    ref = C.broadcast_cached(
+        f"nation-lut:{os.path.abspath(sf_dir)}:{C.table_sig(sf_dir, 'nation')}",
+        build_lut,
+    )
     cust = C.read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     class AddNation:

@@ -236,6 +236,70 @@ def test_stream_follow_watermark_delay(ray_session, tmp_path):
     eng.close()
 
 
+# -- shared KV cache (CacheDict analog) --------------------------------------
+
+def test_shared_kv_basics(ray_session):
+    """Named-actor KV: same name joins the same actor, set-if-absent
+    converges racing writers, stats count hits/misses."""
+    import ray
+
+    from raycdc.kvcache import shared_kv
+
+    kv = shared_kv("test-kv-basics")
+    kv2 = shared_kv("test-kv-basics")
+    found, _ = ray.get(kv.get.remote("k"))
+    assert not found
+    assert ray.get(kv.putnx.remote("k", "first")) == "first"
+    assert ray.get(kv2.putnx.remote("k", "second")) == "first"  # same actor
+    found, val = ray.get(kv2.get.remote("k"))
+    assert found and val == "first"
+    st = ray.get(kv.stats.remote())
+    assert st["size"] == 1 and st["hits"] >= 2 and st["misses"] >= 2
+    assert ray.get(kv.delete.remote("k"))
+    assert not ray.get(kv.delete.remote("k"))
+
+
+def test_broadcast_cached_pins_one_copy(ray_session, tmp_path):
+    """Second broadcast_cached call with the same key must return the SAME
+    ObjectRef without invoking the builder again; a rewritten source table
+    changes the key and rebuilds; workers can ray.get the pinned ref."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from raycdc.queries import common as C
+
+    t = pa.table({"n_nationkey": [1, 2], "n_name": ["A", "B"]})
+    pq.write_table(t, str(tmp_path / "nation.parquet"))
+
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return {1: "A", 2: "B"}
+
+    key = f"t:{tmp_path}:{C.table_sig(str(tmp_path), 'nation')}"
+    r1 = C.broadcast_cached(key, builder)
+    r2 = C.broadcast_cached(key, builder)
+    assert len(builds) == 1
+    assert r1 == r2  # the pinned ref, not a fresh put
+
+    @ray.remote
+    def lookup(wrapped, k):
+        # ref rides in a list (a bare ObjectRef arg would auto-deref)
+        return ray.get(wrapped[0])[k]
+
+    assert ray.get(lookup.remote([r1], 2)) == "B"
+
+    # rewrite → new signature → new key → rebuild
+    pq.write_table(pa.table({"n_nationkey": [1], "n_name": ["Z"]}),
+                   str(tmp_path / "nation.parquet"))
+    key2 = f"t:{tmp_path}:{C.table_sig(str(tmp_path), 'nation')}"
+    assert key2 != key
+    C.broadcast_cached(key2, builder)
+    assert len(builds) == 2
+
+
 # -- adaptive batch sizing ---------------------------------------------------
 
 def test_adaptive_batcher_policy():
