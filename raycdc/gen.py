@@ -62,6 +62,12 @@ class GenSpec:
     frac_update: float = 0.20
     frac_delete: float = 0.07
     frac_dup: float = 0.03
+    # content duplication (distinct from at-least-once EVENT dups above):
+    # every conv c with c % content_dup_every == 1 mirrors the TEXT of conv
+    # c-1 (same turn/version → identical payload), planting real duplicate
+    # content for fingerprint-index consumers; 0 = off (texts stay a pure
+    # injective function of the key)
+    content_dup_every: int = 0
     n_epochs: int = 4
     zipf_a: float = 1.1  # conv popularity skew for updates/deletes
     rollback_epochs: tuple = ()  # epochs whose effects get rolled back + replayed
@@ -267,9 +273,16 @@ def _materialize_table(spec: GenSpec, num: pd.DataFrame) -> pa.Table:
 
     # deterministic text: {conv}:{turn}:v{version}:{pad}[:canon] — content a
     # pure function of (conv, turn, version); pad length from a quantized
-    # digest bucket
+    # digest bucket. With content_dup_every, selected convs BORROW their
+    # donor's conv in the text (identical payload where turn/version/canon
+    # align) while conv_id keeps the real key — planted content dups.
+    text_conv = conv
+    if spec.content_dup_every:
+        text_conv = conv.copy()
+        m = (conv > 0) & (conv % spec.content_dup_every == 1)
+        text_conv[m] = conv[m] - 1
     digest = pd.util.hash_array(
-        (conv.astype(np.int64) * 1_000_003 + turn) * 31 + version
+        (text_conv.astype(np.int64) * 1_000_003 + turn) * 31 + version
     )
     pad_idx = (digest % _N_PADS).astype(np.int8)
     pad = pa.DictionaryArray.from_arrays(
@@ -279,7 +292,7 @@ def _materialize_table(spec: GenSpec, num: pd.DataFrame) -> pa.Table:
         "v", pc.cast(pa.array(version), pa.string()), ""
     )
     text = pc.binary_join_element_wise(
-        pc.cast(pa.array(conv), pa.string()),
+        pc.cast(pa.array(text_conv), pa.string()),
         pc.cast(pa.array(turn), pa.string()),
         ver_s,
         pad,

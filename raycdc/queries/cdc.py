@@ -32,6 +32,11 @@ def _spec_for(sf_dir: str, **overrides) -> gen.GenSpec:
     if base is None:
         base = dict(n_convs=500, mean_turns=8, n_epochs=4)
     base = dict(base)
+    # plant content duplicates (~10% of convs mirror a donor's text) so the
+    # fingerprint index has real duplicate groups to serve
+    # (cdc_neardup_candidates); every oracle reads the same generated log,
+    # so the whole CDC family stays self-consistent
+    base.setdefault("content_dup_every", 10)
     base.update(overrides)
     return gen.GenSpec(seed=42, **base)
 
@@ -172,6 +177,33 @@ def cdc_fingerprint_index(sf_dir: str):
         return t.set_column(i, "cursor", t.column("cursor").cast(pa.int64()))
 
     return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def cdc_neardup_candidates(sf_dir: str):
+    """THE CONSUMER of the fingerprint index: near-dup candidate groups over
+    the CURRENT lake state, computed from the skinny CDC-maintained
+    ``text_fp`` table alone — the corpus text column is never read, never
+    re-signed. Groups = live turns sharing a SimHash64 (exact-dup content
+    plus any signature collisions — candidates by construction, both sides
+    compute them identically); output is every member of a group with >1
+    member, tagged with its group size. One bounded-partition pass keyed on
+    the signature (``C.by_partition``): at 100 TB this is a shuffle of the
+    INDEX (16 B/row), not the corpus — the whole point of maintaining the
+    index incrementally."""
+    eng = _derived_engine(sf_dir)
+    ds = eng.read_lake(
+        table="text_fp", columns=["conv_id", "turn_idx", "simhash"]
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["n_members"] = (
+            g.groupby("simhash")["conv_id"].transform("size").astype("int64")
+        )
+        out = g[g["n_members"] > 1]
+        return out[["simhash", "n_members", "conv_id", "turn_idx"]]
+
+    return C.by_partition(ds, "simhash", kernel)
 
 
 def _conv_stats_ds(eng: Engine, as_of_round: str | None = None):
@@ -831,6 +863,17 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
         "cdc_fingerprint_index": _fingerprint_sql(path),
+        # group the fingerprint index by signature, keep groups of >1:
+        # identical window both sides (the index IS the replayed state)
+        "cdc_neardup_candidates": (
+            f"WITH fpidx AS ({_fingerprint_sql(path)})\n"
+            "SELECT simhash,\n"
+            "       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT)\n"
+            "           AS n_members,\n"
+            "       conv_id, turn_idx\n"
+            "FROM fpidx\n"
+            "QUALIFY n_members > 1"
+        ),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -849,6 +892,7 @@ QUERIES = {
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
     "cdc_fingerprint_index": cdc_fingerprint_index,
+    "cdc_neardup_candidates": cdc_neardup_candidates,
     "cdc_apply_events": cdc_apply_events,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,

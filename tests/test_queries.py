@@ -328,7 +328,8 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
     ["cdc_replay", "cdc_replay_salted", "cdc_conv_stats", "cdc_conv_latest",
      "conv_daily_stats", "conv_cumulative_stats", "cdc_time_travel",
      "cdc_read_key", "cdc_changefeed", "cdc_changefeed_window",
-     "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_fingerprint_index"],
+     "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_fingerprint_index",
+     "cdc_neardup_candidates"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
     """The flagship CDC replay (and its derived aggregates) checked against
@@ -348,6 +349,25 @@ def test_replay_queries_match_sql_oracle(ray_session, name):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )
+
+
+def test_cdc_neardup_candidates_find_planted_content_dups(ray_session):
+    """The generator plants mirrored-content convs (content_dup_every), so
+    the index-served candidate groups must be NONEMPTY, and every reported
+    group must be consistent (n_members = actual member count)."""
+    from raycdc.queries import QUERIES
+
+    df = to_df(QUERIES["cdc_neardup_candidates"](SF_DIR))
+    assert len(df) > 0, "planted content dups not surfaced by the index"
+    sizes = df.groupby("simhash")["conv_id"].size().sort_index()
+    got = (
+        df.drop_duplicates("simhash")
+        .set_index("simhash")["n_members"]
+        .sort_index()
+        .astype("int64")
+    )
+    assert sizes.astype("int64").equals(got)
+    assert (sizes > 1).all()
 
 
 def test_simhash_hamming_finds_planted_near_dups(ray_session, tmp_path):
