@@ -206,6 +206,89 @@ def cdc_neardup_candidates(sf_dir: str):
     return C.by_partition(ds, "simhash", kernel)
 
 
+def cdc_neardup_delta(sf_dir: str):
+    """INCREMENTAL near-dup maintenance: candidate groups TOUCHED since the
+    mid-replay anchor — the per-round work a 100 TB dedup pipeline actually
+    does between full sweeps. Two delta-shaped passes over the fingerprint
+    index (never the corpus): (1) collect the DISTINCT signatures whose
+    fingerprint was (re)set after the anchor — O(delta) driver state,
+    broadcast once; (2) one filter pass keeps only members of those
+    signatures (numpy ``isin`` against the broadcast set, no shuffle), and
+    a bounded-partition count over the MATCHED subset (delta-sized) keeps
+    groups with >1 live member. Members are tagged ``is_dirty`` (set after
+    the anchor) so the consumer can tell the new arrival from the standing
+    content it collided with. Deletes after the anchor tombstone their
+    index row and simply leave the group (net-state semantics, same as the
+    changefeed)."""
+    _, anchor_cursor = _snapshot_round_cursor(sf_dir)
+    eng = _derived_engine(sf_dir)
+
+    def read_fp():
+        return eng.read_lake(
+            table="text_fp",
+            include_system=True,
+            columns=["conv_id", "turn_idx", "simhash", "cursor"],
+        )
+
+    # pass 1: delta-sized distinct dirty signatures
+    def _dirty_sigs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater(t.column("cursor").cast(pa.int64()), anchor_cursor)
+        return pa.table({"simhash": pc.unique(t.filter(keep).column("simhash"))})
+
+    dirty = np.unique(
+        np.concatenate(
+            [
+                b.column("simhash").to_numpy(zero_copy_only=False)
+                for b in read_fp()
+                .map_batches(_dirty_sigs, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ]
+            + [np.array([], np.int64)]
+        )
+    )
+    import ray
+
+    ref = ray.put(dirty)  # sorted by np.unique — searchsorted-ready
+
+    # pass 2: members of dirty signatures only (broadcast semi-join, no
+    # shuffle), then group sizes over the delta-sized match set
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        d = _r.get(ref)
+        sig = b["simhash"].to_numpy()
+        pos = np.searchsorted(d, sig)
+        pos[pos >= len(d)] = 0
+        hit = len(d) > 0
+        keep = (d[pos] == sig) if hit else np.zeros(len(b), bool)
+        out = b[keep]
+        return pd.DataFrame(
+            {
+                "simhash": out["simhash"].to_numpy(),
+                "conv_id": out["conv_id"].to_numpy(),
+                "turn_idx": out["turn_idx"].to_numpy(),
+                "is_dirty": (
+                    out["cursor"].to_numpy().astype(np.int64) > anchor_cursor
+                ).astype(np.int64),
+            }
+        )
+
+    matched = read_fp().map_batches(match, batch_format="pandas")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["n_members"] = (
+            g.groupby("simhash")["conv_id"].transform("size").astype("int64")
+        )
+        return g[g["n_members"] > 1][
+            ["simhash", "n_members", "conv_id", "turn_idx", "is_dirty"]
+        ]
+
+    return C.by_partition(matched, "simhash", kernel)
+
+
 def _conv_stats_ds(eng: Engine, as_of_round: str | None = None):
     """Per-conversation stats over the lake (optionally a snapshot):
     distributed groupby, integer widths pinned to the oracle's BIGINTs."""
@@ -874,6 +957,23 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             "FROM fpidx\n"
             "QUALIFY n_members > 1"
         ),
+        # delta variant: restrict to signatures touched after the anchor,
+        # tag members set after it (same anchor resolver as the changefeed)
+        "cdc_neardup_delta": (
+            f"WITH fpidx AS ({_fingerprint_sql(path)}),\n"
+            "dirty AS (SELECT DISTINCT simhash FROM fpidx\n"
+            f"          WHERE cursor > {anchor_cursor}),\n"
+            "m AS (SELECT f.simhash, f.conv_id, f.turn_idx,\n"
+            f"             CAST(f.cursor > {anchor_cursor} AS BIGINT)"
+            " AS is_dirty\n"
+            "      FROM fpidx f JOIN dirty d USING (simhash))\n"
+            "SELECT simhash,\n"
+            "       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT)\n"
+            "           AS n_members,\n"
+            "       conv_id, turn_idx, is_dirty\n"
+            "FROM m\n"
+            "QUALIFY n_members > 1"
+        ),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -893,6 +993,7 @@ QUERIES = {
     "cdc_tool_index": cdc_tool_index,
     "cdc_fingerprint_index": cdc_fingerprint_index,
     "cdc_neardup_candidates": cdc_neardup_candidates,
+    "cdc_neardup_delta": cdc_neardup_delta,
     "cdc_apply_events": cdc_apply_events,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
