@@ -402,6 +402,101 @@ def ann_ivf(sf_dir: str):
     return _topk_reduce(ds.map_batches(score, batch_format="pandas"))
 
 
+def ann_ivf_multi(sf_dir: str):
+    """BATCHED multi-query IVF search over the persisted layout: the Q
+    query vectors probe their own ``nprobe`` lists; ONE read covers the
+    UNION of probed partition dirs (each tagged with its list id — shared
+    lists are read once, not once per query), and each batch does a single
+    (B×D)@(D×Q) matmul with a per-row × per-query candidacy mask (row's
+    list ∈ query's probe set) before the per-query local top-k combiner.
+    The batched-inference shape of :func:`ann_ivf`: broadcast amortized
+    over Q queries, candidate IO still ≤ |union of probed lists| of the
+    corpus."""
+    import ray
+    import ray.data
+
+    lay = ivf_layout(sf_dir)
+    cent = np.load(os.path.join(lay, "centroids.npy"))
+    q_df = C.read_pandas(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "<", NUM_QUERIES)],
+    ).sort_values("vec_id")
+    qm = _emb_matrix(q_df)
+    qn = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qids = q_df["vec_id"].to_numpy()
+    probes = [_probe_lists(cent, q) for q in qm]  # per-query probe sets
+    # probe-set membership as a (N_CENTROIDS × Q) bool matrix for the mask
+    probe_mat = np.zeros((N_CENTROIDS, len(qids)), bool)
+    for j, pl in enumerate(probes):
+        probe_mat[pl, j] = True
+
+    union = sorted({i for pl in probes for i in pl})
+    parts = []
+    for i in union:
+        paths = _probe_paths(lay, [i])
+        if not paths:
+            continue
+
+        def tag(t: pa.Table, _i: int = i) -> pa.Table:
+            return t.append_column(
+                "ivf_list", pa.array(np.full(len(t), _i, np.int64))
+            )
+
+        parts.append(
+            ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+            .map_batches(tag, batch_format="pyarrow")
+        )
+    if not parts:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "cosine_sim": pd.Series(dtype="float64")}
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    ref = ray.put((qn, qids, probe_mat))
+
+    # stateless task fn (see ann_bruteforce_multi for the pool rationale)
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        qn_, qids_, pm_ = _r.get(ref)
+        m = _emb_matrix(b)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms[:, None]) @ qn_.T, 4)  # B×Q
+        cand = pm_[b["ivf_list"].to_numpy()]  # B×Q: row's list probed by q?
+        ids = b["vec_id"].to_numpy()
+        frames = []
+        for j in range(sims.shape[1]):
+            mask = cand[:, j]
+            order = np.lexsort((ids[mask], -sims[mask, j]))[:TOP_K]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qids_[j]),
+                        "vec_id": ids[mask][order],
+                        "cosine_sim": sims[mask, j][order],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = (
+        out.sort_values(
+            ["query_id", "cosine_sim", "vec_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        .groupby("query_id", sort=True)
+        .head(TOP_K)
+    )
+    return out.reset_index(drop=True)
+
+
 def ann_ivf_layout(sf_dir: str):
     """Occupancy of the persisted IVF layout: ``(ivf_list, n_vecs)`` per
     inverted list. Counts come from the parquet FOOTERS of each partition
@@ -989,6 +1084,40 @@ FROM a, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
 WHERE ivf_list IN ({",".join(map(str, probe))})
 ORDER BY cosine_sim DESC, a.vec_id LIMIT {TOP_K}
 """
+    # multi-query IVF: per-query probe lists embedded as an OR of
+    # (query_id, ivf_list IN (...)) conditions over the same assignment CTE
+    q_all = C.read_pandas(
+        sf_dir, "embeddings", ["vec_id", "embedding"],
+        filters=[("vec_id", "<", NUM_QUERIES)],
+    ).sort_values("vec_id")
+    qm_all = _emb_matrix(q_all)
+    probe_cond = " OR ".join(
+        f"(query_id = {int(v)} AND ivf_list IN "
+        f"({','.join(map(str, _probe_lists(cent, qv)))}))"
+        for v, qv in zip(q_all["vec_id"], qm_all)
+    )
+    multi_sql = f"""
+WITH d AS (
+    SELECT vec_id, embedding, [{dists}] AS dists
+    FROM (SELECT vec_id, embedding,
+                 CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+), a AS (
+    SELECT vec_id, embedding,
+           list_position(dists, list_min(dists)) - 1 AS ivf_list
+    FROM d
+), s AS (
+    SELECT q.vec_id AS query_id, a.vec_id, a.ivf_list,
+           round(CAST(list_cosine_similarity(a.embedding, q.embedding)
+                      AS DOUBLE), 4) AS cosine_sim
+    FROM a, (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id < {NUM_QUERIES}) q
+)
+SELECT query_id, vec_id, cosine_sim FROM s
+WHERE {probe_cond}
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+) <= {TOP_K}
+"""
     q_bands = _band_codes(q[None, :], _lsh_planes())[0]
     match = " OR ".join(
         f"({expr}) = {int(q_bands[i])}"
@@ -1018,6 +1147,7 @@ FROM d GROUP BY 1
 """
     return {
         "ann_ivf": sql,
+        "ann_ivf_multi": multi_sql,
         "ann_lsh": lsh_sql,
         # the indexed variant's candidate set is IDENTICAL by construction
         # (any-band match), so it shares ann_lsh's oracle verbatim
@@ -1030,6 +1160,7 @@ QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_bruteforce_multi": ann_bruteforce_multi,
     "ann_ivf": ann_ivf,
+    "ann_ivf_multi": ann_ivf_multi,
     "ann_ivf_layout": ann_ivf_layout,
     "ann_lsh": ann_lsh,
     "ann_lsh_indexed": ann_lsh_indexed,

@@ -161,6 +161,18 @@ def test_ann_ivf_search_prunes_io(ray_session):
     )
 
 
+def test_ann_ivf_multi_matches_sql_oracle(ray_session):
+    """Batched multi-query IVF over the persisted layout vs a DuckDB oracle
+    carrying the trained centroids and every query's probe list."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_ivf_multi"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_ivf_multi"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+
 def test_ann_lsh_indexed_matches_sql_oracle(ray_session):
     """The persisted-layout LSH search must return EXACTLY what the
     full-scan ann_lsh (and its SQL oracle) returns — same any-band
