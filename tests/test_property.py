@@ -348,3 +348,52 @@ def test_redact_kernel_matches_python_re(texts):
             txt = re.sub(pat, REDACT_TOKEN, txt)
         assert out.loc[i, "clean_text"] == txt
         assert out.loc[i, "n_redacted"] == n
+
+
+# -- adaptive batcher invariants ---------------------------------------------
+
+@given(
+    size=st.integers(1, 64),
+    events=st.lists(st.booleans(), max_size=60),  # True = retriable failure
+    cooldown=st.integers(1, 5),
+)
+@settings(max_examples=100, deadline=None)
+def test_adaptive_batcher_size_always_in_bounds(size, events, cooldown):
+    """Whatever the failure/success interleaving, the width stays within
+    [floor, cap] and a retriable failure never RAISES above the floor."""
+    from raycdc.adaptive import AdaptiveBatcher
+
+    b = AdaptiveBatcher(size=size, cooldown=cooldown, give_up=10_000)
+    for is_failure in events:
+        before = b.size
+        if is_failure:
+            assert b.failure(TimeoutError("t"))
+            assert b.size <= before
+        else:
+            b.success()
+            assert b.size >= before
+        assert b.floor <= b.size <= b.cap
+
+
+@given(
+    size=st.integers(1, 32),
+    fail_above=st.integers(0, 32),
+)
+@settings(max_examples=50, deadline=None)
+def test_adaptive_batcher_run_converges(size, fail_above):
+    """run() terminates for any fn that succeeds at SOME width ≥ floor:
+    either immediately or after halving down to a workable width."""
+    from raycdc.adaptive import AdaptiveBatcher
+
+    calls = []
+
+    def fn(width):
+        calls.append(width)
+        if width > max(1, fail_above):
+            raise TimeoutError("too wide")
+        return width
+
+    b = AdaptiveBatcher(size=size)
+    out = b.run(fn)
+    assert out <= max(1, fail_above)
+    assert len(calls) <= size.bit_length() + 1  # halving is geometric
