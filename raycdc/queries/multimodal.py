@@ -576,8 +576,125 @@ WHERE f % 2 = 0
 """
 
 
+# -- content-addressable media dedup (bytes-level, codec-free) ---------------
+
+class MediaChecksummer:
+    """Actor-pool stage: position-weighted checksum over the PIXEL BYTES of
+    each blob — content addressing computed from the binary payload itself
+    (never from the source text), so two blobs group iff their bytes match.
+    sig = Σ pixel_i · i (1-based) mod P: per-term < 2^20, per-blob sum
+    < 2^32 (npix < 4096), exact in int64. Fully vectorized: one flat
+    uint8 view of the Arrow data buffer, per-blob segment sums via
+    ``add.reduceat``."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("media")
+        doc_ids = t.column("doc_id").to_numpy()
+        ids_all, w_all, h_all, sig_all = [], [], [], []
+        pos = 0
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        b4 = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+        for arr in chunks:
+            n = len(arr)
+            if n == 0:
+                continue
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ]
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            starts = off[:-1]
+            w = (data[starts[:, None] + (8 + np.arange(4))[None, :]]
+                 .astype(np.int64) * b4).sum(axis=1)
+            h = (data[starts[:, None] + (12 + np.arange(4))[None, :]]
+                 .astype(np.int64) * b4).sum(axis=1)
+            npix = (np.diff(off) - 16).astype(np.int64)
+            total = int(npix.sum())
+            if total:
+                seg0 = np.concatenate(([0], np.cumsum(npix)[:-1]))
+                i_flat = np.arange(total, dtype=np.int64) - np.repeat(seg0, npix) + 1
+                pix_pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    seg0, npix
+                ) + np.repeat(starts + 16, npix)
+                contrib = data[pix_pos].astype(np.int64) * i_flat
+                padded = np.concatenate([contrib, np.zeros(1, np.int64)])
+                sums = np.add.reduceat(padded, np.minimum(seg0, total))
+                sums[npix == 0] = 0
+                sig = sums % H.P
+            else:
+                sig = np.zeros(n, np.int64)
+            ids_all.append(doc_ids[pos : pos + n])
+            w_all.append(w)
+            h_all.append(h)
+            sig_all.append(sig)
+            pos += n
+        cat = lambda xs: np.concatenate(xs).astype(np.int64) if xs else np.zeros(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "doc_id": pa.array(cat(ids_all), pa.int64()),
+                "width": pa.array(cat(w_all), pa.int64()),
+                "height": pa.array(cat(h_all), pa.int64()),
+                "checksum": pa.array(cat(sig_all), pa.int64()),
+            }
+        )
+
+
+def media_content_dedup(sf_dir: str):
+    """Exact dedup for MULTIMODAL payloads: synthesize the binary column,
+    checksum each blob's bytes in an actor-pool stage, then keep one winner
+    (min doc_id) per (width, height, checksum) content group with its copy
+    count — the binary-column analog of ``dedup_exact``, grouped on a
+    signature of the BYTES so it ports unchanged to real codecs. The
+    group step is one bounded-partition pandas kernel keyed on the
+    checksum (``C.by_partition``): the shuffle moves 32 B/row signatures,
+    never blobs."""
+    import pandas as pd
+
+    sigs = attach_blobs(sf_dir).map_batches(
+        MediaChecksummer,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["width", "height", "checksum"], as_index=False)
+            .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        )
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out[["doc_id", "width", "height", "checksum", "n_copies"]]
+
+    return C.by_partition(sigs, "checksum", kernel)
+
+
+MEDIA_CONTENT_DEDUP_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), dims AS (
+    SELECT doc_id, 16 + hv % 48 AS width, 16 + (hv // 256) % 48 AS height, hv
+    FROM h
+), sig AS (
+    SELECT doc_id, width, height,
+           list_aggregate(
+               list_transform(
+                   generate_series(1, CAST(width * height AS BIGINT)),
+                   i -> (((hv + i * {H.B}) % {H.P}) % 256) * i),
+               'sum') % {H.P} AS checksum
+    FROM dims
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(checksum AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM sig GROUP BY width, height, checksum
+"""
+
+
 QUERIES = {
     "media_features": media_features,
+    "media_content_dedup": media_content_dedup,
     "media_resize": media_resize,
     "video_frame_sample": video_frame_sample,
     "audio_loudness": audio_loudness,
@@ -585,6 +702,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "media_features": MEDIA_FEATURES_SQL,
+    "media_content_dedup": MEDIA_CONTENT_DEDUP_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "audio_loudness": AUDIO_LOUDNESS_SQL,

@@ -83,7 +83,7 @@ def _sql_backed():
         "events_funnel", "events_rollup", "events_value_histogram",
         "user_retention_cohorts", "urgent_revenue_bloom",
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
-        "docs_contamination",
+        "docs_contamination", "media_content_dedup",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
