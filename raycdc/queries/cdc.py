@@ -61,12 +61,19 @@ def _scratch_lake(spec: gen.GenSpec, tag: str) -> str:
 _ENGINE_MEMO: dict[tuple, Engine] = {}
 
 
-def _memo_engine(sf_dir: str, tag: str, *, salted: bool = False, tables=None) -> Engine:
+def _memo_engine(
+    sf_dir: str,
+    tag: str,
+    *,
+    salted: bool = False,
+    tables=None,
+    spec_overrides: dict | None = None,
+) -> Engine:
     """Replay the sf tier's generated change log into a /tmp lake ONCE per
     process per variant and return the (closed, read-only) Engine; the lake
     is then consumed as a streaming Dataset via ``read_lake`` — never
     materialized driver-side by the callers."""
-    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    spec = _spec_for(sf_dir, rollback_epochs=(1,), **(spec_overrides or {}))
     key = (gen.spec_fingerprint(spec), tag)
     eng = _ENGINE_MEMO.get(key)
     if eng is not None:
@@ -101,6 +108,32 @@ def cdc_replay(sf_dir: str):
 def cdc_replay_salted(sf_dir: str):
     """Same replay through the salted skew path; must be identical."""
     return _replay(sf_dir, salted=True)
+
+
+def _evolve_epoch(sf_dir: str) -> int:
+    """Evolution point for the schema-evolution replay: halfway through the
+    tier's epochs, so the log is a genuine mixed-schema stream (old-schema
+    shards before it, widened + extended shards after)."""
+    return _spec_for(sf_dir).n_epochs // 2
+
+
+def cdc_schema_evolution(sf_dir: str):
+    """Driver witness for the schema-evolution pillar: replay a change log
+    whose LATER epochs widen ``turn_idx`` int32→int64 and add a
+    ``tool_meta: string`` column mid-stream (``gen._epoch_table``). The
+    engine unifies schemas Arrow-natively (``schema.evolve``): the lake
+    manifest's schema commits with the round that first saw the new shape,
+    old fragments are conformed at read (missing column → nulls, narrow
+    ints widened), and the per-column last-non-null fold applies to the
+    new column exactly as to the original ones. Reference analog: the
+    Alembic add-column migration applied to a live table
+    (``migrations/versions/20240708_tokens_table_add_column_block_number.py``).
+    The oracle replays the SAME mixed-schema log in DuckDB via
+    ``union_by_name`` — final table state must match bit-for-bit."""
+    eng = _memo_engine(
+        sf_dir, "ev", spec_overrides={"evolve_at_epoch": _evolve_epoch(sf_dir)}
+    )
+    return eng.read_lake_pandas()
 
 
 def _derived_engine(sf_dir: str) -> Engine:
@@ -774,12 +807,24 @@ FROM eff GROUP BY conv_id
 """
 
 # the replay's full CTE chain (raw → reorg-resolved → segmented → folded),
-# shared by the final-state replay and the changefeed (which keeps deletes)
-_FOLDED_CTES = f"""
+# shared by the final-state replay and the changefeed (which keeps deletes);
+# the evolved variant reads a MIXED-schema log (union_by_name fills the
+# late-added tool_meta with NULL for old shards and unifies the widened
+# turn_idx to BIGINT) and folds the new column like any other payload.
+def _folded_ctes_sql(evolved: bool = False) -> str:
+    pay = "role, text, tool, tool_meta, ts" if evolved else "role, text, tool, ts"
+    read_opts = ", union_by_name=true" if evolved else ""
+    fold_meta = (
+        "        arg_max(tool_meta, wm) FILTER (WHERE tool_meta IS NOT NULL)"
+        " AS tool_meta,\n"
+        if evolved
+        else ""
+    )
+    return f"""
 WITH raw AS (
-    SELECT op, conv_id, turn_idx, role, text, tool, ts, cursor, seq, epoch,
+    SELECT op, conv_id, turn_idx, {pay}, cursor, seq, epoch,
            rollback_to_cursor
-    FROM read_parquet('{{path}}'){{where}}
+    FROM read_parquet('{{path}}'{read_opts}){{where}}
 ), ordered AS (
     -- reorg resolution: an event is orphaned iff ANY LATER rollback (in
     -- stream order) targets a cursor below it. rb_floor = running min of
@@ -790,7 +835,7 @@ WITH raw AS (
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rb_floor
     FROM raw
 ), eff AS (
-    SELECT conv_id, turn_idx, role, text, tool, ts, op,
+    SELECT conv_id, turn_idx, {pay}, op,
            cursor * {_WM} + seq AS wm
     FROM ordered
     WHERE op <> 'rollback' AND (rb_floor IS NULL OR cursor <= rb_floor)
@@ -811,17 +856,32 @@ WITH raw AS (
         arg_max(role, wm) FILTER (WHERE role IS NOT NULL) AS role,
         arg_max(text, wm) FILTER (WHERE text IS NOT NULL) AS text,
         arg_max(tool, wm) FILTER (WHERE tool IS NOT NULL) AS tool,
-        arg_max(ts, wm)   FILTER (WHERE ts IS NOT NULL)   AS ts,
+{fold_meta}        arg_max(ts, wm)   FILTER (WHERE ts IS NOT NULL)   AS ts,
         max(wm) AS last_wm,
         arg_max(op, wm) AS last_op
     FROM seg GROUP BY conv_id, turn_idx
 )
 """
 
+
+_FOLDED_CTES = _folded_ctes_sql()
+
 CDC_REPLAY_SQL_TEMPLATE = (
     _FOLDED_CTES
     + f"""
 SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts,
+       CAST(last_wm // {_WM} AS BIGINT) AS cursor,
+       CAST(last_wm % {_WM} AS INTEGER) AS seq
+FROM folded WHERE last_op <> 'delete'
+"""
+)
+
+# evolved-schema replay: turn_idx is BIGINT post-widen, tool_meta appears
+CDC_EVOLVED_REPLAY_SQL_TEMPLATE = (
+    _folded_ctes_sql(evolved=True)
+    + f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
+       tool_meta, ts,
        CAST(last_wm // {_WM} AS BIGINT) AS cursor,
        CAST(last_wm % {_WM} AS INTEGER) AS seq
 FROM folded WHERE last_op <> 'delete'
@@ -938,9 +998,18 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
     snapshot_diff = CDC_SNAPSHOT_DIFF_SQL_TEMPLATE.format(
         lo_replay=time_travel, hi_replay=replay
     )
+    # schema evolution replays ITS OWN log variant (later epochs evolved);
+    # the SQL reads that variant's cached path with union_by_name
+    ev_spec = _spec_for(
+        sf_dir, rollback_epochs=(1,), evolve_at_epoch=_evolve_epoch(sf_dir)
+    )
+    ev_path = os.path.join(gen.cached_change_log(ev_spec), "changes-*.parquet")
     return {
         "cdc_replay": replay,
         "cdc_replay_salted": replay,  # salted path must be bit-identical
+        "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
+            path=ev_path, where=""
+        ),
         "cdc_snapshot_diff": snapshot_diff,
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
@@ -988,6 +1057,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
 QUERIES = {
     "cdc_replay": cdc_replay,
     "cdc_replay_salted": cdc_replay_salted,
+    "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,

@@ -692,9 +692,189 @@ FROM sig GROUP BY width, height, checksum
 """
 
 
+# -- perceptual near-dup (pHash-style) over the binary payloads ------------
+
+PHASH_SEGS = 16  # pooling segments per blob → 16-bit perceptual hash
+PHASH_VARIANT_EVERY = 7  # every 7th doc gets a planted "re-encoded" variant
+
+
+def _seg_bounds(npix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, SEGS) inclusive-exclusive pixel-index bounds of the equal-split
+    pooling segments (exact integer floors, mirrored by the SQL)."""
+    j = np.arange(PHASH_SEGS, dtype=np.int64)
+    lo = (npix[:, None] * j[None, :]) // PHASH_SEGS
+    hi = (npix[:, None] * (j + 1)[None, :]) // PHASH_SEGS
+    return lo, hi
+
+
+def attach_blob_variants(sf_dir: str):
+    """Originals plus planted near-duplicate variants: every
+    ``PHASH_VARIANT_EVERY``-th doc also emits a "re-encoded" copy whose
+    first two pixels of EACH pooling segment are swapped — bytes (and thus
+    the exact content checksum) change, segment sums (and thus the
+    perceptual hash) are invariant by construction. This is the
+    deterministic stand-in for a real JPEG re-encode: visually identical,
+    binary different."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = np.asarray(t.column("text").to_pylist(), dtype=object)
+        blobs = _synthesize_batch(ids, texts)
+        sel = ids % PHASH_VARIANT_EVERY == 0
+        v_ids = ids[sel]
+        out_ids = np.concatenate([ids, v_ids])
+        variant = np.concatenate(
+            [np.zeros(len(ids), np.int64), np.ones(len(v_ids), np.int64)]
+        )
+        if len(v_ids):
+            vb = _synthesize_batch(v_ids, texts[sel])
+            off, data = _binary_offsets(vb)
+            data = data.copy()  # writable: swap in place, then rebuild
+            npix = (np.diff(off) - 16).astype(np.int64)
+            lo, _ = _seg_bounds(npix)
+            a = (off[:-1] + 16)[:, None] + lo  # (n, SEGS) byte pos of seg starts
+            tmp = data[a].copy()
+            data[a] = data[a + 1]
+            data[a + 1] = tmp
+            vb = pa.Array.from_buffers(
+                pa.large_binary(), len(v_ids),
+                [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+            )
+            media = pa.concat_arrays([blobs, vb])
+        else:
+            media = blobs
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "variant": pa.array(variant, pa.int64()),
+                "media": media,
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class MediaPHasher:
+    """Actor-pool stage: 16-bit perceptual hash from the PIXEL BYTES —
+    equal-split segment pooling, bit j set iff segment j's mean exceeds the
+    blob mean (exact integer compare ``seg_sum·npix > total·seg_len``, no
+    float thresholds). One flat gather + one ``add.reduceat`` over all
+    segment boundaries of the batch — no per-row Python."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("media")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off, data = _binary_offsets(arr)
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "variant": pa.array([], pa.int64()),
+                    "phash": pa.array([], pa.int64()),
+                }
+            )
+        npix = (np.diff(off) - 16).astype(np.int64)
+        total_pix = int(npix.sum())
+        seg0 = np.concatenate(([0], np.cumsum(npix)[:-1]))  # blob starts, flat
+        flat = np.arange(total_pix, dtype=np.int64)
+        pix_pos = flat - np.repeat(seg0, npix) + np.repeat(off[:-1] + 16, npix)
+        vals = data[pix_pos].astype(np.int64)
+        lo, hi = _seg_bounds(npix)
+        cuts = (seg0[:, None] + lo).ravel()  # (n*SEGS,) ascending reduceat cuts
+        seg_sums = np.add.reduceat(vals, cuts).reshape(n, PHASH_SEGS)
+        totals = seg_sums.sum(axis=1)
+        bits = seg_sums * npix[:, None] > totals[:, None] * (hi - lo)
+        phash = (
+            bits.astype(np.int64) << np.arange(PHASH_SEGS, dtype=np.int64)[None, :]
+        ).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "variant": t.column("variant"),
+                "phash": pa.array(phash, pa.int64()),
+            }
+        )
+
+
+def media_phash_neardup(sf_dir: str):
+    """Perceptual near-dup for MULTIMODAL payloads: pHash each blob's bytes
+    in an actor-pool stage, co-locate by hash, report every perceptual
+    group with >1 member. The planted re-encoded variants
+    (``attach_blob_variants``) are byte-different — exact content dedup
+    (``media_content_dedup``) cannot pair them — but segment-sum invariant,
+    so they land in their original's group here. Shuffle moves 24 B/row
+    hashes, never blobs; with a real codec only ``MediaPHasher``'s pixel
+    source changes."""
+    import pandas as pd
+
+    sigs = attach_blob_variants(sf_dir).map_batches(
+        MediaPHasher,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["n_members"] = (
+            g.groupby("phash")["doc_id"].transform("size").astype("int64")
+        )
+        g = g[g["n_members"] > 1]
+        return g[["phash", "n_members", "doc_id", "variant"]]
+
+    return C.by_partition(sigs, "phash", kernel)
+
+
+# the oracle reproduces the pooling bits from the pixel FORMULA; the
+# variant's phash equals its original's by the sum-invariance of the swap,
+# so the SQL computes it from the same affine sequence
+MEDIA_PHASH_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), dims AS (
+    SELECT doc_id, hv,
+           CAST((16 + hv % 48) * (16 + (hv // 256) % 48) AS BIGINT) AS npix
+    FROM h
+), base AS (
+    SELECT doc_id, CAST(0 AS BIGINT) AS variant, hv, npix FROM dims
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), hv, npix FROM dims
+    WHERE doc_id % {PHASH_VARIANT_EVERY} = 0
+), segs AS (
+    SELECT doc_id, variant, npix, hv, j,
+           (npix * j) // {PHASH_SEGS} AS lo,
+           (npix * (j + 1)) // {PHASH_SEGS} AS hi
+    FROM base CROSS JOIN generate_series(0, {PHASH_SEGS - 1}) AS t(j)
+), sums AS (
+    SELECT doc_id, variant, npix, j, hi - lo AS seg_len,
+           list_aggregate(
+               list_transform(generate_series(lo + 1, hi),
+                   i -> ((hv + i * {H.B}) % {H.P}) % 256),
+               'sum') AS seg_sum
+    FROM segs
+), tot AS (
+    SELECT *, sum(seg_sum) OVER (PARTITION BY doc_id, variant) AS total
+    FROM sums
+), ph AS (
+    SELECT doc_id, variant,
+           CAST(sum(CAST(seg_sum * npix > total * seg_len AS BIGINT)
+                    * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS phash
+    FROM tot GROUP BY doc_id, variant
+)
+SELECT phash,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_members,
+       CAST(doc_id AS BIGINT) AS doc_id, variant
+FROM ph QUALIFY n_members > 1
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "media_content_dedup": media_content_dedup,
+    "media_phash_neardup": media_phash_neardup,
     "media_resize": media_resize,
     "video_frame_sample": video_frame_sample,
     "audio_loudness": audio_loudness,
@@ -703,6 +883,7 @@ QUERIES = {
 ORACLE_SQL = {
     "media_features": MEDIA_FEATURES_SQL,
     "media_content_dedup": MEDIA_CONTENT_DEDUP_SQL,
+    "media_phash_neardup": MEDIA_PHASH_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "audio_loudness": AUDIO_LOUDNESS_SQL,

@@ -83,7 +83,7 @@ def _sql_backed():
         "events_funnel", "events_rollup", "events_value_histogram",
         "user_retention_cohorts", "urgent_revenue_bloom",
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
-        "docs_contamination", "media_content_dedup",
+        "docs_contamination", "media_content_dedup", "media_phash_neardup",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -96,6 +96,33 @@ def test_sql_backed_query_matches_oracle(ray_session, name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_media_phash_pairs_planted_reencodes(ray_session):
+    """The planted 're-encoded' variants are BYTE-different from their
+    originals (exact content addressing cannot pair them) yet land in the
+    original's perceptual group — the case that motivates pHash dedup."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.multimodal import (
+        PHASH_VARIANT_EVERY,
+        attach_blob_variants,
+    )
+
+    blobs = attach_blob_variants(SF_DIR).to_pandas()
+    orig = blobs[blobs.variant == 0].set_index("doc_id")["media"]
+    var = blobs[blobs.variant == 1].set_index("doc_id")["media"]
+    assert len(var) > 0
+    assert (var.index % PHASH_VARIANT_EVERY == 0).all()
+    differing = sum(var[d] != orig[d] for d in var.index)
+    assert differing >= 0.9 * len(var), "swaps should change bytes"
+
+    df = to_df(QUERIES["media_phash_neardup"](SF_DIR))
+    got_pairs = df[df.variant == 1].set_index("doc_id")["phash"]
+    assert set(got_pairs.index) == set(var.index)  # every variant grouped
+    oph = df[df.variant == 0].drop_duplicates("doc_id").set_index("doc_id")[
+        "phash"
+    ]
+    assert (oph.reindex(got_pairs.index) == got_pairs).all()
 
 
 def test_registry_covers_all_oracle_entries():
@@ -337,7 +364,8 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
 
 @pytest.mark.parametrize(
     "name",
-    ["cdc_replay", "cdc_replay_salted", "cdc_conv_stats", "cdc_conv_latest",
+    ["cdc_replay", "cdc_replay_salted", "cdc_schema_evolution",
+     "cdc_conv_stats", "cdc_conv_latest",
      "conv_daily_stats", "conv_cumulative_stats", "cdc_time_travel",
      "cdc_read_key", "cdc_changefeed", "cdc_changefeed_window",
      "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_fingerprint_index",
