@@ -669,6 +669,177 @@ QUALIFY row_number() OVER w <= {SAMPLE_PER_STRATUM}
 """
 
 
+# -- weighted sampling (priority sampling, token-count weights) ------------
+
+WSAMPLE_K = 100
+
+
+def docs_weighted_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): priority_i = w_i / u_i with weight
+    w = n_tokens and u = (H(doc_id)+1)/(P+1) a deterministic hash-uniform;
+    the K highest priorities are the sample — longer docs proportionally
+    likelier, seedable, order-independent, resumable. The priority is ONE
+    int64 product (< 2^49, exact in double) and ONE IEEE division — both
+    exactly rounded, so numpy and DuckDB rank bit-identically with no
+    float tolerance. Scale shape: per-batch local top-K combiner
+    (min-K by priority is superset-stable), final K-sized sort; no
+    shuffle, nothing corpus-sized leaves the workers."""
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def localtop(b: pd.DataFrame) -> pd.DataFrame:
+        h = H.poly_hash(
+            b["doc_id"].astype("string").to_numpy(dtype=object)
+        ).astype("int64")
+        ntok = T.token_counts(b["text"]).astype("int64").to_numpy()
+        pr = (ntok * (H.P + 1)).astype("float64") / (h + 1).astype("float64")
+        d = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_tokens": ntok,
+                "priority": pr,
+            }
+        )
+        return d.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(WSAMPLE_K)
+
+    out = ds.map_batches(localtop, batch_format="pandas").to_pandas()
+    top = (
+        out.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        .head(WSAMPLE_K)
+        .reset_index(drop=True)
+    )
+    top.insert(0, "rnk", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top
+
+
+def _wsample_sql() -> str:
+    from raycdc import phash as H
+
+    return f"""
+WITH w AS (
+    SELECT doc_id,
+           CAST(len({T.toks_sql('text')}) AS BIGINT) AS n_tokens,
+           {H.sql_poly("CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+), pr AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens * {H.P + 1} AS DOUBLE) / CAST(h + 1 AS DOUBLE)
+               AS priority
+    FROM w
+)
+SELECT CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT)
+           AS rnk,
+       doc_id, n_tokens, priority
+FROM pr
+ORDER BY rnk LIMIT {WSAMPLE_K}
+"""
+
+
+# -- unigram-LM familiarity scoring ----------------------------------------
+
+LM_VOCAB_TOP = 4096
+
+
+def docs_lm_familiarity(sf_dir: str):
+    """Corpus-LM familiarity score per doc — the LM-quality-scoring
+    pipeline SHAPE (train token statistics on the corpus, broadcast the
+    model, score every doc per batch) with an integer-exact statistic in
+    place of log-probabilities (ln is not correctly rounded, so cross-
+    engine value-hash equality would be at the mercy of libm; the mean
+    corpus frequency of a doc's tokens ranks rare-token docs the same
+    way). Pass 1 folds per-batch token counts to a vocabulary-sized
+    aggregate and keeps the top ``LM_VOCAB_TOP`` terms — the BOUNDED
+    broadcast model (OOV frequency 0). Pass 2 scores each batch with one
+    ``searchsorted`` gather against the broadcast vocab — no shuffle.
+    familiarity = sum_freq / n_tokens, one exactly-rounded division."""
+    import ray
+
+    from raycdc import phash as H  # noqa: F401  (import parity with SQL)
+
+    ds = C.read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = T.token_lists(b["text"]).explode()
+        vc = toks[toks.notna()].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "n": vc.to_numpy().astype("int64")}
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    freq["n"] = freq["n"].astype("int64")
+    freq = freq.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(LM_VOCAB_TOP)
+    order = np.argsort(freq["token"].to_numpy())
+    vocab = freq["token"].to_numpy()[order]
+    counts = freq["n"].to_numpy()[order]
+    ref = ray.put((vocab, counts))
+
+    docs = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        vocab_, counts_ = _r.get(ref)
+        lists = T.token_lists(b["text"])
+        lens = lists.str.len().fillna(0).astype("int64").to_numpy()
+        flat = lists.explode()
+        flat = flat[flat.notna()].to_numpy(dtype=object)
+        if len(flat):
+            idx = np.clip(
+                np.searchsorted(vocab_, flat), 0, len(vocab_) - 1
+            )
+            f = np.where(vocab_[idx] == flat, counts_[idx], 0)
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            sums = np.add.reduceat(
+                np.concatenate([f, [0]]), np.minimum(bounds[:-1], len(f))
+            )
+            sums[lens == 0] = 0
+        else:
+            sums = np.zeros(len(b), np.int64)
+        keep = lens > 0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[keep],
+                "n_tokens": lens[keep],
+                "sum_freq": sums[keep].astype("int64"),
+                "familiarity": sums[keep].astype("float64") / lens[keep],
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+LM_FAMILIARITY_SQL = f"""
+WITH vocab AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM documents, unnest({T.toks_sql('text')}) AS t(token)
+    GROUP BY 1 ORDER BY n DESC, token LIMIT {LM_VOCAB_TOP}
+), dt AS (
+    SELECT doc_id, token
+    FROM documents, unnest({T.toks_sql('text')}) AS t(token)
+), j AS (
+    SELECT d.doc_id, coalesce(v.n, 0) AS f
+    FROM dt d LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(f) AS BIGINT) AS sum_freq,
+       CAST(sum(f) AS DOUBLE) / count(*) AS familiarity
+FROM j GROUP BY doc_id
+"""
+
+
 # -- deterministic train/val/test split ---------------------------------------
 
 _SPLIT_MOD = 100
@@ -911,6 +1082,8 @@ QUERIES = {
     "corpus_prep": corpus_prep,
     "vocab_top_terms": vocab_top_terms,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_weighted_sample": docs_weighted_sample,
+    "docs_lm_familiarity": docs_lm_familiarity,
     "tfidf_top_terms": tfidf_top_terms,
     "docs_split_assign": docs_split_assign,
     "doc_pack_offsets": doc_pack_offsets,
@@ -928,6 +1101,8 @@ ORACLE_SQL = {
     "corpus_prep": _corpus_prep_sql(),
     "vocab_top_terms": VOCAB_SQL,
     "docs_stratified_sample": _strat_sample_sql(),
+    "docs_weighted_sample": _wsample_sql(),
+    "docs_lm_familiarity": LM_FAMILIARITY_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "docs_split_assign": _split_assign_sql(),
     "doc_pack_offsets": PACK_OFFSETS_SQL,

@@ -84,6 +84,7 @@ def _sql_backed():
         "user_retention_cohorts", "urgent_revenue_bloom",
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
         "docs_contamination", "media_content_dedup", "media_phash_neardup",
+        "docs_weighted_sample", "docs_lm_familiarity",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
