@@ -397,3 +397,130 @@ def test_adaptive_batcher_run_converges(size, fail_above):
     out = b.run(fn)
     assert out <= max(1, fail_above)
     assert len(calls) <= size.bit_length() + 1  # halving is geometric
+
+
+# -- perceptual-hash kernel invariants --------------------------------------
+
+_blob_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0, max_size=40,
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@given(_blob_texts)
+@settings(max_examples=40, deadline=None)
+def test_phash_invariant_under_segment_swaps(texts):
+    """The planted 're-encode' (swap the first two pixels of every pooling
+    segment) must NEVER move a blob out of its perceptual group: segment
+    sums — and therefore every pHash bit — are invariant by construction,
+    for arbitrary text-derived blobs, not just the shipped fixtures."""
+    import pyarrow as pa
+
+    from raycdc.queries.multimodal import (
+        MediaPHasher,
+        _binary_offsets,
+        _seg_bounds,
+        _synthesize_batch,
+    )
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    blobs = _synthesize_batch(ids, np.asarray(texts, dtype=object))
+
+    off, data = _binary_offsets(blobs)
+    data = data.copy()
+    npix = (np.diff(off) - 16).astype(np.int64)
+    lo, _ = _seg_bounds(npix)
+    a = (off[:-1] + 16)[:, None] + lo
+    tmp = data[a].copy()
+    data[a] = data[a + 1]
+    data[a + 1] = tmp
+    swapped = pa.Array.from_buffers(
+        pa.large_binary(), len(ids),
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+    hasher = MediaPHasher()
+    mk = lambda media: pa.table(  # noqa: E731
+        {"doc_id": pa.array(ids), "variant": pa.array(ids * 0), "media": media}
+    )
+    h0 = hasher(mk(blobs)).column("phash").to_pylist()
+    h1 = hasher(mk(swapped)).column("phash").to_pylist()
+    assert h0 == h1
+
+
+@given(_blob_texts)
+@settings(max_examples=40, deadline=None)
+def test_phash_matches_bruteforce_pooling(texts):
+    """The flat-buffer reduceat kernel equals a plain per-blob Python
+    recomputation of the segment-pooled threshold bits."""
+    import pyarrow as pa
+
+    from raycdc.queries.multimodal import (
+        PHASH_SEGS,
+        MediaPHasher,
+        _synthesize_batch,
+    )
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    blobs = _synthesize_batch(ids, np.asarray(texts, dtype=object))
+    got = (
+        MediaPHasher()(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "variant": pa.array(ids * 0),
+                    "media": blobs,
+                }
+            )
+        )
+        .column("phash")
+        .to_pylist()
+    )
+    for k, blob in enumerate(blobs.to_pylist()):
+        pix = np.frombuffer(blob[16:], dtype=np.uint8).astype(np.int64)
+        n = len(pix)
+        total = int(pix.sum())
+        want = 0
+        for j in range(PHASH_SEGS):
+            lo, hi = n * j // PHASH_SEGS, n * (j + 1) // PHASH_SEGS
+            if int(pix[lo:hi].sum()) * n > total * (hi - lo):
+                want |= 1 << j
+        assert got[k] == want
+
+
+# -- priority-sampling combiner ---------------------------------------------
+
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    st.integers(1, 8),
+    st.integers(1, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_priority_topk_combiner_is_superset_stable(ntoks, k, nchunks):
+    """Merging per-chunk top-Ks then taking the global top-K equals the
+    top-K over everything — the invariant that lets docs_weighted_sample
+    prune per batch without a shuffle."""
+    from raycdc import phash as H
+
+    ids = np.arange(len(ntoks), dtype=np.int64)
+    h = H.poly_hash([f"doc-{i}" for i in ids]).astype("int64")
+    w = np.asarray(ntoks, dtype=np.int64)
+    pr = (w * (H.P + 1)).astype("float64") / (h + 1).astype("float64")
+    df = pd.DataFrame({"doc_id": ids, "priority": pr})
+
+    def topk(d):
+        return d.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    merged = topk(
+        pd.concat(
+            [topk(c) for _, c in df.groupby(df.doc_id % nchunks)],
+            ignore_index=True,
+        )
+    ).reset_index(drop=True)
+    want = topk(df).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, want)
