@@ -166,3 +166,59 @@ def assign_part_cols(
         hc = hash_conv(c, version)
         h = hc if h is None else h * np.uint64(1000003) + hc
     return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+# -- SQL mirror of hash v2 (oracle support) ---------------------------------
+
+_W64 = 1 << 64
+_W32 = 1 << 32
+
+
+def _sql_mulmod(a_expr: str, b: int) -> str:
+    """``(a·b) mod 2^64`` in DuckDB with INT128 intermediates: split ``a``
+    into 32-bit halves so every product stays under 2^97."""
+    return (
+        f"(((({a_expr}) % {_W32}) * CAST({b} AS HUGEINT) + "
+        f"((((({a_expr}) // {_W32}) * CAST({b} AS HUGEINT)) % {_W32})"
+        f" * {_W32})) % {_W64})"
+    )
+
+
+def _sql_xorshift(h: str, s: int) -> str:
+    return f"CAST(xor(CAST({h} AS UBIGINT), CAST({h} AS UBIGINT) >> {s}) AS HUGEINT)"
+
+
+def sql_hash_v2_query(inner_sql: str, col: str, out: str = "_h") -> str:
+    """Wrap ``inner_sql`` in a CTE chain that appends column ``out`` = the
+    v2 hash of string column ``col`` — bit-identical to :func:`hash_conv`
+    (version 2) for ASCII values (``substr``/``ord`` are character-based;
+    the engine's keys are ASCII by construction). Each avalanche stage is
+    its own SELECT so the byte-sum expression is evaluated once, not
+    duplicated exponentially through the xor stages."""
+    terms = " + ".join(
+        f"(CASE WHEN length({col}) > {j} THEN"
+        f" ord(substr({col}, length({col}) - {j}, 1)) ELSE 0 END + 1)"
+        f" * CAST({int(_MULT[j])} AS HUGEINT)"
+        for j in range(_SUFFIX)
+    )
+    len_term = _sql_mulmod(f"CAST(length({col}) AS HUGEINT)", int(_LEN_MULT))
+    return f"""
+SELECT * REPLACE (CAST(xor(CAST({out} AS UBIGINT),
+                           CAST({out} AS UBIGINT) >> 33) AS HUGEINT) AS {out})
+FROM (
+  SELECT * REPLACE ({_sql_mulmod(out, 0xC4CEB9FE1A85EC53)} AS {out})
+  FROM (
+    SELECT * REPLACE ({_sql_xorshift(out, 33)} AS {out})
+    FROM (
+      SELECT * REPLACE ({_sql_mulmod(out, 0xFF51AFD7ED558CCD)} AS {out})
+      FROM (
+        SELECT * REPLACE ({_sql_xorshift(out, 33)} AS {out})
+        FROM (
+          SELECT *, ({len_term} + {terms}) % {_W64} AS {out}
+          FROM ({inner_sql})
+        )
+      )
+    )
+  )
+)
+"""

@@ -136,6 +136,47 @@ def cdc_schema_evolution(sf_dir: str):
     return eng.read_lake_pandas()
 
 
+def cdc_partition_stats(sf_dir: str):
+    """Per-partition lineage/metrics observable of the replayed lake:
+    ``(partition, n_rows, n_convs, max_cursor)`` — the "per-partition
+    cursor + checkpoint" surface an operator watches (the reference's
+    per-range sync-record monitoring,
+    ``indexer/controller/dispatcher/base_dispatcher.py`` +
+    ``common/services/failure_recorder.py``). Fully oracle-checked: the
+    v2 routing hash has an exact DuckDB mirror
+    (``partition.sql_hash_v2_query``), so the SQL recomputes each key's
+    home partition bit-for-bit. Scale shape: per-batch fold to
+    (partition, conv) partials, one bounded shuffle, 32-row output."""
+    eng = _replayed_engine(sf_dir, salted=False)
+    hv = eng.lake.hash_version
+    assert hv == 2, "oracle mirrors hash v2 only"
+    nparts = eng.lake.num_partitions
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["partition"] = P.assign_part(
+            b["conv_id"].to_numpy(), nparts, hv
+        ).astype("int64")
+        out = b.groupby(["partition", "conv_id"], as_index=False).agg(
+            n=("cursor", "size"), max_cursor=("cursor", "max")
+        )
+        return out
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("partition", as_index=False).agg(
+            n_rows=("n", "sum"),
+            n_convs=("conv_id", "nunique"),
+            max_cursor=("max_cursor", "max"),
+        )
+        for c in ("n_rows", "n_convs", "max_cursor"):
+            out[c] = out[c].astype("int64")
+        return out[["partition", "n_rows", "n_convs", "max_cursor"]]
+
+    ds = eng.read_lake(columns=["conv_id", "cursor"], include_system=True)
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return C.by_partition(partials, "partition", fin)
+
+
 def _derived_engine(sf_dir: str) -> Engine:
     """ONE four-table replay shared by every derived-index query
     (current-state, inverted index, fingerprint index): the reference
@@ -1011,6 +1052,16 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             path=ev_path, where=""
         ),
         "cdc_snapshot_diff": snapshot_diff,
+        # per-partition stats: recompute each live key's home partition in
+        # SQL with the exact v2-hash mirror and aggregate per partition
+        "cdc_partition_stats": (
+            f"SELECT CAST(_h % 32 AS BIGINT) AS partition,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,\n"
+            f"       CAST(max(cursor) AS BIGINT) AS max_cursor\n"
+            f"FROM ({P.sql_hash_v2_query(replay, 'conv_id')})\n"
+            f"GROUP BY 1"
+        ),
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
@@ -1058,6 +1109,7 @@ QUERIES = {
     "cdc_replay": cdc_replay,
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_schema_evolution": cdc_schema_evolution,
+    "cdc_partition_stats": cdc_partition_stats,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
