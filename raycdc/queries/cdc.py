@@ -177,6 +177,51 @@ def cdc_partition_stats(sf_dir: str):
     return C.by_partition(partials, "partition", fin)
 
 
+def cdc_cascade(sf_dir: str):
+    """Replication-loop witness: lake A's CHANGEFEED, re-ingested into a
+    SECOND lake with a different partition layout, must reproduce A
+    bit-for-bit — the Debezium-style property that the feed is a complete
+    replication stream, and the reference's stream-controller → downstream
+    sink loop (``indexer/controller/stream_controller.py``) closed end to
+    end. Two windows exercise composition: a bootstrap feed to the mid
+    snapshot (round -2), then the (mid, live] window — each feed row is a
+    FULL folded row with its original (cursor, seq), so applying them as
+    LWW inserts/deletes reproduces A's payload AND system columns. B uses
+    8 partitions vs A's 32: the result is layout-independent by
+    construction, and the oracle is the SAME replay SQL as ``cdc_replay``."""
+    import pyarrow.compute as pc
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    key = (gen.spec_fingerprint(spec), "casc")
+    eng_b = _ENGINE_MEMO.get(key)
+    if eng_b is None:
+        eng_a = _replayed_engine(sf_dir, salted=False)
+        mid_round, _ = _snapshot_round_epoch(sf_dir)
+
+        def to_changes(t: pa.Table) -> pa.Table:
+            op = pc.if_else(
+                pc.equal(t.column("change_op"), pa.scalar("delete")),
+                pa.scalar("delete"),
+                pa.scalar("insert"),
+            )
+            return t.drop_columns(["change_op"]).append_column("op", op)
+
+        lake_b = _scratch_lake(spec, "casc")
+        shutil.rmtree(lake_b, ignore_errors=True)
+        eng_b = Engine(lake_b, num_partitions=8)
+        for epoch, feed in (
+            (1, eng_a.read_changes(until_round=mid_round)),
+            (2, eng_a.read_changes(since_round=mid_round)),
+        ):
+            eng_b.apply_dataset(
+                feed.map_batches(to_changes, batch_format="pyarrow"),
+                epoch=epoch,
+            )
+        eng_b.close()
+        _ENGINE_MEMO[key] = eng_b
+    return eng_b.read_lake_pandas()
+
+
 def _derived_engine(sf_dir: str) -> Engine:
     """ONE four-table replay shared by every derived-index query
     (current-state, inverted index, fingerprint index): the reference
@@ -1048,6 +1093,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
     return {
         "cdc_replay": replay,
         "cdc_replay_salted": replay,  # salted path must be bit-identical
+        "cdc_cascade": replay,  # feed-replicated copy must equal the source
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
             path=ev_path, where=""
         ),
@@ -1110,6 +1156,7 @@ QUERIES = {
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_partition_stats": cdc_partition_stats,
+    "cdc_cascade": cdc_cascade,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
