@@ -1266,3 +1266,39 @@ def test_text_fp_index_tracks_mutations(ray_session, tmp_path, make_lake):
     # the index watermark is the TEXT event's, never ahead of the primary's
     assert (merged["cursor_fp"].to_numpy() <= merged["cursor"].to_numpy()).all()
     eng.close()
+
+
+def test_time_travel_across_schema_evolution(ray_session, tmp_path, make_lake):
+    """A snapshot anchored BEFORE the evolution boundary, read AFTER the
+    evolved schema committed, is served in the CURRENT schema (the late
+    column reads all-null, per the read_lake contract) and matches the
+    prefix oracle on the original columns."""
+    spec = gen.GenSpec(
+        seed=76, n_convs=120, mean_turns=5, n_epochs=6, evolve_at_epoch=4
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log, epochs_per_round=2)
+    rounds = eng.lake.manifest["committed_rounds"]
+    pre = rounds[0]  # epochs 0-1: strictly pre-evolution
+    assert max(int(e) for e in pre["epochs"]) < 4
+
+    df = (
+        eng.read_lake(include_system=True, as_of_round=pre["round_id"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert "tool_meta" in df.columns  # current schema, not the round's
+    assert df["tool_meta"].isna().all()  # added after the snapshot → null
+
+    expect = _prefix_oracle(log, max(int(e) for e in pre["epochs"]))
+    pd.testing.assert_frame_equal(
+        df[expect.columns.tolist()], expect, check_dtype=False
+    )
+
+    # and the LIVE read has the evolved column populated somewhere
+    live = eng.read_lake().to_pandas()
+    assert live["tool_meta"].notna().any()
+    eng.close()
