@@ -601,6 +601,30 @@ def cdc_changefeed(sf_dir: str):
     )
 
 
+def cdc_changefeed_latest(sf_dir: str):
+    """Change data feed of a DERIVED table: the ``conv_latest``
+    current-state rows whose watermark post-dates the mid-replay anchor —
+    the downstream-sync story composed with incremental view maintenance
+    (the reference's ``current_*`` tables feeding consumers only what
+    changed). All rows are upserts by construction (every primary event
+    maps to a patch of its conversation's current row; the spec never
+    tombstones), and the same manifest pruning applies: only partitions
+    of the DERIVED table with post-anchor fragments are scanned."""
+    round_id, _ = _snapshot_round_cursor(sf_dir)
+    eng = _derived_engine(sf_dir)
+    ds = eng.read_changes(since_round=round_id, table="conv_latest")
+
+    def cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("turn_idx")
+        return t.set_column(
+            i, pa.field("turn_idx", pa.int32()),
+            t.column("turn_idx").cast(pa.int32()),
+        )
+
+    df = ds.map_batches(cast, batch_format="pyarrow").to_pandas()
+    return df.sort_values("conv_id", kind="stable").reset_index(drop=True)
+
+
 def cdc_changefeed_window(sf_dir: str):
     """Two-anchor change data feed: the NET delta committed in
     ``(first round, second-to-last round]`` — served from the snapshot at
@@ -1140,6 +1164,14 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             "FROM m\n"
             "QUALIFY n_members > 1"
         ),
+        # derived-table feed: current-state rows whose watermark post-dates
+        # the anchor; upserts only (the spec never tombstones)
+        "cdc_changefeed_latest": (
+            f"WITH cl AS ({CONV_LATEST_SQL_TEMPLATE.format(path=path)})\n"
+            "SELECT conv_id, turn_idx, role, text, tool, ts, cursor, seq,\n"
+            "       'upsert' AS change_op\n"
+            f"FROM cl WHERE cursor > {anchor_cursor}"
+        ),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -1168,6 +1200,7 @@ QUERIES = {
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_window": cdc_changefeed_window,
+    "cdc_changefeed_latest": cdc_changefeed_latest,
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_snapshot_diff": cdc_snapshot_diff,
 }
