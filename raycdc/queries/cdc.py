@@ -60,6 +60,11 @@ def _scratch_lake(spec: gen.GenSpec, tag: str) -> str:
 # PID-unique lake dirs + the writer lock make per-process reuse safe.
 _ENGINE_MEMO: dict[tuple, Engine] = {}
 
+# partition count of every memoized query lake; the cdc_partition_stats
+# oracle bakes this into its SQL (`% _MEMO_NPARTS`), so both sides must
+# read the same constant
+_MEMO_NPARTS = 32
+
 
 def _memo_engine(
     sf_dir: str,
@@ -82,7 +87,7 @@ def _memo_engine(
     lake_dir = _scratch_lake(spec, tag)
     shutil.rmtree(lake_dir, ignore_errors=True)  # fresh deterministic replay
     kwargs = {"tables": tables} if tables is not None else {}
-    eng = Engine(lake_dir, num_partitions=32, salted=salted, **kwargs)
+    eng = Engine(lake_dir, num_partitions=_MEMO_NPARTS, salted=salted, **kwargs)
     eng.apply_log(log_dir, epochs_per_round=2)
     eng.close()  # release merger CPUs; the read path doesn't need the pool
     _ENGINE_MEMO[key] = eng
@@ -151,6 +156,7 @@ def cdc_partition_stats(sf_dir: str):
     hv = eng.lake.hash_version
     assert hv == 2, "oracle mirrors hash v2 only"
     nparts = eng.lake.num_partitions
+    assert nparts == _MEMO_NPARTS, "oracle bakes _MEMO_NPARTS into its SQL"
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1125,7 +1131,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         # per-partition stats: recompute each live key's home partition in
         # SQL with the exact v2-hash mirror and aggregate per partition
         "cdc_partition_stats": (
-            f"SELECT CAST(_h % 32 AS BIGINT) AS partition,\n"
+            f"SELECT CAST(_h % {_MEMO_NPARTS} AS BIGINT) AS partition,\n"
             f"       CAST(count(*) AS BIGINT) AS n_rows,\n"
             f"       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,\n"
             f"       CAST(max(cursor) AS BIGINT) AS max_cursor\n"

@@ -760,8 +760,6 @@ def docs_lm_familiarity(sf_dir: str):
     familiarity = sum_freq / n_tokens, one exactly-rounded division."""
     import ray
 
-    from raycdc import phash as H  # noqa: F401  (import parity with SQL)
-
     ds = C.read(sf_dir, "documents", ["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -802,10 +800,7 @@ def docs_lm_familiarity(sf_dir: str):
             )
             f = np.where(vocab_[idx] == flat, counts_[idx], 0)
             bounds = np.concatenate(([0], np.cumsum(lens)))
-            sums = np.add.reduceat(
-                np.concatenate([f, [0]]), np.minimum(bounds[:-1], len(f))
-            )
-            sums[lens == 0] = 0
+            sums = C.segment_sum(f.astype(np.int64), bounds)
         else:
             sums = np.zeros(len(b), np.int64)
         keep = lens > 0

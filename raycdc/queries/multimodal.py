@@ -707,6 +707,27 @@ def _seg_bounds(npix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def swap_segment_heads(blobs: pa.Array) -> pa.Array:
+    """The planted "re-encode" transform: swap the first two pixel bytes of
+    EVERY pooling segment of every blob. Bytes (and the exact content
+    checksum) change; segment sums — and therefore every pHash bit — are
+    invariant by construction. Shared by ``attach_blob_variants`` (which
+    plants the variants) and the pHash-invariance property test (which
+    must validate the SAME transform the query plants)."""
+    off, data = _binary_offsets(blobs)
+    data = data.copy()  # writable: swap in place, then rebuild
+    npix = (np.diff(off) - 16).astype(np.int64)
+    lo, _ = _seg_bounds(npix)
+    a = (off[:-1] + 16)[:, None] + lo  # (n, SEGS) byte pos of seg starts
+    tmp = data[a].copy()
+    data[a] = data[a + 1]
+    data[a + 1] = tmp
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(blobs),
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
 def attach_blob_variants(sf_dir: str):
     """Originals plus planted near-duplicate variants: every
     ``PHASH_VARIANT_EVERY``-th doc also emits a "re-encoded" copy whose
@@ -728,19 +749,7 @@ def attach_blob_variants(sf_dir: str):
             [np.zeros(len(ids), np.int64), np.ones(len(v_ids), np.int64)]
         )
         if len(v_ids):
-            vb = _synthesize_batch(v_ids, texts[sel])
-            off, data = _binary_offsets(vb)
-            data = data.copy()  # writable: swap in place, then rebuild
-            npix = (np.diff(off) - 16).astype(np.int64)
-            lo, _ = _seg_bounds(npix)
-            a = (off[:-1] + 16)[:, None] + lo  # (n, SEGS) byte pos of seg starts
-            tmp = data[a].copy()
-            data[a] = data[a + 1]
-            data[a + 1] = tmp
-            vb = pa.Array.from_buffers(
-                pa.large_binary(), len(v_ids),
-                [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
-            )
+            vb = swap_segment_heads(_synthesize_batch(v_ids, texts[sel]))
             media = pa.concat_arrays([blobs, vb])
         else:
             media = blobs

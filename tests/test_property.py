@@ -421,26 +421,13 @@ def test_phash_invariant_under_segment_swaps(texts):
 
     from raycdc.queries.multimodal import (
         MediaPHasher,
-        _binary_offsets,
-        _seg_bounds,
         _synthesize_batch,
+        swap_segment_heads,
     )
 
     ids = np.arange(len(texts), dtype=np.int64)
     blobs = _synthesize_batch(ids, np.asarray(texts, dtype=object))
-
-    off, data = _binary_offsets(blobs)
-    data = data.copy()
-    npix = (np.diff(off) - 16).astype(np.int64)
-    lo, _ = _seg_bounds(npix)
-    a = (off[:-1] + 16)[:, None] + lo
-    tmp = data[a].copy()
-    data[a] = data[a + 1]
-    data[a + 1] = tmp
-    swapped = pa.Array.from_buffers(
-        pa.large_binary(), len(ids),
-        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
-    )
+    swapped = swap_segment_heads(blobs)
 
     hasher = MediaPHasher()
     mk = lambda media: pa.table(  # noqa: E731
