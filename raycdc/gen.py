@@ -76,6 +76,13 @@ class GenSpec:
     # parent-hash consensus check, indexer/jobs/check_block_consensus_job.py)
     implicit_reorg: bool = False
     evolve_at_epoch: int | None = None  # epochs >= this add tool_meta + widen turn_idx
+    # planted malformed change rows (dead-letter fixtures): with k > 0,
+    # data rows where cursor % 2k == 0 get an unknown op ("corrupt") and
+    # rows where cursor % 2k == k get a NULL conv_id key — a pure function
+    # of the cursor, so the engine's error channel and the SQL oracle
+    # derive the SAME bad set from the same log. Rollback markers are
+    # never corrupted. 0 = off.
+    bad_row_every: int = 0
     shard_rows: int = 100_000  # rows per epoch shard file (read parallelism)
     roles: tuple = ("user", "assistant", "system", "tool")
     tools: tuple = ("search", "code", "browser", "calc")
@@ -315,6 +322,15 @@ def _materialize_table(spec: GenSpec, num: pd.DataFrame) -> pa.Table:
     tool = pc.if_else(pc.or_(pa.array(is_upd & ~keep_tool), void), nulls, tool)
     text = pc.if_else(void, nulls, text)
     ts = pc.if_else(void, pa.nulls(n, pa.timestamp("us")), ts)
+
+    if spec.bad_row_every:
+        mod = num["cursor"].to_numpy() % (2 * spec.bad_row_every)
+        op = pc.if_else(
+            pa.array((mod == 0) & ~is_rb), pa.scalar("corrupt"), op
+        )
+        conv_id = pc.if_else(
+            pa.array((mod == spec.bad_row_every) & ~is_rb), nulls, conv_id
+        )
 
     rbc_np = num["rbc"].to_numpy()
     rbc = pa.array(rbc_np, pa.int64(), mask=(rbc_np < 0))

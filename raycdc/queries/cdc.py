@@ -73,6 +73,7 @@ def _memo_engine(
     salted: bool = False,
     tables=None,
     spec_overrides: dict | None = None,
+    engine_kwargs: dict | None = None,
 ) -> Engine:
     """Replay the sf tier's generated change log into a /tmp lake ONCE per
     process per variant and return the (closed, read-only) Engine; the lake
@@ -87,6 +88,7 @@ def _memo_engine(
     lake_dir = _scratch_lake(spec, tag)
     shutil.rmtree(lake_dir, ignore_errors=True)  # fresh deterministic replay
     kwargs = {"tables": tables} if tables is not None else {}
+    kwargs.update(engine_kwargs or {})
     eng = Engine(lake_dir, num_partitions=_MEMO_NPARTS, salted=salted, **kwargs)
     eng.apply_log(log_dir, epochs_per_round=2)
     eng.close()  # release merger CPUs; the read path doesn't need the pool
@@ -139,6 +141,48 @@ def cdc_schema_evolution(sf_dir: str):
         sf_dir, "ev", spec_overrides={"evolve_at_epoch": _evolve_epoch(sf_dir)}
     )
     return eng.read_lake_pandas()
+
+
+# every 2*37th data event gets an unknown op, every other 37th a NULL key —
+# a pure function of the cursor (gen.GenSpec.bad_row_every), so the SQL
+# oracle derives the identical bad set from the same log files
+_DL_BAD_EVERY = 37
+
+
+def cdc_dead_letter(sf_dir: str):
+    """Dead-letter channel as a first-class observable: replay a log with
+    planted malformed change rows (unknown op / NULL key) under
+    ``error_policy="record"`` — the normalize stage diverts bad rows to the
+    lake's ``errors/`` parquet side channel (idempotent per-round file
+    names) and the replay completes on the good rows. Returns the diverted
+    rows. Reference analog: the buffered ExceptionRecorder + FAST mode's
+    log-and-continue (``indexer/utils/exception_recorder.py:11-72``,
+    ``indexer/executors/batch_work_executor.py:120-137``). The side channel
+    survives reorg rollbacks (an orphaned round's bad rows stay recorded),
+    so the oracle is simply every malformed data row in the log — verified
+    to hold ACROSS this spec's rollback epoch."""
+    from raycdc import errors as E
+
+    eng = _memo_engine(
+        sf_dir, "dl",
+        spec_overrides={"bad_row_every": _DL_BAD_EVERY},
+        engine_kwargs={"error_policy": "record"},
+    )
+    ds = E.read_errors(eng.lake.root)
+    assert ds is not None, "dead-letter spec plants bad rows; none recorded"
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id").cast(pa.string()),
+                "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                "op": t.column("op").cast(pa.string()),
+                "cursor": t.column("cursor").cast(pa.int64()),
+                "error_reason": t.column("error_reason").cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
 
 
 def cdc_partition_stats(sf_dir: str):
@@ -1084,6 +1128,11 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_dir = gen.cached_change_log(spec)
     path = os.path.join(log_dir, "changes-*.parquet")
+    # the dead-letter variant replays its OWN log (bad rows planted)
+    dl_spec = _spec_for(
+        sf_dir, rollback_epochs=(1,), bad_row_every=_DL_BAD_EVERY
+    )
+    dl_path = os.path.join(gen.cached_change_log(dl_spec), "changes-*.parquet")
     replay = CDC_REPLAY_SQL_TEMPLATE.format(path=path, where="")
     # time travel: the snapshot at a committed round boundary is exactly the
     # replay of the log prefix up to that round's last epoch (plan_rounds is
@@ -1186,6 +1235,19 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_incremental_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(
             replay=replay
         ),
+        # dead letter: the bad set is a pure function of the log, so the
+        # oracle selects every malformed DATA row from the dead-letter
+        # spec's own log files (rollback markers excluded — they are a
+        # plan-level step, never normalized data)
+        "cdc_dead_letter": (
+            "SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, op,\n"
+            "       CAST(cursor AS BIGINT) AS cursor,\n"
+            "       'malformed_change_row' AS error_reason\n"
+            f"FROM read_parquet('{dl_path}', union_by_name=true)\n"
+            "WHERE op <> 'rollback'\n"
+            "  AND (op NOT IN ('insert','update','delete')\n"
+            "       OR conv_id IS NULL OR turn_idx IS NULL)"
+        ),
     }
 
 
@@ -1193,6 +1255,7 @@ QUERIES = {
     "cdc_replay": cdc_replay,
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_schema_evolution": cdc_schema_evolution,
+    "cdc_dead_letter": cdc_dead_letter,
     "cdc_partition_stats": cdc_partition_stats,
     "cdc_cascade": cdc_cascade,
     "cdc_conv_stats": cdc_conv_stats,

@@ -366,6 +366,7 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
 @pytest.mark.parametrize(
     "name",
     ["cdc_replay", "cdc_replay_salted", "cdc_schema_evolution",
+     "cdc_dead_letter",
      "cdc_partition_stats", "cdc_cascade", "cdc_conv_stats",
      "cdc_conv_latest",
      "conv_daily_stats", "conv_cumulative_stats", "cdc_time_travel",
