@@ -395,6 +395,39 @@ def test_replay_queries_match_sql_oracle(ray_session, name):
     )
 
 
+def test_dead_letter_replay_state_matches_good_rows_only_oracle(ray_session):
+    """error_policy="record" must DIVERT bad rows without distorting what
+    survives: the dead-letter variant's final lake state equals a SQL
+    replay of the same log restricted to well-formed data rows (rollback
+    markers kept — the SQL resolves reorgs from them)."""
+    from raycdc import gen
+    from raycdc.queries.cdc import (
+        _DL_BAD_EVERY,
+        CDC_REPLAY_SQL_TEMPLATE,
+        _memo_engine,
+        _spec_for,
+    )
+
+    eng = _memo_engine(
+        SF_DIR, "dl",
+        spec_overrides={"bad_row_every": _DL_BAD_EVERY},
+        engine_kwargs={"error_policy": "record"},
+    )
+    got = canon(eng.read_lake_pandas())
+
+    dl_spec = _spec_for(SF_DIR, rollback_epochs=(1,), bad_row_every=_DL_BAD_EVERY)
+    dl_path = os.path.join(gen.cached_change_log(dl_spec), "changes-*.parquet")
+    good_where = (
+        " WHERE op = 'rollback' OR (op IN ('insert','update','delete')"
+        " AND conv_id IS NOT NULL AND turn_idx IS NOT NULL)"
+    )
+    want = canon(duck(
+        CDC_REPLAY_SQL_TEMPLATE.format(path=dl_path, where=good_where)
+    ))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_cdc_neardup_candidates_find_planted_content_dups(ray_session):
     """The generator plants mirrored-content convs (content_dup_every), so
     the index-served candidate groups must be NONEMPTY, and every reported
