@@ -194,12 +194,106 @@ HAVING count(*) * {HH_PHI_INV} >= (SELECT count(*) FROM events)
 """
 
 
+# -- count-min sketch registers ----------------------------------------------
+
+CMS_W = 512  # slots per depth
+CMS_D = 4    # independent hash rows
+# data-independent affine family over the poly-hash (fixed seed: part of
+# the format spec, mirrored as literals in the SQL oracle)
+CMS_A, CMS_C = H._family(777, CMS_D)
+
+
+def cms_point_estimate(registers: pd.DataFrame, key: str) -> int:
+    """CMS point query: min over depths of the key's cell — always an
+    OVERcount (one-sided error ≤ 2n/W per depth w.h.p.)."""
+    # exact python-int math: numpy 1.x promotes uint64 SCALAR % python-int
+    # to float64 (losing low bits above 2^53); the array path in
+    # cms_registers stays uint64 and is exact
+    h = int(H.poly_hash(np.asarray([key], dtype=object))[0])
+    est = None
+    for d in range(CMS_D):
+        slot = ((h * int(CMS_A[d]) + int(CMS_C[d])) % int(H.P)) % CMS_W
+        cell = registers[
+            (registers["depth"] == d) & (registers["slot"] == slot)
+        ]["n"]
+        v = int(cell.iloc[0]) if len(cell) else 0
+        est = v if est is None else min(est, v)
+    return est
+
+
+def cms_registers(sf_dir: str):
+    """Count-min sketch register table for per-user event frequencies:
+    ≤ ``CMS_D × CMS_W`` rows of (depth, slot, n) — the mergeable
+    approximate-counting sketch that pairs with the HLL registers (distinct
+    count) and the exact heavy-hitter pass (top keys). Scale shape: each
+    batch collapses to ≤2048 partial rows via ``bincount`` inside
+    ``map_batches``, then one bounded-key groupby-sum merges them — the
+    shuffle moves O(2048 × blocks) rows, never O(distinct users). Union of
+    two corpora = elementwise sum of registers. The registers are EXACT
+    counts of hash cells (the approximation is only in point queries, see
+    :func:`cms_point_estimate`), which is what makes the SQL oracle exact:
+    DuckDB recomputes every cell from the portable poly-hash literals."""
+    ds = C.read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = H.poly_hash(b["user_id"].astype("string").to_numpy(dtype=object))
+        frames = []
+        for d in range(CMS_D):
+            # h, a < P < 2^31 → product < 2^62: exact in uint64
+            slot = ((h * CMS_A[d] + CMS_C[d]) % H.P) % np.uint64(CMS_W)
+            n = np.bincount(slot.astype(np.int64), minlength=CMS_W)
+            nz = np.flatnonzero(n)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "depth": np.full(len(nz), d, np.int64),
+                        "slot": nz.astype(np.int64),
+                        "n": n[nz].astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["depth", "slot"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in ("depth", "slot", "n"):
+        out[c] = out[c].astype("int64")
+    return out[["depth", "slot", "n"]]
+
+
+def _cms_depth_sql(d: int) -> str:
+    return (
+        f"SELECT {d} AS depth, "
+        f"((h * {int(CMS_A[d])} + {int(CMS_C[d])}) % {H.P}) % {CMS_W} AS slot "
+        f"FROM h"
+    )
+
+
+CMS_SQL = (
+    f"WITH h AS (SELECT {H.sql_poly('CAST(user_id AS VARCHAR)')} AS h "
+    "FROM events),\n"
+    "s AS (" + "\n     UNION ALL ".join(_cms_depth_sql(d) for d in range(CMS_D))
+    + ")\n"
+    "SELECT CAST(depth AS BIGINT) AS depth, CAST(slot AS BIGINT) AS slot,\n"
+    "       CAST(count(*) AS BIGINT) AS n\n"
+    "FROM s GROUP BY depth, slot"
+)
+
+
 QUERIES = {
     "hll_registers": hll_registers,
     "heavy_hitter_users": heavy_hitter_users,
+    "cms_registers": cms_registers,
 }
 
 ORACLE_SQL = {
     "hll_registers": HLL_SQL,
     "heavy_hitter_users": HH_SQL,
+    "cms_registers": CMS_SQL,
 }

@@ -878,6 +878,29 @@ def test_hll_estimate_within_error_bound():
     assert abs(est - true_n) / true_n < 0.25  # ~3.8 sigma at m=256
 
 
+def test_cms_point_estimate_one_sided(ray_session):
+    """CMS point queries must NEVER undercount (the one-sided guarantee),
+    and at sf0.001's cardinality (~150 users vs 2048 cells) the vast
+    majority must be exact — verified against exact per-user counts."""
+    import pyarrow.parquet as pq
+
+    from raycdc.queries.sketches import cms_point_estimate, cms_registers
+
+    sf = "/root/testdata/sf0.001"
+    regs = cms_registers(sf)
+    truth = (
+        pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+        .to_pandas()["user_id"]
+        .value_counts()
+    )
+    exact_hits = 0
+    for uid, n_true in truth.items():
+        est = cms_point_estimate(regs, str(uid))
+        assert est >= n_true, f"user {uid}: CMS {est} < true {n_true}"
+        exact_hits += est == n_true
+    assert exact_hits / len(truth) > 0.8
+
+
 def test_repetition_kernel_edge_cases(ray_session):
     """docs_repetition's batch kernel on crafted frames: empty text,
     whitespace-only, single token, all-duplicate grams, adjacent repeats —

@@ -80,6 +80,7 @@ def _sql_backed():
         "tfidf_top_terms", "customers_without_orders",
         "events_value_quantiles", "neardup_clusters",
         "events_daily_type_pivot", "hll_registers", "heavy_hitter_users",
+        "cms_registers",
         "events_funnel", "events_rollup", "events_value_histogram",
         "user_retention_cohorts", "urgent_revenue_bloom",
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
