@@ -823,6 +823,151 @@ def cdc_snapshot_diff(sf_dir: str):
     return C.by_partition(both, "conv_id", kernel)
 
 
+# open-interval sentinel for the SCD2 history (avoids a nullable BIGINT,
+# which DuckDB's .df() surfaces as float64 and pandas as Int64 — the
+# canonical compare would then coerce differently on the two sides)
+_SCD2_OPEN = -1
+
+
+def cdc_history_scd2(sf_dir: str):
+    """SCD Type-2 history table derived straight from the change log: one
+    row per surviving VERSION of each ``(conv_id, turn_idx)`` key, payload
+    folded cumulatively with the engine's patch semantics (update nulls =
+    "unchanged", insert/delete restart the segment), validity interval =
+    ``[valid_from, valid_to)`` in composite-watermark time (open intervals
+    carry the ``-1`` sentinel + ``is_current``). Reorg-orphaned events
+    never produce versions; exact duplicate re-deliveries collapse to one.
+
+    The reference keeps only current state (LWW upsert into PG,
+    ``indexer/exporters/postgres_item_exporter.py``) — history is exactly
+    what its block-range re-export jobs reconstruct on demand; here it is
+    one declarative derivation over the same log the engine replays.
+
+    Scale shape: rollback markers are O(reorgs) — read driver-side with
+    predicate pushdown, folded to a suffix-min table, shipped by closure
+    (a handful of ints). The stream then resolves per batch with k tiny
+    vectorized comparisons (k = #rollbacks), and the per-key fold runs as
+    ONE pandas kernel per bounded hash partition (`C.by_partition`) —
+    sort + cumsum segmenting + GroupBy.ffill, no per-row Python, no
+    corpus-sized driver state. Output is event-sized, streamed."""
+    import pyarrow.dataset as pads
+    import ray
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    log_glob = gen.cached_change_log(spec)
+    files = sorted(
+        os.path.join(log_glob, f)
+        for f in os.listdir(log_glob)
+        if f.startswith("changes-") and f.endswith(".parquet")
+    )
+
+    # rollback markers: tiny by construction (one per reorg). Predicate
+    # pushdown keeps this a footer+filtered scan, and stream order
+    # (epoch, cursor, seq) suffix-min gives each marker the lowest
+    # rollback target at-or-after it — the same rb_floor the SQL oracle's
+    # backward-running MIN window computes.
+    rb = (
+        pads.dataset(files)
+        .to_table(
+            columns=["epoch", "cursor", "seq", "rollback_to_cursor"],
+            filter=pads.field("op") == "rollback",
+        )
+        .to_pandas()
+        .sort_values(["epoch", "cursor", "seq"], kind="stable")
+    )
+    rb_e = rb["epoch"].to_numpy(np.int64)
+    rb_c = rb["cursor"].to_numpy(np.int64)
+    rb_s = rb["seq"].to_numpy(np.int64)
+    rb_floor = np.minimum.accumulate(
+        rb["rollback_to_cursor"].to_numpy(np.int64)[::-1]
+    )[::-1]
+
+    cols = [
+        "op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "cursor", "seq", "epoch",
+    ]
+    logs = ray.data.read_parquet(files, columns=cols)
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        """Drop rollback markers and reorg-orphaned events; stamp wm."""
+        b = b[b["op"] != "rollback"]
+        e = b["epoch"].to_numpy(np.int64)
+        c = b["cursor"].to_numpy(np.int64)
+        s = b["seq"].to_numpy(np.int64)
+        if len(rb_e):
+            # idx of the first rollback at-or-after each event in stream
+            # order = count of rollbacks strictly before it (k tiny)
+            idx = np.zeros(len(b), np.int64)
+            for j in range(len(rb_e)):
+                before = (rb_e[j] < e) | (
+                    (rb_e[j] == e)
+                    & ((rb_c[j] < c) | ((rb_c[j] == c) & (rb_s[j] < s)))
+                )
+                idx += before
+            floor = np.where(
+                idx < len(rb_e), rb_floor[np.minimum(idx, len(rb_e) - 1)],
+                np.iinfo(np.int64).max,
+            )
+            b = b[c <= floor]
+        out = b[["conv_id", "turn_idx", "role", "text", "tool", "ts", "op"]]
+        out = out.copy()
+        out["wm"] = (
+            b["cursor"].to_numpy(np.int64) * _WM
+            + b["seq"].to_numpy(np.int64)
+        )
+        return out
+
+    eff = logs.map_batches(resolve, batch_format="pandas")
+
+    pay = ["role", "text", "tool", "ts"]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "wm"], kind="stable")
+        # exact re-deliveries carry identical payloads: one version each
+        g = g.drop_duplicates(["conv_id", "turn_idx", "wm"], keep="first")
+        new_key = (
+            g["conv_id"].ne(g["conv_id"].shift())
+            | g["turn_idx"].ne(g["turn_idx"].shift())
+        ).to_numpy()
+        reset = g["op"].isin(("insert", "delete")).to_numpy()
+        # segment id: insert/delete (and any key start — orphan patches
+        # before the first insert fold together, as in the replay's
+        # seg_start IS NULL branch) opens a new patch-fold segment
+        seg = np.cumsum(new_key | reset)
+        g = g.copy()
+        g[pay] = g[pay].groupby(seg).ffill()  # cumulative last-non-null
+        kid = np.cumsum(new_key)
+        wm = g["wm"].to_numpy()
+        nxt_same = np.roll(kid, -1) == kid
+        nxt_same[-1:] = False
+        valid_to = np.where(nxt_same, np.roll(wm, -1), _SCD2_OPEN)
+        starts = np.flatnonzero(new_key)
+        ver = (
+            np.arange(len(g), dtype=np.int64)
+            - np.repeat(starts, np.diff(starts, append=len(g)))
+            + 1
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "turn_idx": g["turn_idx"].to_numpy().astype("int32"),
+                "ver": ver.astype("int64"),
+                "ver_op": g["op"].to_numpy(),
+                "role": g["role"].to_numpy(),
+                "text": g["text"].to_numpy(),
+                "tool": g["tool"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "valid_from": wm.astype("int64"),
+                "valid_to": valid_to.astype("int64"),
+                "is_current": (
+                    ~nxt_same & (g["op"].to_numpy() != "delete")
+                ).astype("int64"),
+            }
+        )
+
+    return C.by_partition(eff, "conv_id", kernel)
+
+
 CDC_SNAPSHOT_DIFF_SQL_TEMPLATE = """
 WITH lo AS ({lo_replay}), hi AS ({hi_replay})
 SELECT COALESCE(lo.conv_id, hi.conv_id) AS conv_id,
@@ -965,6 +1110,42 @@ SELECT conv_id,
     CAST(max(wm) % {_WM} AS INTEGER) AS seq
 FROM eff GROUP BY conv_id
 """
+
+# SCD2 oracle: the replay's segment fold as CUMULATIVE window functions —
+# one version row per surviving effective event, payload ffilled within the
+# (key, seg) partition, interval closed by the key's next event
+CDC_HISTORY_SCD2_SQL_TEMPLATE = f"""
+WITH {_EFF_CTES}, dedup AS (
+    SELECT DISTINCT conv_id, turn_idx, role, text, tool, ts, op, wm FROM eff
+), segged AS (
+    SELECT *, count(*) FILTER (WHERE op IN ('insert', 'delete')) OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY wm
+        ROWS UNBOUNDED PRECEDING) AS seg
+    FROM dedup
+), folded AS (
+    SELECT conv_id, turn_idx, wm, op,
+        last_value(role IGNORE NULLS) OVER w AS role,
+        last_value(text IGNORE NULLS) OVER w AS text,
+        last_value(tool IGNORE NULLS) OVER w AS tool,
+        last_value(ts IGNORE NULLS)   OVER w AS ts
+    FROM segged
+    WINDOW w AS (PARTITION BY conv_id, turn_idx, seg ORDER BY wm
+                 ROWS UNBOUNDED PRECEDING)
+), vers AS (
+    SELECT *,
+        CAST(row_number() OVER wk AS BIGINT) AS ver,
+        lead(wm) OVER wk AS valid_to_wm
+    FROM folded
+    WINDOW wk AS (PARTITION BY conv_id, turn_idx ORDER BY wm)
+)
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, ver, op AS ver_op,
+       role, text, tool, ts,
+       CAST(wm AS BIGINT) AS valid_from,
+       CAST(COALESCE(valid_to_wm, {_SCD2_OPEN}) AS BIGINT) AS valid_to,
+       CAST((valid_to_wm IS NULL AND op <> 'delete') AS BIGINT) AS is_current
+FROM vers
+"""
+
 
 # the replay's full CTE chain (raw → reorg-resolved → segmented → folded),
 # shared by the final-state replay and the changefeed (which keeps deletes);
@@ -1227,6 +1408,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             "       'upsert' AS change_op\n"
             f"FROM cl WHERE cursor > {anchor_cursor}"
         ),
+        "cdc_history_scd2": CDC_HISTORY_SCD2_SQL_TEMPLATE.format(path=path),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -1265,6 +1447,7 @@ QUERIES = {
     "cdc_neardup_candidates": cdc_neardup_candidates,
     "cdc_neardup_delta": cdc_neardup_delta,
     "cdc_apply_events": cdc_apply_events,
+    "cdc_history_scd2": cdc_history_scd2,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,

@@ -373,7 +373,8 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
      "conv_daily_stats", "conv_cumulative_stats", "cdc_time_travel",
      "cdc_read_key", "cdc_changefeed", "cdc_changefeed_window",
      "cdc_changefeed_latest",
-     "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_fingerprint_index",
+     "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_history_scd2",
+     "cdc_fingerprint_index",
      "cdc_neardup_candidates", "cdc_neardup_delta"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
