@@ -31,8 +31,8 @@ HLL_M = 256          # 2^8 buckets → ~6.5% relative error on the estimate
 _REM_BITS = 23       # poly_hash < 2^31; bucket eats 8 bits, 23 remain
 
 
-def _registers(keys: np.ndarray) -> pd.DataFrame:
-    """(bucket, max_rho) partial registers for a batch of string keys.
+def _bucket_rho(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key HLL (bucket, rho) from the portable poly-hash.
 
     rho = 1 + leading zeros of the 23-bit remainder = 24 - bit_length(rem).
     bit_length via ``np.frexp`` exponents — exact for integers < 2^53,
@@ -42,7 +42,13 @@ def _registers(keys: np.ndarray) -> pd.DataFrame:
     rem = (h // np.uint64(HLL_M)).astype("int64")
     bitlen = np.frexp(rem.astype("float64"))[1]  # frexp(0) → exponent 0
     rho = (_REM_BITS + 1) - bitlen
-    df = pd.DataFrame({"bucket": bucket, "max_rho": rho.astype("int64")})
+    return bucket, rho.astype("int64")
+
+
+def _registers(keys: np.ndarray) -> pd.DataFrame:
+    """(bucket, max_rho) partial registers for a batch of string keys."""
+    bucket, rho = _bucket_rho(keys)
+    df = pd.DataFrame({"bucket": bucket, "max_rho": rho})
     return df.groupby("bucket", as_index=False)["max_rho"].max()
 
 
@@ -93,6 +99,53 @@ SELECT bucket,
             CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS BIGINT)
            AS max_rho
 FROM r GROUP BY bucket
+"""
+
+
+# grouped HLL: per-day distinct-user registers — the GROUP BY form every
+# real pipeline runs (daily actives at corpus scale). Per-group state stays
+# bounded (≤256 registers/day), so the shuffle moves O(days × 256 × blocks)
+# rows, never one row per distinct user.
+def hll_daily_users(sf_dir: str):
+    """Per-day HLL register tables for COUNT(DISTINCT user_id): ≤256 rows
+    of (day, bucket, max_rho) per day. Each batch collapses to day×bucket
+    partials inside ``map_batches``; one bounded-key groupby-max merges
+    them. ``hll_estimate`` on any day's slice gives that day's distinct
+    estimate; registers merge across corpora by elementwise max."""
+    ds = C.read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bucket, rho = _bucket_rho(
+            b["user_id"].astype("string").to_numpy(dtype=object)
+        )
+        df = pd.DataFrame(
+            {"day": b["ts"].dt.floor("D"), "bucket": bucket, "max_rho": rho}
+        )
+        return df.groupby(["day", "bucket"], as_index=False)["max_rho"].max()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "bucket"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+        .to_pandas()
+    )
+    out["max_rho"] = out["max_rho"].astype("int64")
+    return out[["day", "bucket", "max_rho"]]
+
+
+HLL_DAILY_SQL = f"""
+WITH h AS (
+    SELECT date_trunc('day', ts) AS day,
+           {H.sql_poly("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+), r AS (
+    SELECT day, h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h
+)
+SELECT day, bucket,
+       CAST(max({_REM_BITS + 1} -
+            CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS BIGINT)
+           AS max_rho
+FROM r GROUP BY day, bucket
 """
 
 
@@ -288,12 +341,14 @@ CMS_SQL = (
 
 QUERIES = {
     "hll_registers": hll_registers,
+    "hll_daily_users": hll_daily_users,
     "heavy_hitter_users": heavy_hitter_users,
     "cms_registers": cms_registers,
 }
 
 ORACLE_SQL = {
     "hll_registers": HLL_SQL,
+    "hll_daily_users": HLL_DAILY_SQL,
     "heavy_hitter_users": HH_SQL,
     "cms_registers": CMS_SQL,
 }

@@ -79,8 +79,8 @@ def _sql_backed():
         "events_top_per_user", "vocab_top_terms", "docs_stratified_sample",
         "tfidf_top_terms", "customers_without_orders",
         "events_value_quantiles", "neardup_clusters",
-        "events_daily_type_pivot", "hll_registers", "heavy_hitter_users",
-        "cms_registers",
+        "events_daily_type_pivot", "hll_registers", "hll_daily_users",
+        "heavy_hitter_users", "cms_registers",
         "events_funnel", "events_rollup", "events_value_histogram",
         "user_retention_cohorts", "urgent_revenue_bloom",
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
@@ -470,3 +470,41 @@ def test_simhash_hamming_finds_planted_near_dups(ray_session, tmp_path):
     expected = {(int(i), int(i) + 1_000_000) for i in base.head(5)["doc_id"]}
     assert expected <= found, f"missing planted near-dups: {expected - found}"
     assert (pairs["hamming"] <= 3).all()
+
+
+def test_scd2_current_rows_equal_replay_state(ray_session):
+    """SCD2 law: projecting the history table's is_current versions must
+    reproduce the replay's final lake state exactly — the history table is
+    a strict superset of current state, closed under the same rollback /
+    patch / delete semantics."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.cdc import _WM
+
+    hist = to_df(QUERIES["cdc_history_scd2"](SF_DIR))
+    cur = hist[hist["is_current"] == 1].copy()
+    cur["cursor"] = cur["valid_from"] // _WM
+    cur["seq"] = (cur["valid_from"] % _WM).astype("int32")
+    cur = cur[["conv_id", "turn_idx", "role", "text", "tool", "ts",
+               "cursor", "seq"]]
+    replay = QUERIES["cdc_replay"](SF_DIR)
+    pd.testing.assert_frame_equal(canon(cur), canon(replay), check_dtype=False)
+
+
+def test_hll_daily_users_estimates_per_group(ray_session):
+    """Each day's register slice must estimate that day's true distinct
+    user count within the m=256 standard-error envelope."""
+    import duckdb
+
+    from raycdc.queries import QUERIES
+    from raycdc.queries.sketches import hll_estimate
+
+    regs = to_df(QUERIES["hll_daily_users"](SF_DIR))
+    truth = duck(
+        "SELECT date_trunc('day', ts) AS day,"
+        " count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).set_index("day")["n"]
+    assert set(regs["day"]) == set(truth.index)
+    for day, grp in regs.groupby("day"):
+        est = hll_estimate(grp)
+        true_n = int(truth[day])
+        assert abs(est - true_n) / true_n < 0.25, (day, est, true_n)
