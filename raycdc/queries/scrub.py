@@ -90,6 +90,62 @@ FROM documents
 """
 
 
+# -- canonical text normalization ---------------------------------------------
+#
+# the standard pre-dedup/pre-tokenize cleanup pass (C4/RefinedWeb style):
+# lowercase → non-alphanumerics to spaces → collapse runs → trim. Every
+# regex runs on RE2 in BOTH engines (Arrow replace_substring_regex and
+# DuckDB regexp_replace share it), so replacement semantics match exactly
+# — the same guarantee docs_redact leans on.
+
+
+def docs_normalize(sf_dir: str):
+    """Canonically normalized text + its token count per doc: pure
+    zero-copy Arrow ``map_batches`` (three C regex/kernel passes per
+    batch, no shuffle, no Python per row)."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t.column("text"))
+        txt = pc.replace_substring_regex(txt, r"[^a-z0-9 ]", " ")
+        txt = pc.replace_substring_regex(txt, r" +", " ")
+        txt = pc.utf8_trim(txt, " ")
+        n = pc.utf8_length(txt)
+        spaces = pc.subtract(
+            n, pc.utf8_length(pc.replace_substring(txt, " ", ""))
+        )
+        n_tokens = pc.if_else(
+            pc.equal(n, 0),
+            pa.scalar(0, pa.int64()),
+            pc.cast(pc.add(spaces, 1), pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": txt,
+                "n_tokens": n_tokens,
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+NORMALIZE_SQL = """
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'), ' ') AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(CASE WHEN norm_text = '' THEN 0
+            ELSE length(norm_text)
+                 - length(replace(norm_text, ' ', '')) + 1 END AS BIGINT)
+           AS n_tokens
+FROM n
+"""
+
+
 # -- Gopher-style repetition metrics -----------------------------------------
 
 REP_N = 2  # duplicate-n-gram window (Gopher uses 2..4-gram dup fractions)
@@ -203,10 +259,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 QUERIES = {
     "docs_redact": docs_redact,
+    "docs_normalize": docs_normalize,
     "docs_repetition": docs_repetition,
 }
 
 ORACLE_SQL = {
     "docs_redact": _redact_sql(),
+    "docs_normalize": NORMALIZE_SQL,
     "docs_repetition": _repetition_sql(),
 }

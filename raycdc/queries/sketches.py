@@ -247,6 +247,80 @@ HAVING count(*) * {HH_PHI_INV} >= (SELECT count(*) FROM events)
 """
 
 
+# -- quantile-histogram sketch (DDSketch-shaped, integer-exact buckets) ------
+#
+# the sketch path the exact-quantiles operator documents for UNBOUNDED
+# groups: factor-2 log buckets keyed by the bit length of the value in
+# cents — integer-exact on both engines (numpy frexp / DuckDB length(bin)),
+# so the register table is SQL-oracle-checkable cell by cell. Mergeable:
+# union of two corpora = elementwise sum of (n, sum_cents) per bucket.
+# The per-bucket sum lets the estimator answer inside the bucket with the
+# bucket mean, so the relative error is bounded by the bucket width (≤2×)
+# and in practice far tighter.
+
+
+def value_quantile_sketch(sf_dir: str):
+    """Bounded-state quantile registers over ``events.value``: one row per
+    occupied factor-2 bucket with (n, sum_cents). Each batch collapses to
+    ≤64 partial rows inside ``map_batches``; a tiny bounded-key groupby
+    folds them — O(64 × blocks) shuffled rows at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    ds = C.read(sf_dir, "events", ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        bitlen = np.frexp(np.maximum(cents, 0).astype("float64"))[1]
+        bucket = np.where(cents <= 0, 0, bitlen).astype("int64")
+        df = pd.DataFrame({"bucket": bucket, "cents": cents})
+        g = df.groupby("bucket", as_index=False)["cents"].agg(["count", "sum"])
+        return pd.DataFrame(
+            {
+                "bucket": g["bucket"].astype("int64"),
+                "n": g["count"].astype("int64"),
+                "sum_cents": g["sum"].astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+        )
+        .to_pandas()
+    )
+    for c in ("bucket", "n", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["bucket", "n", "sum_cents"]]
+
+
+def quantile_sketch_estimate(registers: pd.DataFrame, q: float) -> float:
+    """Driver-side O(buckets) fold: walk the cumulative counts to the
+    bucket holding rank q·n, answer with that bucket's mean (in the
+    original value units). Error ≤ the bucket's factor-2 width."""
+    r = registers.sort_values("bucket")
+    n = r["n"].to_numpy()
+    target = q * n.sum()
+    i = int(np.searchsorted(np.cumsum(n), target))
+    i = min(i, len(r) - 1)
+    return float(r["sum_cents"].to_numpy()[i] / n[i] / 100.0)
+
+
+QSKETCH_SQL = """
+WITH c AS (
+    SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+), b AS (
+    SELECT CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS bucket,
+           cents
+    FROM c
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bucket
+"""
+
+
 # -- count-min sketch registers ----------------------------------------------
 
 CMS_W = 512  # slots per depth
@@ -344,9 +418,11 @@ QUERIES = {
     "hll_daily_users": hll_daily_users,
     "heavy_hitter_users": heavy_hitter_users,
     "cms_registers": cms_registers,
+    "value_quantile_sketch": value_quantile_sketch,
 }
 
 ORACLE_SQL = {
+    "value_quantile_sketch": QSKETCH_SQL,
     "hll_registers": HLL_SQL,
     "hll_daily_users": HLL_DAILY_SQL,
     "heavy_hitter_users": HH_SQL,

@@ -80,7 +80,8 @@ def _sql_backed():
         "tfidf_top_terms", "customers_without_orders",
         "events_value_quantiles", "neardup_clusters",
         "events_daily_type_pivot", "hll_registers", "hll_daily_users",
-        "heavy_hitter_users", "cms_registers",
+        "heavy_hitter_users", "cms_registers", "value_quantile_sketch",
+        "docs_normalize",
         "events_funnel", "events_rollup", "events_value_histogram",
         "user_retention_cohorts", "urgent_revenue_bloom",
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
@@ -508,3 +509,20 @@ def test_hll_daily_users_estimates_per_group(ray_session):
         est = hll_estimate(grp)
         true_n = int(truth[day])
         assert abs(est - true_n) / true_n < 0.25, (day, est, true_n)
+
+
+def test_quantile_sketch_estimates_within_bucket_width(ray_session):
+    """The sketch estimator must land within the factor-2 bucket envelope
+    of the exact quantile for p50/p90/p99."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.sketches import quantile_sketch_estimate
+
+    regs = to_df(QUERIES["value_quantile_sketch"](SF_DIR))
+    exact = duck(
+        "SELECT quantile_cont(value, 0.5) AS p50,"
+        " quantile_cont(value, 0.9) AS p90,"
+        " quantile_cont(value, 0.99) AS p99 FROM events"
+    ).iloc[0]
+    for q, true in (("p50", exact.p50), ("p90", exact.p90), ("p99", exact.p99)):
+        est = quantile_sketch_estimate(regs, float(q[1:]) / 100)
+        assert 0.5 <= est / true <= 2.0, (q, est, true)
