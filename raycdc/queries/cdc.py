@@ -850,16 +850,26 @@ def cdc_history_scd2(sf_dir: str):
     ONE pandas kernel per bounded hash partition (`C.by_partition`) —
     sort + cumsum segmenting + GroupBy.ffill, no per-row Python, no
     corpus-sized driver state. Output is event-sized, streamed."""
-    import pyarrow.dataset as pads
-    import ray
+    return _scd2_history(sf_dir)
 
+
+def _log_files(sf_dir: str) -> list[str]:
     spec = _spec_for(sf_dir, rollback_epochs=(1,))
     log_glob = gen.cached_change_log(spec)
-    files = sorted(
+    return sorted(
         os.path.join(log_glob, f)
         for f in os.listdir(log_glob)
         if f.startswith("changes-") and f.endswith(".parquet")
     )
+
+
+def _scd2_history(sf_dir: str, conv_keys: np.ndarray | None = None):
+    """Shared SCD2 derivation; ``conv_keys`` (sorted) restricts the stream
+    to those keys per batch BEFORE the shuffle (broadcast semi-join)."""
+    import pyarrow.dataset as pads
+    import ray
+
+    files = _log_files(sf_dir)
 
     # rollback markers: tiny by construction (one per reorg). Predicate
     # pushdown keeps this a footer+filtered scan, and stream order
@@ -888,9 +898,22 @@ def cdc_history_scd2(sf_dir: str):
     ]
     logs = ray.data.read_parquet(files, columns=cols)
 
+    keys_ref = None
+    if conv_keys is not None:
+        keys_ref = ray.put(np.sort(np.asarray(conv_keys, dtype=object)))
+
     def resolve(b: pd.DataFrame) -> pd.DataFrame:
         """Drop rollback markers and reorg-orphaned events; stamp wm."""
         b = b[b["op"] != "rollback"]
+        if keys_ref is not None:
+            import ray as _r
+
+            keys = _r.get(keys_ref)
+            cid = b["conv_id"].to_numpy(dtype=object)
+            pos = np.searchsorted(keys, cid)
+            pos[pos >= len(keys)] = 0
+            hit = (keys[pos] == cid) if len(keys) else np.zeros(len(b), bool)
+            b = b[hit]
         e = b["epoch"].to_numpy(np.int64)
         c = b["cursor"].to_numpy(np.int64)
         s = b["seq"].to_numpy(np.int64)
@@ -966,6 +989,53 @@ def cdc_history_scd2(sf_dir: str):
         )
 
     return C.by_partition(eff, "conv_id", kernel)
+
+
+def cdc_history_scd2_delta(sf_dir: str):
+    """Incremental SCD2 maintenance: the history rows a refresh after the
+    mid-replay anchor would APPEND (versions opened post-anchor) or CLOSE
+    (previously-open intervals whose ``valid_to`` was set by a post-anchor
+    event) — the per-interval work of keeping a history table current
+    without re-deriving the corpus.
+
+    Scale shape: pass 1 finds the dirty conv set from the POST-ANCHOR log
+    shards only — the ``changes-{epoch}-{lo}-{hi}`` filename ranges prune
+    the file list before any IO, then a predicate-pushdown scan collects
+    O(window) distinct keys. Pass 2 re-derives per-key history ONLY for
+    dirty keys: the key set broadcasts once (``ray.put``) and filters each
+    batch via ``searchsorted`` BEFORE the shuffle, so the bounded-partition
+    fold runs over delta-sized input. (Like `cdc_snapshot_diff`, assumes no
+    reorg crosses the anchor — the generator's rollback epoch precedes it;
+    a crossing rollback widens the dirty set via the undo window.)"""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    _, anchor = _snapshot_round_cursor(sf_dir)
+    files = _log_files(sf_dir)
+
+    def _hi(path: str) -> int:
+        # changes-{epoch:06d}-{lo}-{hi}[-sNN].parquet
+        return int(os.path.basename(path).split("-")[3].split(".")[0])
+
+    post = [f for f in files if _hi(f) > anchor]
+    dirty_tbl = pads.dataset(post).to_table(
+        columns=["conv_id"],
+        filter=(pads.field("cursor") > anchor)
+        & (pads.field("op") != "rollback"),
+    )
+    dirty = np.sort(
+        pc.unique(dirty_tbl.column("conv_id")).to_numpy(zero_copy_only=False)
+    )
+
+    hist = _scd2_history(sf_dir, conv_keys=dirty)
+
+    def delta_only(b: pd.DataFrame) -> pd.DataFrame:
+        vf = b["valid_from"].to_numpy() // _WM > anchor
+        vt = b["valid_to"].to_numpy()
+        closed = (vt != _SCD2_OPEN) & (vt // _WM > anchor)
+        return b[vf | closed]
+
+    return hist.map_batches(delta_only, batch_format="pandas")
 
 
 CDC_SNAPSHOT_DIFF_SQL_TEMPLATE = """
@@ -1409,6 +1479,16 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             f"FROM cl WHERE cursor > {anchor_cursor}"
         ),
         "cdc_history_scd2": CDC_HISTORY_SCD2_SQL_TEMPLATE.format(path=path),
+        # delta = full history restricted to post-anchor opens/closes; the
+        # incremental path must reproduce it bit-for-bit
+        "cdc_history_scd2_delta": (
+            "WITH h AS ("
+            + CDC_HISTORY_SCD2_SQL_TEMPLATE.format(path=path)
+            + f""")
+SELECT * FROM h
+WHERE valid_from // {_WM} > {anchor_cursor}
+   OR (valid_to <> {_SCD2_OPEN} AND valid_to // {_WM} > {anchor_cursor})"""
+        ),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -1448,6 +1528,7 @@ QUERIES = {
     "cdc_neardup_delta": cdc_neardup_delta,
     "cdc_apply_events": cdc_apply_events,
     "cdc_history_scd2": cdc_history_scd2,
+    "cdc_history_scd2_delta": cdc_history_scd2_delta,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,

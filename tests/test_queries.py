@@ -375,7 +375,7 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
      "cdc_read_key", "cdc_changefeed", "cdc_changefeed_window",
      "cdc_changefeed_latest",
      "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_history_scd2",
-     "cdc_fingerprint_index",
+     "cdc_history_scd2_delta", "cdc_fingerprint_index",
      "cdc_neardup_candidates", "cdc_neardup_delta"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
@@ -526,3 +526,32 @@ def test_quantile_sketch_estimates_within_bucket_width(ray_session):
     for q, true in (("p50", exact.p50), ("p90", exact.p90), ("p99", exact.p99)):
         est = quantile_sketch_estimate(regs, float(q[1:]) / 100)
         assert 0.5 <= est / true <= 2.0, (q, est, true)
+
+
+def test_scd2_delta_prunes_input(ray_session):
+    """The incremental history pass must (a) prune the file list by the
+    filename cursor ranges before any IO and (b) restrict the re-derive to
+    a dirty key set smaller than the corpus."""
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    from raycdc.queries.cdc import (
+        _log_files,
+        _snapshot_round_cursor,
+    )
+
+    _, anchor = _snapshot_round_cursor(SF_DIR)
+    files = _log_files(SF_DIR)
+    hi = lambda p: int(os.path.basename(p).split("-")[3].split(".")[0])
+    post = [f for f in files if hi(f) > anchor]
+    assert 0 < len(post) < len(files), (len(post), len(files))
+
+    all_convs = pc.count_distinct(
+        pads.dataset(files).to_table(columns=["conv_id"]).column("conv_id")
+    ).as_py()
+    dirty = pc.count_distinct(
+        pads.dataset(post)
+        .to_table(columns=["conv_id"], filter=pads.field("cursor") > anchor)
+        .column("conv_id")
+    ).as_py()
+    assert dirty < all_convs, (dirty, all_convs)
