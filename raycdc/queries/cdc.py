@@ -941,54 +941,60 @@ def _scd2_history(sf_dir: str, conv_keys: np.ndarray | None = None):
         return out
 
     eff = logs.map_batches(resolve, batch_format="pandas")
+    return C.by_partition(eff, "conv_id", _scd2_kernel)
 
-    pay = ["role", "text", "tool", "ts"]
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["conv_id", "turn_idx", "wm"], kind="stable")
-        # exact re-deliveries carry identical payloads: one version each
-        g = g.drop_duplicates(["conv_id", "turn_idx", "wm"], keep="first")
-        new_key = (
-            g["conv_id"].ne(g["conv_id"].shift())
-            | g["turn_idx"].ne(g["turn_idx"].shift())
-        ).to_numpy()
-        reset = g["op"].isin(("insert", "delete")).to_numpy()
-        # segment id: insert/delete (and any key start — orphan patches
-        # before the first insert fold together, as in the replay's
-        # seg_start IS NULL branch) opens a new patch-fold segment
-        seg = np.cumsum(new_key | reset)
-        g = g.copy()
-        g[pay] = g[pay].groupby(seg).ffill()  # cumulative last-non-null
-        kid = np.cumsum(new_key)
-        wm = g["wm"].to_numpy()
-        nxt_same = np.roll(kid, -1) == kid
-        nxt_same[-1:] = False
-        valid_to = np.where(nxt_same, np.roll(wm, -1), _SCD2_OPEN)
-        starts = np.flatnonzero(new_key)
-        ver = (
-            np.arange(len(g), dtype=np.int64)
-            - np.repeat(starts, np.diff(starts, append=len(g)))
-            + 1
-        )
-        return pd.DataFrame(
-            {
-                "conv_id": g["conv_id"].to_numpy(),
-                "turn_idx": g["turn_idx"].to_numpy().astype("int32"),
-                "ver": ver.astype("int64"),
-                "ver_op": g["op"].to_numpy(),
-                "role": g["role"].to_numpy(),
-                "text": g["text"].to_numpy(),
-                "tool": g["tool"].to_numpy(),
-                "ts": g["ts"].to_numpy(),
-                "valid_from": wm.astype("int64"),
-                "valid_to": valid_to.astype("int64"),
-                "is_current": (
-                    ~nxt_same & (g["op"].to_numpy() != "delete")
-                ).astype("int64"),
-            }
-        )
+_SCD2_PAYLOAD = ["role", "text", "tool", "ts"]
 
-    return C.by_partition(eff, "conv_id", kernel)
+
+def _scd2_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Whole-partition SCD2 fold (all rows of a key co-located): input is
+    effective events (conv_id, turn_idx, payload..., op, wm); output one
+    version row per surviving event. Pure + deterministic — property-
+    tested against a row-by-row reference in test_property.py."""
+    pay = _SCD2_PAYLOAD
+    g = g.sort_values(["conv_id", "turn_idx", "wm"], kind="stable")
+    # exact re-deliveries carry identical payloads: one version each
+    g = g.drop_duplicates(["conv_id", "turn_idx", "wm"], keep="first")
+    new_key = (
+        g["conv_id"].ne(g["conv_id"].shift())
+        | g["turn_idx"].ne(g["turn_idx"].shift())
+    ).to_numpy()
+    reset = g["op"].isin(("insert", "delete")).to_numpy()
+    # segment id: insert/delete (and any key start — orphan patches
+    # before the first insert fold together, as in the replay's
+    # seg_start IS NULL branch) opens a new patch-fold segment
+    seg = np.cumsum(new_key | reset)
+    g = g.copy()
+    g[pay] = g[pay].groupby(seg).ffill()  # cumulative last-non-null
+    kid = np.cumsum(new_key)
+    wm = g["wm"].to_numpy()
+    nxt_same = np.roll(kid, -1) == kid
+    nxt_same[-1:] = False
+    valid_to = np.where(nxt_same, np.roll(wm, -1), _SCD2_OPEN)
+    starts = np.flatnonzero(new_key)
+    ver = (
+        np.arange(len(g), dtype=np.int64)
+        - np.repeat(starts, np.diff(starts, append=len(g)))
+        + 1
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": g["conv_id"].to_numpy(),
+            "turn_idx": g["turn_idx"].to_numpy().astype("int32"),
+            "ver": ver.astype("int64"),
+            "ver_op": g["op"].to_numpy(),
+            "role": g["role"].to_numpy(),
+            "text": g["text"].to_numpy(),
+            "tool": g["tool"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "valid_from": wm.astype("int64"),
+            "valid_to": valid_to.astype("int64"),
+            "is_current": (
+                ~nxt_same & (g["op"].to_numpy() != "delete")
+            ).astype("int64"),
+        }
+    )
 
 
 def cdc_history_scd2_delta(sf_dir: str):

@@ -511,3 +511,99 @@ def test_priority_topk_combiner_is_superset_stable(ntoks, k, nchunks):
     ).reset_index(drop=True)
     want = topk(df).reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, want)
+
+
+# -- SCD2 kernel vs row-by-row reference --------------------------------------
+
+_scd2_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # conv (small: force collisions)
+        st.integers(0, 2),                      # turn
+        st.sampled_from(["insert", "update", "delete"]),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # role
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),       # text
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _scd2_reference(rows):
+    """Obviously-correct per-key simulation: walk events in wm order,
+    maintain the patch-folded state, emit one version per event."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    seen = set()
+    for wm, (conv, turn, op, role, text) in enumerate(rows):
+        key = (conv, turn, wm)
+        if key in seen:  # exact re-delivery: collapses
+            continue
+        seen.add(key)
+        by_key[(conv, turn)].append((wm, op, role, text))
+    out = []
+    for (conv, turn), evs in by_key.items():
+        state = {"role": None, "text": None}
+        for i, (wm, op, role, text) in enumerate(evs):
+            if op in ("insert", "delete"):
+                state = {"role": None, "text": None}
+            if role is not None:
+                state["role"] = role
+            if text is not None:
+                state["text"] = text
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else -1
+            out.append(
+                {
+                    "conv_id": f"c{conv}",
+                    "turn_idx": turn,
+                    "ver": i + 1,
+                    "ver_op": op,
+                    "role": state["role"],
+                    "text": state["text"],
+                    "valid_from": wm,
+                    "valid_to": nxt,
+                    "is_current": int(nxt == -1 and op != "delete"),
+                }
+            )
+    return pd.DataFrame(out)
+
+
+@given(_scd2_events, st.data())
+@settings(max_examples=60, deadline=None)
+def test_scd2_kernel_matches_reference(rows, data):
+    """The vectorized SCD2 fold must equal the per-event simulation on any
+    stream, including exact re-deliveries (a sampled subset of events is
+    delivered twice at the same wm)."""
+    from raycdc.queries.cdc import _scd2_kernel
+
+    recs = []
+    for wm, (conv, turn, op, role, text) in enumerate(rows):
+        rec = {
+            "conv_id": f"c{conv}", "turn_idx": turn, "role": role,
+            "text": text, "tool": None,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=wm),
+            "op": op, "wm": wm,
+        }
+        recs.append(rec)
+        if data.draw(st.booleans(), label=f"dup@{wm}"):
+            recs.append(dict(rec))  # exact duplicate re-delivery
+    g = pd.DataFrame(
+        recs,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                 "op", "wm"],
+    )
+    got = _scd2_kernel(g)
+    want = _scd2_reference(rows)
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    cols = ["conv_id", "turn_idx", "ver", "ver_op", "role", "text",
+            "valid_from", "valid_to", "is_current"]
+    got = got[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    want = (
+        want[cols]
+        .astype(got.dtypes.to_dict())
+        .sort_values(cols, kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
