@@ -997,6 +997,84 @@ def _scd2_kernel(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def cdc_round_ledger(sf_dir: str):
+    """The commit ledger — one row per COMMITTED round with its epoch
+    count, cursor range and applied-event count: the reference's
+    sync-record observability (each synced block range recorded by
+    ``indexer/controller/stream_controller.py``), here read straight from
+    the manifest (O(rounds) metadata, no data IO). Rounds undone by the
+    reorg rollback must be ABSENT — the oracle recomputes the survivor
+    set from the pure plan and counts each round's events from the raw
+    log, so the ledger's lineage (not just the table state) is
+    driver-checked."""
+    eng = _replayed_engine(sf_dir, salted=False)
+    rows = eng.lake.manifest["committed_rounds"]
+    return pd.DataFrame(
+        {
+            "round_id": [r["round_id"] for r in rows],
+            "n_epochs": np.array([len(r["epochs"]) for r in rows], np.int64),
+            "cursor_lo": np.array([r["cursor_lo"] for r in rows], np.int64),
+            "cursor_hi": np.array([r["cursor_hi"] for r in rows], np.int64),
+            "n_events": np.array(
+                [r["metrics"]["n_events"] for r in rows], np.int64
+            ),
+        }
+    )
+
+
+def _surviving_plan_rounds(sf_dir: str):
+    """Committed-round survivor set from the PURE plan (footer metadata
+    only): walk the plan in order; a rollback step undoes every earlier
+    round whose cursor range exceeds its target."""
+    from raycdc.engine import discover_epoch_files, plan_rounds
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    files = discover_epoch_files(gen.cached_change_log(spec))
+    out = []
+    for s in plan_rounds(files, 2, set(), 0):
+        if s[0] == "round":
+            _, group, round_id = s
+            out.append(
+                {
+                    "round_id": round_id,
+                    "epochs": sorted(f["epoch"] for f in group),
+                    "cursor_lo": min(f["cursor_lo"] for f in group),
+                    "cursor_hi": max(f["cursor_hi"] for f in group),
+                }
+            )
+        elif s[0] == "rollback":
+            to_cursor = s[1]
+            out = [r for r in out if r["cursor_hi"] <= to_cursor]
+    return out
+
+
+def _round_ledger_sql(sf_dir: str, path: str) -> str:
+    plan = _surviving_plan_rounds(sf_dir)
+    pairs = ", ".join(
+        f"('{r['round_id']}', {e})" for r in plan for e in r["epochs"]
+    )
+    meta = ", ".join(
+        f"('{r['round_id']}', {len(r['epochs'])}, "
+        f"{r['cursor_lo']}, {r['cursor_hi']})"
+        for r in plan
+    )
+    return f"""
+WITH plan(round_id, epoch) AS (VALUES {pairs}),
+meta(round_id, n_epochs, cursor_lo, cursor_hi) AS (VALUES {meta}),
+cnt AS (
+    SELECT p.round_id, count(*) AS n_events
+    FROM read_parquet('{path}') r JOIN plan p ON r.epoch = p.epoch
+    WHERE r.op <> 'rollback'
+    GROUP BY p.round_id
+)
+SELECT m.round_id, CAST(m.n_epochs AS BIGINT) AS n_epochs,
+       CAST(m.cursor_lo AS BIGINT) AS cursor_lo,
+       CAST(m.cursor_hi AS BIGINT) AS cursor_hi,
+       CAST(c.n_events AS BIGINT) AS n_events
+FROM meta m JOIN cnt c USING (round_id)
+"""
+
+
 def cdc_history_scd2_delta(sf_dir: str):
     """Incremental SCD2 maintenance: the history rows a refresh after the
     mid-replay anchor would APPEND (versions opened post-anchor) or CLOSE
@@ -1484,6 +1562,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             "       'upsert' AS change_op\n"
             f"FROM cl WHERE cursor > {anchor_cursor}"
         ),
+        "cdc_round_ledger": _round_ledger_sql(sf_dir, path),
         "cdc_history_scd2": CDC_HISTORY_SCD2_SQL_TEMPLATE.format(path=path),
         # delta = full history restricted to post-anchor opens/closes; the
         # incremental path must reproduce it bit-for-bit
@@ -1535,6 +1614,7 @@ QUERIES = {
     "cdc_apply_events": cdc_apply_events,
     "cdc_history_scd2": cdc_history_scd2,
     "cdc_history_scd2_delta": cdc_history_scd2_delta,
+    "cdc_round_ledger": cdc_round_ledger,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,
