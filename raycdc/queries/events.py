@@ -705,8 +705,101 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# -- exact z-score outlier detection ------------------------------------------
+
+OUTLIER_SIGMA_NUM, OUTLIER_SIGMA_DEN = 5, 2  # 2.5 sigma, kept rational
+
+
+def events_value_outliers(sf_dir: str):
+    """Per-type z-score outliers (value > mean + 2.5·stddev) with EXACT
+    set membership — no float tolerance at the decision boundary.
+
+    The float comparison ``v > m + 2.5·s`` is rounded differently by
+    numpy and DuckDB in the last ulp, which can flip boundary rows; so
+    both sides decide on integers instead. The condition in value-cents
+    is ``(n·v − S) > 0  AND  4·(n·v − S)²·(n−1) > 25·n·(n·SSQ − S²)``
+    (S, SSQ = per-group sum / sum-of-squares of cents) — monotone in v,
+    so it is equivalent to ``v ≥ T`` for a per-group integer threshold.
+    The oracle evaluates the inequality directly in HUGEINT; this side
+    binary-searches T per group with Python ints (exact, driver-side,
+    O(groups·log(max_cents))) and ships the tiny {type: T} dict to a
+    pure filter pass.
+
+    Scale shape: pass 1 collapses each batch to ≤|types| moment rows
+    (n, S, SSQ are mergeable); pass 2 is a broadcast-threshold filter —
+    the event table is never shuffled."""
+    ds = C.read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"], "c": cents, "sq": cents * cents}
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), ssq=("sq", "sum")
+        )
+
+    stats = (
+        ds.map_batches(moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type")
+        .sum()
+    )
+    thr: dict[str, int] = {}
+    for t, row in stats.iterrows():
+        n, s, ssq = int(row["n"]), int(row["s"]), int(row["ssq"])
+        rhs = (
+            OUTLIER_SIGMA_NUM * OUTLIER_SIGMA_NUM * n * (n * ssq - s * s)
+        )
+
+        def cond(c: int) -> bool:
+            d = n * c - s
+            return d > 0 and (
+                OUTLIER_SIGMA_DEN * OUTLIER_SIGMA_DEN * d * d * (n - 1) > rhs
+            )
+
+        lo, hi = 0, 10**9  # cents upper bound (values are ≤ ~1e7 cents)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cond(mid):
+                hi = mid
+            else:
+                lo = mid + 1
+        thr[t] = lo
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        t = b["event_type"].map(thr).to_numpy()
+        out = b[cents >= t]
+        return out[["event_id", "event_type", "value"]]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+OUTLIERS_SQL = f"""
+WITH c AS (
+    SELECT event_id, event_type, value,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+), g AS (
+    SELECT event_type, count(*) AS n, sum(cents) AS s,
+           sum(cents * cents) AS ssq
+    FROM c GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM c e JOIN g USING (event_type)
+WHERE (CAST(g.n AS HUGEINT) * e.cents - g.s) > 0
+  AND {OUTLIER_SIGMA_DEN * OUTLIER_SIGMA_DEN}
+      * (CAST(g.n AS HUGEINT) * e.cents - g.s)
+      * (CAST(g.n AS HUGEINT) * e.cents - g.s) * (g.n - 1)
+      > {OUTLIER_SIGMA_NUM * OUTLIER_SIGMA_NUM} * CAST(g.n AS HUGEINT)
+        * (CAST(g.n AS HUGEINT) * g.ssq - CAST(g.s AS HUGEINT) * g.s)
+"""
+
+
 QUERIES = {
     "events_asof_orders": events_asof_orders,
+    "events_value_outliers": events_value_outliers,
     "events_value_delta": events_value_delta,
     "events_latest_per_user": events_latest_per_user,
     "events_hourly_stats": events_hourly_stats,
@@ -723,6 +816,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_asof_orders": ASOF_SQL,
+    "events_value_outliers": OUTLIERS_SQL,
     "events_value_delta": VALUE_DELTA_SQL,
     "events_latest_per_user": LATEST_SQL,
     "events_hourly_stats": HOURLY_SQL,

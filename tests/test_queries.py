@@ -79,7 +79,8 @@ def _sql_backed():
         "events_top_per_user", "vocab_top_terms", "docs_stratified_sample",
         "tfidf_top_terms", "customers_without_orders",
         "events_value_quantiles", "neardup_clusters",
-        "events_daily_type_pivot", "hll_registers", "hll_daily_users",
+        "events_daily_type_pivot", "events_value_outliers",
+        "hll_registers", "hll_daily_users",
         "heavy_hitter_users", "cms_registers", "value_quantile_sketch",
         "docs_normalize",
         "events_funnel", "events_rollup", "events_value_histogram",
