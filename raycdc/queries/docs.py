@@ -1066,6 +1066,173 @@ FROM o
 """
 
 
+# -- intra-corpus duplicated-span detection (exact substring dedup) ----------
+
+
+def _gram_pos_rows(
+    b: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, 1-based gram position, gram hash) for EVERY word
+    CONTAM_N-gram of the batch's docs — the positional variant of
+    :func:`_gram_rows` (which keeps only doc-level hashes). Same
+    vectorized shape: explode → N elementwise window joins → one
+    poly_hash pass; positions come from a per-doc offset subtraction
+    (docs are contiguous in the explode, doc_id is unique per row)."""
+    from raycdc import phash as H
+
+    z = np.zeros(0, np.int64)
+    lists = T.token_lists(b["text"])
+    keep = lists.str.len() >= CONTAM_N
+    if not keep.any():
+        return z, z, np.zeros(0, np.uint64)
+    d = pd.DataFrame(
+        {
+            "doc_id": b.loc[keep, "doc_id"].astype("int64").to_numpy(),
+            "tok": lists[keep].to_numpy(),
+        }
+    )
+    e = d.explode("tok", ignore_index=True)
+    arr = e["tok"].to_numpy(dtype=object)
+    did = e["doc_id"].to_numpy()
+    n = len(arr)
+    g = arr[: n - CONTAM_N + 1].copy()
+    for j in range(1, CONTAM_N):
+        g = g + " "
+        g = g + arr[j : n - CONTAM_N + 1 + j]
+    valid = did[: n - CONTAM_N + 1] == did[CONTAM_N - 1 :]
+    doc_start = np.concatenate(
+        [np.zeros(1, np.int64), np.flatnonzero(did[1:] != did[:-1]) + 1]
+    )
+    counts = np.diff(np.append(doc_start, n))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(doc_start, counts) + 1
+    head = slice(0, n - CONTAM_N + 1)
+    return did[head][valid], pos[head][valid], H.poly_hash(g[valid])
+
+
+def docs_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans — the corpus-dedup primitive of
+    Lee et al., *Deduplicating Training Data Makes Language Models Better*
+    (exact-substring variant): for each document, the MAXIMAL runs of word
+    8-grams whose exact text occurs ≥ 2 times anywhere in the corpus
+    (another doc or a repeat within the same doc). Output one row per
+    merged span: (doc_id, span_start, span_end, n_grams), token positions
+    1-based inclusive — the spans a dedup pass would cut before training.
+
+    Scale shape (100 TB): (1) per-batch PARTIAL gram-hash counts →
+    ``groupby(g).sum`` — the all-to-all moves pre-aggregated int64 pairs,
+    never gram strings; (2) the duplicated-gram set joins back to the
+    position stream with a hash ``Dataset.join`` — at corpus scale that
+    set is corpus-sized in the worst case, so a broadcast would NOT be
+    scale-safe (contamination's broadcast relies on the test side being
+    small by design; this one cannot); (3) span merge is gaps-and-islands
+    on sorted positions inside a bounded partition (``C.by_partition``) —
+    one vectorized kernel per partition, never per doc. Join inputs
+    return explicit-schema Arrow tables so empty blocks keep their schema
+    through the hash shuffle (the r3 ``neardup_clusters`` lesson)."""
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(b: pd.DataFrame) -> pa.Table:
+        _, _, gh = _gram_pos_rows(b)
+        g, c = np.unique(gh, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(g.astype(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("sum(c)"), pa.scalar(2))
+        return pa.table({"g": t.column("g").filter(m).cast(pa.int64())})
+
+    dup = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .groupby("g")
+        .sum("c")
+        .map_batches(only_dups, batch_format="pyarrow")
+    )
+
+    def pos_rows(b: pd.DataFrame) -> pa.Table:
+        did, pos, gh = _gram_pos_rows(b)
+        return pa.table(
+            {
+                "doc_id": pa.array(did.astype(np.int64), pa.int64()),
+                "i": pa.array(pos, pa.int64()),
+                "g": pa.array(gh.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hits = ds.map_batches(pos_rows, batch_format="pandas").join(
+        dup,
+        join_type="inner",
+        num_partitions=C.join_partitions(),
+        on=("g",),
+    )
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "span_start": pd.Series(dtype="int64"),
+                    "span_end": pd.Series(dtype="int64"),
+                    "n_grams": pd.Series(dtype="int64"),
+                }
+            )
+        d = g.sort_values(["doc_id", "i"])
+        did = d["doc_id"].to_numpy()
+        i = d["i"].to_numpy()
+        new = np.ones(len(d), bool)
+        new[1:] = (did[1:] != did[:-1]) | (i[1:] != i[:-1] + 1)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d)) - 1
+        return pd.DataFrame(
+            {
+                "doc_id": did[starts].astype("int64"),
+                "span_start": i[starts].astype("int64"),
+                "span_end": (i[ends] + CONTAM_N - 1).astype("int64"),
+                "n_grams": (ends - starts + 1).astype("int64"),
+            }
+        )
+
+    return C.by_partition(
+        hits.select_columns(["doc_id", "i"]), "doc_id", merge_spans
+    )
+
+
+def _dup_spans_sql() -> str:
+    from raycdc import phash as H
+
+    gram = H.sql_poly(
+        f"array_to_string(list_slice(w, i, i + {CONTAM_N} - 1), ' ')"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {T.toks_sql('text')} AS w FROM documents)
+  WHERE len(w) >= {CONTAM_N}
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - {CONTAM_N} + 1)) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i, {gram} AS g FROM pos
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, i FROM grams JOIN dup USING (g)
+), isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + {CONTAM_N} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
@@ -1083,6 +1250,7 @@ QUERIES = {
     "docs_split_assign": docs_split_assign,
     "doc_pack_offsets": doc_pack_offsets,
     "docs_contamination": docs_contamination,
+    "docs_dup_spans": docs_dup_spans,
 }
 
 ORACLE_SQL = {
@@ -1102,4 +1270,5 @@ ORACLE_SQL = {
     "docs_split_assign": _split_assign_sql(),
     "doc_pack_offsets": PACK_OFFSETS_SQL,
     "docs_contamination": _contamination_sql(),
+    "docs_dup_spans": _dup_spans_sql(),
 }
