@@ -18,6 +18,7 @@ from raycdc.queries import (
     cdc,
     docs,
     events,
+    graph,
     multimodal,
     neardup,
     scrub,
@@ -28,7 +29,7 @@ from raycdc.queries import (
 
 _MODULES = [
     tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces,
-    sketches, analytics, scrub,
+    sketches, analytics, scrub, graph,
 ]
 
 QUERIES: dict = {}
