@@ -88,6 +88,7 @@ def _sql_backed():
         "dedup_levenshtein_pairs", "docs_split_assign", "doc_pack_offsets",
         "docs_contamination", "media_content_dedup", "media_phash_neardup",
         "docs_weighted_sample", "docs_lm_familiarity",
+        "docs_dup_spans", "graph_pagerank", "graph_cosupply_pairs",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
