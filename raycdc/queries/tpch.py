@@ -576,8 +576,122 @@ GROUP BY l_returnflag
 """
 
 
+# -- Q10-style: returned-item revenue report (top 20 customers) -------------
+
+Q10_FROM = "1996-10-01"
+Q10_TO = "1997-01-01"
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10: revenue lost to returned items per customer over one
+    quarter. Filter-pushed reads on BOTH fact tables (only 'R' lineitem
+    rows and in-window orders leave storage — row-group pruning at the
+    source), per-batch revenue partials by orderkey BEFORE the big-big
+    join (~4× shuffle cut, the q3 combiner), a second partial by custkey
+    after it, then the global top-20 via per-block local-top-k combiners
+    — no all-to-all sort. Customer/nation attributes resolve on the
+    DRIVER against the 20 winning keys only (dim lookup after the top-k,
+    never a corpus-wide join)."""
+    import datetime as _dt
+
+    orders = C.read(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate") >= _dt.datetime(1996, 10, 1))
+            & (pads.field("o_orderdate") < _dt.datetime(1997, 1, 1))
+        ),
+    )
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def partial_rev(t: pa.Table) -> pd.DataFrame:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t.column("l_orderkey").to_numpy(),
+                "revenue": rev.to_numpy(),
+            }
+        )
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    j = line.map_batches(partial_rev, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=C.join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False)["revenue"].sum()
+
+    agg = (
+        j.map_batches(partial_cust, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def localtop(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = b["revenue"].round(C.ROUND_DIGITS)
+        return b.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    cand = agg.map_batches(localtop, batch_format="pandas").to_pandas()
+    top = (
+        cand.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True], kind="stable"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+    cust = C.read_pandas(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    ).set_index("c_custkey")
+    nat = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    keys = top["o_custkey"].astype(int)
+    return pd.DataFrame(
+        {
+            "c_custkey": keys.astype("int64"),
+            "c_name": [cust.loc[k, "c_name"] for k in keys],
+            "n_name": [nname[int(cust.loc[k, "c_nationkey"])] for k in keys],
+            "revenue": top["revenue"],
+        }
+    )
+
+
+Q10_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_FROM}'
+    AND o_orderdate <  TIMESTAMP '{Q10_TO}'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, revenue
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q10_returned_items": q10_returned_items,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "order_priority_count": order_priority_count,
@@ -591,6 +705,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
+    "q10_returned_items": Q10_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "order_priority_count": Q4_SQL,

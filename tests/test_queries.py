@@ -89,6 +89,7 @@ def _sql_backed():
         "docs_contamination", "media_content_dedup", "media_phash_neardup",
         "docs_weighted_sample", "docs_lm_familiarity",
         "docs_dup_spans", "graph_pagerank", "graph_cosupply_pairs",
+        "q10_returned_items",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
