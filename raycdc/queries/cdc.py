@@ -1506,6 +1506,9 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
     ev_path = os.path.join(gen.cached_change_log(ev_spec), "changes-*.parquet")
     return {
         "cdc_replay": replay,
+        "cdc_window_dedup": CDC_WINDOW_DEDUP_SQL_TEMPLATE.format(
+            path=path, w=WINDOW_DEDUP_W
+        ),
         "cdc_replay_salted": replay,  # salted path must be bit-identical
         "cdc_cascade": replay,  # feed-replicated copy must equal the source
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
@@ -1598,8 +1601,103 @@ WHERE valid_from // {_WM} > {anchor_cursor}
     }
 
 
+# -- streaming-window dedup over the change stream ---------------------------
+
+WINDOW_DEDUP_W = 100  # TTL in cursor units: state an online dedup would hold
+
+
+def cdc_window_dedup(sf_dir: str):
+    """Streaming dedup with TTL'd state — the pre-ingest duplicate filter
+    a CDC pipeline runs on the wire: an event is a duplicate iff an
+    earlier event with IDENTICAL text arrived within the last
+    WINDOW_DEDUP_W cursor units. Output one row per flagged event with
+    the (cursor, seq) of the event it duplicates.
+
+    This is the task brief's "streaming window" custom operator: an
+    online implementation holds a content-hash → last-seen-cursor map
+    and evicts entries older than W (state is O(events per W window),
+    BOUNDED — never the full history); this derivation computes the same
+    predicate over the stream log. Only the NEAREST predecessor matters
+    (same text, latest earlier arrival): if it is outside the window,
+    every older one is too — so the kernel is one sorted-neighbor
+    compare, not a range self-join.
+
+    Shape: filter-pushed log scan (only insert/update rows with text
+    leave storage) → ONE bounded-partition shuffle keyed by text (all
+    rows of a text co-locate; ``C.by_partition`` is the state shard) →
+    vectorized prev-row compare. Raw stream semantics: later-rolled-back
+    events are included by design — the wire filter sees them arrive.
+
+    Determinism: stream order within a text group is (cursor, seq,
+    conv_id, turn_idx) — (cursor, seq) alone ties across conversations
+    in the same round. Exact re-deliveries (full-row duplicates) yield
+    identical output rows whichever of the pair sorts first, so the
+    result multiset is stable; the SQL oracle orders by the same key."""
+    import ray
+
+    files = _log_files(sf_dir)
+    import pyarrow.dataset as pads
+
+    logs = ray.data.read_parquet(
+        files,
+        columns=["conv_id", "turn_idx", "text", "cursor", "seq"],
+        filter=(
+            pads.field("op").isin(["insert", "update"])
+            & ~pads.field("text").is_null()
+        ),
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(
+            ["text", "cursor", "seq", "conv_id", "turn_idx"], kind="stable"
+        )
+        t = d["text"].to_numpy(dtype=object)
+        c = d["cursor"].to_numpy(np.int64)
+        s = d["seq"].to_numpy(np.int64)
+        same = np.zeros(len(d), bool)
+        if len(d) > 1:
+            same[1:] = t[1:] == t[:-1]
+        gap_ok = np.zeros(len(d), bool)
+        if len(d) > 1:
+            gap_ok[1:] = (c[1:] - c[:-1]) <= WINDOW_DEDUP_W
+        m = same & gap_ok
+        prev = np.flatnonzero(m) - 1
+        return pd.DataFrame(
+            {
+                "conv_id": d["conv_id"].to_numpy(dtype=object)[m],
+                "turn_idx": d["turn_idx"].to_numpy(np.int64)[m],
+                "cursor": c[m],
+                "seq": s[m],
+                "dup_of_cursor": c[prev],
+                "dup_of_seq": s[prev],
+            }
+        )
+
+    return C.by_partition(logs, "text", kernel)
+
+
+CDC_WINDOW_DEDUP_SQL_TEMPLATE = """
+WITH ev AS (
+  SELECT conv_id, turn_idx, text, cursor, seq
+  FROM read_parquet('{path}')
+  WHERE op IN ('insert', 'update') AND text IS NOT NULL
+), lagged AS (
+  SELECT conv_id, turn_idx, cursor, seq,
+         lag(cursor) OVER w AS pc, lag(seq) OVER w AS ps
+  FROM ev
+  WINDOW w AS (PARTITION BY text ORDER BY cursor, seq, conv_id, turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(cursor AS BIGINT) AS cursor, CAST(seq AS BIGINT) AS seq,
+       CAST(pc AS BIGINT) AS dup_of_cursor, CAST(ps AS BIGINT) AS dup_of_seq
+FROM lagged
+WHERE pc IS NOT NULL AND cursor - pc <= {w}
+"""
+
+
 QUERIES = {
     "cdc_replay": cdc_replay,
+    "cdc_window_dedup": cdc_window_dedup,
     "cdc_replay_salted": cdc_replay_salted,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_dead_letter": cdc_dead_letter,

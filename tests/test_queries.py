@@ -379,7 +379,7 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
      "cdc_changefeed_latest",
      "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_history_scd2",
      "cdc_history_scd2_delta", "cdc_round_ledger", "cdc_fingerprint_index",
-     "cdc_neardup_candidates", "cdc_neardup_delta"],
+     "cdc_neardup_candidates", "cdc_neardup_delta", "cdc_window_dedup"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
     """The flagship CDC replay (and its derived aggregates) checked against
