@@ -1156,8 +1156,114 @@ FROM d GROUP BY 1
     }
 
 
+# -- scalar-quantized (int8) candidate scan + exact rerank ------------------
+
+QSCALE = 200  # quantization law: q(x) = clamp(floor(x·200 + 0.5), ±127)
+CAND_K = 60   # int8 candidate pool reranked exactly (3× TOP_K)
+
+
+def _quant8(mat: np.ndarray) -> np.ndarray:
+    """The shared int8 law. floor(x·S + 0.5) — NOT np.round: numpy rounds
+    half-to-even while DuckDB round() rounds half-away, and the identical
+    floor expression on float64 is bit-reproducible on both sides."""
+    return np.clip(np.floor(mat * QSCALE + 0.5), -127, 127).astype(np.int64)
+
+
+def ann_quantized(sf_dir: str):
+    """Scalar-quantized ANN: int8 candidate scan + exact float rerank —
+    the memory-bandwidth scale path (an int8 corpus copy is 4× smaller
+    than float32; at 100 TB the quantized copy would be a persisted lake
+    layout like the IVF lists, making the candidate scan a 4×-cheaper
+    read — here quantization is inline over the same scan).
+
+    Pass 1 streams the corpus: per batch, quantize + integer dot products
+    against the broadcast quantized query, keep the block-local top-C
+    (int scores ≤ 64·127² ≈ 1e6 — EXACT in any arithmetic; ties break by
+    vec_id). Driver reduces ≤ C×blocks rows. Pass 2 re-reads ONLY the C
+    candidate rows (vec_id predicate pushdown) and ranks exact rounded
+    float cosine — the rerank IO is O(C), not O(corpus)."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    q = _query_vec(sf_dir)
+    q8 = _quant8(q)
+    ref = ray.put(q8)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        q8_ = _r.get(ref)
+        sc = _quant8(_emb_matrix(b)) @ q8_
+        ids = b["vec_id"].to_numpy()
+        order = np.lexsort((ids, -sc))[:CAND_K]
+        return pd.DataFrame({"vec_id": ids[order], "iscore": sc[order]})
+
+    ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["iscore", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(CAND_K)
+    ids = sorted(int(v) for v in cand["vec_id"])
+
+    sub = C.read(
+        sf_dir,
+        "embeddings",
+        ["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(ids),
+    )
+    qn = q / np.linalg.norm(q)
+
+    def exact(b: pd.DataFrame) -> pd.DataFrame:
+        m = _emb_matrix(b)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms[:, None]) @ qn, 4)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(), "cosine_sim": sims}
+        )
+
+    out = sub.map_batches(exact, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True], kind="stable"
+        )
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+
+
+_Q8_EXPR = (
+    f"list_transform(CAST({{col}} AS DOUBLE[]), "
+    f"x -> greatest(-127.0, least(127.0, floor(x * {QSCALE} + 0.5))))"
+)
+
+ANN_QUANTIZED_SQL = f"""
+WITH q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), q8 AS (
+  SELECT {_Q8_EXPR.format(col='embedding')} AS v FROM q
+), e8 AS (
+  SELECT vec_id, embedding, {_Q8_EXPR.format(col='embedding')} AS v
+  FROM embeddings
+), cand AS (
+  SELECT e8.vec_id, e8.embedding, list_dot_product(e8.v, q8.v) AS iscore
+  FROM e8, q8
+  ORDER BY iscore DESC, vec_id
+  LIMIT {CAND_K}
+)
+SELECT cand.vec_id,
+       round(CAST(list_cosine_similarity(cand.embedding, q.embedding)
+                  AS DOUBLE), 4) AS cosine_sim
+FROM cand, q
+ORDER BY cosine_sim DESC, cand.vec_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
+    "ann_quantized": ann_quantized,
     "ann_bruteforce_multi": ann_bruteforce_multi,
     "ann_ivf": ann_ivf,
     "ann_ivf_multi": ann_ivf_multi,
@@ -1172,6 +1278,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_bruteforce": ANN_BRUTE_SQL,
+    "ann_quantized": ANN_QUANTIZED_SQL,
     "ann_bruteforce_multi": ANN_MULTI_SQL,
     "embedding_norms": NORMS_SQL,
     "embedding_neardup": NEARDUP_SQL,

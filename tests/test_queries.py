@@ -89,7 +89,7 @@ def _sql_backed():
         "docs_contamination", "media_content_dedup", "media_phash_neardup",
         "docs_weighted_sample", "docs_lm_familiarity",
         "docs_dup_spans", "graph_pagerank", "graph_cosupply_pairs",
-        "q10_returned_items",
+        "q10_returned_items", "ann_quantized",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -366,6 +366,17 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
     ivf = to_df(QUERIES["ann_ivf"](str(d)))
     recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / len(bf)
     assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
+
+
+def test_ann_quantized_recall_vs_bruteforce(ray_session):
+    """int8 candidate scan + exact rerank must recover nearly all of the
+    exact top-k (the 3×-candidate-pool margin absorbs quantization error)."""
+    from raycdc.queries import QUERIES
+
+    bf = to_df(QUERIES["ann_bruteforce"](SF_DIR))
+    q8 = to_df(QUERIES["ann_quantized"](SF_DIR))
+    recall = len(set(q8["vec_id"]) & set(bf["vec_id"])) / len(bf)
+    assert recall >= 0.9, f"recall@{len(bf)} = {recall}"
 
 
 @pytest.mark.parametrize(
