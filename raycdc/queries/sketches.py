@@ -413,8 +413,130 @@ CMS_SQL = (
 )
 
 
+# -- sketch-driven balanced range layout ------------------------------------
+
+NRANGES = 8
+RANGE_LAYOUT_VERSION = 1
+
+
+def _range_fingerprint(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (
+        f"v{RANGE_LAYOUT_VERSION}:{os.path.abspath(sf_dir)}:{st.st_size}:"
+        f"{st.st_mtime_ns}:{NRANGES}"
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def range_layout(sf_dir: str, root: str = "/tmp/raycdc-range") -> str:
+    """Build-once (atomic-publish, concurrent-safe) hive-partitioned
+    BALANCED RANGE layout of the events table keyed by ``value`` — the
+    shuffle-free range partitioner a sorted/clustered lake write needs at
+    scale. Pass 1 is the bounded-state quantile sketch (≤64 registers,
+    one streaming pass — no sample gather, no sort); the driver folds the
+    registers into a bucket → range map by cumulative position:
+    ``range_id = ((cum_n − 1) · NRANGES) // total`` — integer-exact, so
+    the SQL oracle recomputes the identical mapping. Pass 2 stamps each
+    row's range (broadcast ≤64-entry map) and writes
+    ``write_parquet(partition_cols=['range_id'])``. Balance is
+    bucket-granular by design: a single hot factor-2 bucket cannot split
+    (the documented sketch trade-off)."""
+    import os
+    import shutil
+
+    import ray
+
+    from raycdc.gen import atomic_publish
+
+    out_dir = os.path.join(root, _range_fingerprint(sf_dir))
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+
+    reg = value_quantile_sketch(sf_dir).sort_values("bucket")
+    n = reg["n"].to_numpy(np.int64)
+    cum = np.cumsum(n)
+    rid = (cum - 1) * NRANGES // cum[-1]
+    bmap = dict(zip(reg["bucket"].astype(int), rid.astype(int)))
+    ref = ray.put(bmap)
+
+    stage = f"{out_dir}.stage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        bm = _r.get(ref)
+        cents = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        bitlen = np.frexp(np.maximum(cents, 0).astype("float64"))[1]
+        bucket = np.where(cents <= 0, 0, bitlen).astype("int64")
+        b = b.copy()
+        b["range_id"] = pd.Series(bucket).map(bm).astype("int64").to_numpy()
+        return b
+
+    C.read(sf_dir, "events").map_batches(
+        assign, batch_format="pandas"
+    ).write_parquet(stage, partition_cols=["range_id"])
+    with open(os.path.join(stage, "_DONE"), "w") as f:
+        f.write("ok")
+    return atomic_publish(stage, out_dir)
+
+
+def events_range_layout(sf_dir: str):
+    """Occupancy of the persisted balanced range layout: (range_id,
+    n_rows) per range directory, read from parquet FOOTERS only
+    (metadata — zero data IO), the stats-read every partitioned lake
+    supports. The oracle recomputes the bucket → range map in SQL from
+    the same integer register law."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lay = range_layout(sf_dir)
+    rows = []
+    for name in sorted(os.listdir(lay)):
+        if not name.startswith("range_id="):
+            continue
+        d = os.path.join(lay, name)
+        cnt = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        rows.append((int(name.split("=", 1)[1]), cnt))
+    return pd.DataFrame(
+        {
+            "range_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
+RANGE_LAYOUT_SQL = f"""
+WITH c AS (
+    SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+), b AS (
+    SELECT CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS bucket
+    FROM c
+), reg AS (
+    SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+), m AS (
+    SELECT bucket, n,
+           CAST((sum(n) OVER (ORDER BY bucket) - 1) * {NRANGES}
+                // (SELECT sum(n) FROM reg) AS BIGINT) AS range_id
+    FROM reg
+)
+SELECT range_id, CAST(sum(n) AS BIGINT) AS n_rows
+FROM m GROUP BY range_id
+"""
+
+
 QUERIES = {
     "hll_registers": hll_registers,
+    "events_range_layout": events_range_layout,
     "hll_daily_users": hll_daily_users,
     "heavy_hitter_users": heavy_hitter_users,
     "cms_registers": cms_registers,
@@ -423,6 +545,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "value_quantile_sketch": QSKETCH_SQL,
+    "events_range_layout": RANGE_LAYOUT_SQL,
     "hll_registers": HLL_SQL,
     "hll_daily_users": HLL_DAILY_SQL,
     "heavy_hitter_users": HH_SQL,

@@ -89,7 +89,7 @@ def _sql_backed():
         "docs_contamination", "media_content_dedup", "media_phash_neardup",
         "docs_weighted_sample", "docs_lm_familiarity",
         "docs_dup_spans", "graph_pagerank", "graph_cosupply_pairs",
-        "q10_returned_items", "ann_quantized",
+        "q10_returned_items", "ann_quantized", "events_range_layout",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -366,6 +366,48 @@ def test_ann_ivf_recall_on_cluster_sorted_corpus(ray_session, tmp_path):
     ivf = to_df(QUERIES["ann_ivf"](str(d)))
     recall = len(set(ivf["vec_id"]) & set(bf["vec_id"])) / len(bf)
     assert recall >= 0.5, f"recall@{len(bf)} = {recall}"
+
+
+def test_range_layout_pruned_read(ray_session):
+    """The balanced range layout partitions events completely and
+    disjointly, and a single-range read touches ONLY that directory's
+    rows (partition pruning — the point of the layout)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from raycdc.queries.sketches import range_layout
+
+    lay = range_layout(SF_DIR)
+    dirs = sorted(d for d in os.listdir(lay) if d.startswith("range_id="))
+    assert dirs
+    total = 0
+    events_n = len(pd.read_parquet(os.path.join(SF_DIR, "events.parquet")))
+    one = None
+    for d in dirs:
+        t = pads.dataset(os.path.join(lay, d)).to_table()
+        total += len(t)
+        if one is None:
+            rid = int(d.split("=", 1)[1])
+            cents = np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            bitlen = np.frexp(np.maximum(cents, 0).astype("float64"))[1]
+            bucket = np.where(cents <= 0, 0, bitlen)
+            # every row in the dir belongs to exactly this range
+            from raycdc.queries.sketches import NRANGES, value_quantile_sketch
+
+            reg = value_quantile_sketch(SF_DIR).sort_values("bucket")
+            cum = np.cumsum(reg["n"].to_numpy(np.int64))
+            rid_map = dict(
+                zip(
+                    reg["bucket"].astype(int),
+                    ((cum - 1) * NRANGES // cum[-1]).astype(int),
+                )
+            )
+            assert all(rid_map[int(b)] == rid for b in bucket)
+            one = d
+    assert total == events_n  # complete and disjoint
 
 
 def test_ann_quantized_recall_vs_bruteforce(ray_session):
