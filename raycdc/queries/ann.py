@@ -1145,8 +1145,29 @@ SELECT CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS ivf_list,
        count(*) AS n_vecs
 FROM d GROUP BY 1
 """
+    knn_sql = f"""
+WITH d AS (
+    SELECT vec_id, de, [{dists}] AS dists
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+), a AS (
+    -- cosine in DOUBLE (de), not float32: the 1500-row self-join WILL hit
+    -- a round-4 boundary at float32's ~1e-7 error; float64 matches numpy
+    SELECT vec_id, de, list_position(dists, list_min(dists)) - 1 AS ivf_list
+    FROM d
+)
+SELECT s.vec_id AS src_id, n.vec_id AS neighbor_id,
+       CAST(row_number() OVER w AS BIGINT) AS nn_rank,
+       round(list_cosine_similarity(s.de, n.de), 4) AS cosine_sim
+FROM a s JOIN a n ON s.ivf_list = n.ivf_list AND s.vec_id <> n.vec_id
+WINDOW w AS (
+    PARTITION BY s.vec_id
+    ORDER BY round(list_cosine_similarity(s.de, n.de), 4) DESC, n.vec_id
+)
+QUALIFY nn_rank <= {KNN_K}
+"""
     return {
         "ann_ivf": sql,
+        "ann_knn_graph": knn_sql,
         "ann_ivf_multi": multi_sql,
         "ann_lsh": lsh_sql,
         # the indexed variant's candidate set is IDENTICAL by construction
@@ -1154,6 +1175,89 @@ FROM d GROUP BY 1
         "ann_lsh_indexed": lsh_sql,
         "ann_ivf_layout": layout_sql,
     }
+
+
+# -- k-NN graph construction over the persisted IVF layout ------------------
+
+KNN_K = 3
+
+
+def ann_knn_graph(sf_dir: str):
+    """k-NN graph construction — the substrate of graph-based clustering
+    and near-dup (each vector's KNN_K nearest neighbors, by rounded
+    cosine with vec_id tie-break) — restricted to candidates in the SAME
+    IVF list of the persisted layout. This is the standard blocked
+    construction: per-list all-pairs is Σ n_list² work with ZERO
+    cross-partition traffic (each list is its own partition dir; at
+    scale you raise N_CENTROIDS so lists stay 10³-10⁴ rows), and the
+    cross-list misses are the same documented approximation contract as
+    ``ann_ivf``'s nprobe. Vectors in singleton lists emit no rows.
+
+    Shape: per-dir pruned reads stamped with their list id → one bounded
+    co-location shuffle keyed by ivf_list → per-list normalized matmul +
+    row-wise top-k lexsort (vectorized; the loop is over ≤ N_CENTROIDS
+    lists in the partition, never rows)."""
+    import ray.data
+
+    lay = ivf_layout(sf_dir)
+    dirs = sorted(d for d in os.listdir(lay) if d.startswith("ivf_list="))
+
+    parts = []
+    for d in dirs:
+        lid = int(d.split("=", 1)[1])
+        sub = ray.data.read_parquet(
+            os.path.join(lay, d), columns=["vec_id", "embedding"]
+        )
+        parts.append(
+            sub.map_batches(
+                lambda b, lid=lid: b.assign(ivf_list=np.int64(lid)),
+                batch_format="pandas",
+            )
+        )
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in g.groupby("ivf_list"):
+            n = len(sub)
+            if n < 2:
+                continue
+            m = _emb_matrix(sub)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((m / norms[:, None]) @ (m / norms[:, None]).T, 4)
+            np.fill_diagonal(sims, -np.inf)
+            ids = sub["vec_id"].to_numpy().astype(np.int64)
+            k = min(KNN_K, n - 1)
+            order = np.lexsort(
+                (np.broadcast_to(ids, (n, n)), -sims), axis=1
+            )[:, :k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src_id": np.repeat(ids, k),
+                        "neighbor_id": ids[order].ravel(),
+                        "nn_rank": np.tile(
+                            np.arange(1, k + 1, dtype=np.int64), n
+                        ),
+                        "cosine_sim": np.take_along_axis(
+                            sims, order, axis=1
+                        ).ravel(),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "nn_rank": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return C.by_partition(ds, "ivf_list", kernel)
 
 
 # -- scalar-quantized (int8) candidate scan + exact rerank ------------------
@@ -1264,6 +1368,7 @@ LIMIT {TOP_K}
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_quantized": ann_quantized,
+    "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_multi": ann_bruteforce_multi,
     "ann_ivf": ann_ivf,
     "ann_ivf_multi": ann_ivf_multi,

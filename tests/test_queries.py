@@ -150,6 +150,18 @@ def test_ann_ivf_matches_sql_oracle(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
 
 
+def test_ann_knn_graph_matches_sql_oracle(ray_session):
+    """Per-list kNN graph vs the DuckDB self-join oracle over the same
+    deterministic list assignment (centroids embedded as literals)."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_knn_graph"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_knn_graph"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+
 def test_ann_ivf_layout_matches_sql_oracle(ray_session):
     """Persisted-layout occupancy (footer-metadata counts per inverted
     list) vs the oracle's centroid-literal assignment counts."""
