@@ -797,7 +797,176 @@ WHERE (CAST(g.n AS HUGEINT) * e.cents - g.s) > 0
 """
 
 
+# -- sweep-line session concurrency (distributed two-phase prefix scan) -----
+
+_DAY_US = 86_400_000_000
+
+
+def events_session_concurrency(sf_dir: str):
+    """Time-at-concurrency histogram over the GLOBAL session timeline:
+    for each concurrency level (number of simultaneously-open sessions,
+    any user), the total microseconds the system spent at that level —
+    the capacity-planning sweep-line. Sessions are ``events_sessionize``'s
+    windows; a session occupies [start_ts, end_ts] with net-change
+    collapsing at equal instants (ends cancel starts, zero-length
+    sessions are level-neutral).
+
+    This is the one operator class that needs a GLOBAL ordered prefix
+    sum, and the scale shape is the classic two-phase scan — no global
+    sort, no driver-side timeline: (1) ±1 deltas collapse to per-instant
+    nets (pre-aggregated int groupby); (2) per-DAY partials (min/max
+    instant, net sum) fold on the driver into day offsets — driver state
+    is O(occupied days), bounded, NOT O(points); (3) each day's
+    partition computes its local prefix + broadcast offset and emits
+    per-level duration partials; inter-day gap segments are the O(days)
+    carry rows the driver already holds. A final tiny groupby folds
+    partials + carries."""
+    import ray
+
+    sess = events_sessionize(sf_dir)
+
+    def pts(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["start_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = b["end_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "ts_us": np.concatenate([s, e]),
+                "d": np.concatenate(
+                    [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+                ),
+            }
+        )
+        return df.groupby("ts_us", as_index=False)["d"].sum()
+
+    nets = sess.map_batches(pts, batch_format="pandas").groupby("ts_us").sum("d")
+
+    def with_day(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("sum(d)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ts, pa.int64()),
+                pa.array(d, pa.int64()),
+                pa.array(ts // _DAY_US, pa.int64()),
+            ],
+            schema=pa.schema(
+                [("ts_us", pa.int64()), ("d", pa.int64()), ("day", pa.int64())]
+            ),
+        )
+
+    points = nets.map_batches(with_day, batch_format="pyarrow").materialize()
+
+    # day summaries → offsets + inter-day carry segments (O(days) driver
+    # state: the bounded fold of the two-phase scan)
+    daysum = (
+        points.groupby("day")
+        .aggregate(
+            Min("ts_us", alias_name="min_ts"),
+            Max("ts_us", alias_name="max_ts"),
+            Sum("d", alias_name="net"),
+        )
+        .to_pandas()
+        .sort_values("day")
+    )
+    net = daysum["net"].to_numpy(np.int64)
+    offset_before = np.concatenate([[0], np.cumsum(net)[:-1]]).astype(np.int64)
+    offsets = dict(zip(daysum["day"].astype(int), offset_before))
+    level_after = offset_before + net  # level once the day's points are done
+    carry = pd.DataFrame(
+        {
+            "concurrency": level_after[:-1],
+            "total_us": (
+                daysum["min_ts"].to_numpy(np.int64)[1:]
+                - daysum["max_ts"].to_numpy(np.int64)[:-1]
+            ),
+        }
+    )
+    ref = ray.put(offsets)
+
+    def day_scan(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        off = _r.get(ref)
+        frames = []
+        for day, sub in g.groupby("day"):
+            s = sub.sort_values("ts_us")
+            ts = s["ts_us"].to_numpy(np.int64)
+            lvl = off[int(day)] + np.cumsum(s["d"].to_numpy(np.int64))
+            if len(ts) < 2:
+                continue
+            seg = pd.DataFrame(
+                {"concurrency": lvl[:-1], "total_us": np.diff(ts)}
+            )
+            frames.append(
+                seg.groupby("concurrency", as_index=False)["total_us"].sum()
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "concurrency": pd.Series(dtype="int64"),
+                    "total_us": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    partials = C.by_partition(points, "day", day_scan)
+    carry_ds = ray.data.from_pandas(
+        carry.astype({"concurrency": "int64", "total_us": "int64"})
+        if len(carry)
+        else pd.DataFrame(
+            {
+                "concurrency": pd.Series(dtype="int64"),
+                "total_us": pd.Series(dtype="int64"),
+            }
+        )
+    )
+    out = (
+        partials.union(carry_ds)
+        .groupby("concurrency")
+        .sum("total_us")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "concurrency": out["concurrency"].astype("int64"),
+            "total_us": out["sum(total_us)"].astype("int64"),
+        }
+    )
+
+
+SESSION_CONCURRENCY_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL {{gap}} MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+    FROM flagged
+), s AS (
+    SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+    FROM sess GROUP BY 1, 2
+), pts AS (
+    SELECT start_ts AS ts, 1 AS d FROM s
+    UNION ALL
+    SELECT end_ts, -1 FROM s
+), agg AS (
+    SELECT ts, sum(d) AS d FROM pts GROUP BY ts
+), sw AS (
+    SELECT ts, sum(d) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS level,
+           lead(ts) OVER (ORDER BY ts) AS nxt
+    FROM agg
+)
+SELECT CAST(level AS BIGINT) AS concurrency,
+       CAST(sum(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS total_us
+FROM sw WHERE nxt IS NOT NULL GROUP BY 1
+"""
+
+
 QUERIES = {
+    "events_session_concurrency": events_session_concurrency,
     "events_asof_orders": events_asof_orders,
     "events_value_outliers": events_value_outliers,
     "events_value_delta": events_value_delta,
@@ -815,6 +984,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
+        gap=SESSION_GAP_MIN
+    ),
     "events_asof_orders": ASOF_SQL,
     "events_value_outliers": OUTLIERS_SQL,
     "events_value_delta": VALUE_DELTA_SQL,
