@@ -797,6 +797,132 @@ WHERE (CAST(g.n AS HUGEINT) * e.cents - g.s) > 0
 """
 
 
+# -- exact distributed order statistics: median / MAD outliers --------------
+
+MAD_K = 5  # robust threshold: |x - median| > K · MAD
+
+
+def _kth_smallest(ds, col: str, k: int) -> int:
+    """EXACT k-th smallest (0-indexed) of an int64 column, distributed —
+    the sketch-guided selection pattern: pass 1 builds the factor-2
+    bucket histogram (≤64 partial rows per batch, bounded groupby), the
+    driver walks cumulative counts to the bucket holding rank k; pass 2
+    counts DISTINCT VALUES within that one bucket only and the driver
+    walks to the exact value. Driver state is O(buckets) + O(distinct
+    values in the selected bucket) — at corpus scale a hot bucket recurses
+    into finer sub-buckets instead (same law, one more pass); two levels
+    suffice for the test tiers. No global sort anywhere."""
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.int64)
+        bl = np.frexp(np.maximum(v, 0).astype("float64"))[1]
+        bk = np.where(v <= 0, 0, bl).astype(np.int64)
+        g = pd.DataFrame({"b": bk}).groupby("b", as_index=False).size()
+        return pd.DataFrame(
+            {"b": g["b"].astype("int64"), "n": g["size"].astype("int64")}
+        )
+
+    reg = (
+        ds.map_batches(hist, batch_format="pandas")
+        .groupby("b")
+        .sum("n")
+        .to_pandas()
+        .sort_values("b")
+    )
+    cum = np.cumsum(reg["sum(n)"].to_numpy(np.int64))
+    i = int(np.searchsorted(cum, k + 1))
+    bstar = int(reg["b"].iloc[i])
+    r = int(k - (cum[i - 1] if i else 0))
+
+    def within(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.int64)
+        bl = np.frexp(np.maximum(v, 0).astype("float64"))[1]
+        bk = np.where(v <= 0, 0, bl)
+        v = v[bk == bstar]
+        u, c = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": u, "n": c.astype(np.int64)})
+
+    vc = (
+        ds.map_batches(within, batch_format="pandas")
+        .groupby("v")
+        .sum("n")
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum2 = np.cumsum(vc["sum(n)"].to_numpy(np.int64))
+    j = int(np.searchsorted(cum2, r + 1))
+    return int(vc["v"].iloc[j])
+
+
+def events_value_mad_outliers(sf_dir: str):
+    """Robust (median/MAD) outlier flagging — the heavy-tail-safe
+    complement to ``events_value_outliers``'s z-score: flag events with
+    ``|cents − median| > MAD_K · MAD`` where median and MAD (median
+    absolute deviation) are EXACT lower-median order statistics over
+    integer cents (same floor law as the quantile sketch), found by the
+    sketch-guided distributed selection in :func:`_kth_smallest` — four
+    bounded passes, zero global sorts, integer-exact so the SQL oracle
+    (row_number-based k-th element) matches bit-for-bit."""
+    ds = C.read(sf_dir, "events", ["event_id", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "v": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+    n = cents.count()
+    k = (n - 1) // 2  # lower median, 0-indexed
+    med = _kth_smallest(cents, "v", k)
+
+    def to_dev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["dv"] = np.abs(b["v"].to_numpy(np.int64) - med)
+        return b
+
+    dev = cents.map_batches(to_dev, batch_format="pandas").materialize()
+    mad = _kth_smallest(dev, "dv", k)
+    thr = MAD_K * mad
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["dv"].to_numpy(np.int64) > thr
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64)[m],
+                "cents": b["v"].to_numpy(np.int64)[m],
+                "abs_dev": b["dv"].to_numpy(np.int64)[m],
+            }
+        )
+
+    return dev.map_batches(flag, batch_format="pandas")
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH c AS (
+    SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+), med AS (
+    SELECT cents AS m
+    FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                 count(*) OVER () AS n
+          FROM c)
+    WHERE rn = (n - 1) // 2 + 1
+), dev AS (
+    SELECT event_id, cents, abs(cents - (SELECT m FROM med)) AS dv FROM c
+), mad AS (
+    SELECT dv AS m
+    FROM (SELECT dv, row_number() OVER (ORDER BY dv) AS rn,
+                 count(*) OVER () AS n
+          FROM dev)
+    WHERE rn = (n - 1) // 2 + 1
+)
+SELECT event_id, cents, dv AS abs_dev
+FROM dev WHERE dv > {MAD_K} * (SELECT m FROM mad)
+"""
+
+
 # -- sweep-line session concurrency (distributed two-phase prefix scan) -----
 
 _DAY_US = 86_400_000_000
@@ -967,6 +1093,7 @@ FROM sw WHERE nxt IS NOT NULL GROUP BY 1
 
 QUERIES = {
     "events_session_concurrency": events_session_concurrency,
+    "events_value_mad_outliers": events_value_mad_outliers,
     "events_asof_orders": events_asof_orders,
     "events_value_outliers": events_value_outliers,
     "events_value_delta": events_value_delta,
@@ -987,6 +1114,7 @@ ORACLE_SQL = {
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
     ),
+    "events_value_mad_outliers": MAD_OUTLIERS_SQL,
     "events_asof_orders": ASOF_SQL,
     "events_value_outliers": OUTLIERS_SQL,
     "events_value_delta": VALUE_DELTA_SQL,

@@ -90,7 +90,7 @@ def _sql_backed():
         "docs_weighted_sample", "docs_lm_familiarity",
         "docs_dup_spans", "graph_pagerank", "graph_cosupply_pairs",
         "q10_returned_items", "ann_quantized", "events_range_layout",
-        "events_session_concurrency",
+        "events_session_concurrency", "events_value_mad_outliers",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
