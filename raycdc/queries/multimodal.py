@@ -361,6 +361,77 @@ def video_frame_sample(sf_dir: str):
     )
 
 
+SCENE_K = 4  # scene cut iff |Σframe − Σprev| > K · frame_len (integer law)
+
+
+class SceneDetector:
+    """Actor-pool SCENE-CHANGE stage: flag frames whose byte-sum jumps by
+    more than SCENE_K · frame_len from the previous frame — the
+    cut-detection analog over the fake codec (a real codec would diff
+    decoded luma histograms; the Ray-side plumbing — flat-buffer parse,
+    per-video boundary-masked consecutive diff, integer threshold — is
+    the real part). All-frame sums come from ONE cumulative sum over the
+    batch's flat buffer (two gathers per frame); the law is
+    integer-exact, so the SQL oracle matches bit-for-bit."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("media")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off, data = _binary_offsets(arr)
+        starts = off[:-1]
+        n = len(arr)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "frame_idx": pa.array([], pa.int64()),
+                "delta": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0 or not len(data):
+            return empty
+        magic = data[starts[:, None] + np.arange(8)[None, :]]
+        if not (magic == _VMAGIC_ARR[None, :]).all():
+            raise ValueError("bad video magic")
+        b4 = np.asarray([1, 256, 65536, 16777216], dtype=np.int64)
+        nf = (
+            data[starts[:, None] + (8 + np.arange(4))[None, :]].astype(np.int64)
+            * b4
+        ).sum(axis=1)
+        fl = (
+            data[starts[:, None] + (12 + np.arange(4))[None, :]].astype(np.int64)
+            * b4
+        ).sum(axis=1)
+        pfx = np.concatenate(([0], np.cumsum(nf)[:-1]))
+        total = int(nf.sum())
+        j = np.arange(total, dtype=np.int64) - np.repeat(pfx, nf)  # frame idx
+        s_rep = np.repeat(starts + 16, nf)
+        fl_rep = np.repeat(fl, nf)
+        cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+        fsum = cs[s_rep + (j + 1) * fl_rep] - cs[s_rep + j * fl_rep]
+        doc = np.repeat(t.column("doc_id").to_numpy(), nf)
+        delta = np.zeros(total, np.int64)
+        if total > 1:
+            delta[1:] = np.abs(fsum[1:] - fsum[:-1])
+        first = j == 0  # no predecessor within the video
+        m = (~first) & (delta > SCENE_K * fl_rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[m].astype(np.int64), pa.int64()),
+                "frame_idx": pa.array(j[m], pa.int64()),
+                "delta": pa.array(delta[m], pa.int64()),
+            }
+        )
+
+
+def video_scene_changes(sf_dir: str):
+    """Scene-cut detection pipeline: synthesize video containers →
+    actor-pool consecutive-frame byte-sum diff → flagged cut rows."""
+    return attach_video_blobs(sf_dir).map_batches(
+        SceneDetector, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
 # -- audio analog: PCM container + windowed loudness / silence ---------------
 
 AMAGIC = b"FAKEAUD1"
@@ -573,6 +644,30 @@ SELECT doc_id,
 FROM v
 JOIN (SELECT unnest(range(0, 16)) AS f) frames ON f < nf
 WHERE f % 2 = 0
+"""
+
+VIDEO_SCENE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, {H.sql_poly('text')} AS hv FROM documents
+), v AS (
+    SELECT doc_id, 4 + hv % 12 AS nf, 64 + (hv // 256) % 192 AS fl, hv FROM h
+), fs AS (
+    SELECT doc_id, f, fl,
+        CAST(list_aggregate(
+            list_transform(
+                generate_series(CAST(f * fl + 1 AS BIGINT),
+                                CAST((f + 1) * fl AS BIGINT)),
+                i -> CAST(((hv + i * {H.B}) % {H.P}) % 256 AS BIGINT)),
+            'sum') AS BIGINT) AS fsum
+    FROM v
+    JOIN (SELECT unnest(range(0, 16)) AS f) frames ON f < nf
+), d AS (
+    SELECT doc_id, f, fl,
+           abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+    FROM fs
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(delta AS BIGINT) AS delta
+FROM d WHERE delta > {SCENE_K} * fl
 """
 
 
@@ -886,10 +981,12 @@ QUERIES = {
     "media_phash_neardup": media_phash_neardup,
     "media_resize": media_resize,
     "video_frame_sample": video_frame_sample,
+    "video_scene_changes": video_scene_changes,
     "audio_loudness": audio_loudness,
 }
 
 ORACLE_SQL = {
+    "video_scene_changes": VIDEO_SCENE_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_content_dedup": MEDIA_CONTENT_DEDUP_SQL,
     "media_phash_neardup": MEDIA_PHASH_SQL,
