@@ -797,6 +797,58 @@ WHERE (CAST(g.n AS HUGEINT) * e.cents - g.s) > 0
 """
 
 
+# -- exact mergeable moments (sufficient statistics for mean/variance) ------
+
+def events_type_moments(sf_dir: str):
+    """Mergeable EXACT moments per event type: (n, sum_cents,
+    sumsq_cents) over integer cents — the combiner-friendly sufficient
+    statistics for mean/variance that stay exact under ANY merge order
+    (integer adds commute; float Welford merges do not), i.e. the shape
+    incremental aggregate maintenance wants. Per-batch partials →
+    bounded-key groupby sum. int64 bound: cents² ≤ ~1e12 per event, so
+    the per-type sum is exact to ~9×10⁶ events/type; past that the
+    partials split into two int64 limbs (the HUGEINT analog the z-score
+    oracle already uses)."""
+    ds = C.read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "n": np.ones(len(b), np.int64),
+                "sum_cents": cents,
+                "sumsq_cents": cents * cents,
+            }
+        )
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_cents", "sumsq_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TYPE_MOMENTS_SQL = """
+WITH c AS (
+    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+FROM c GROUP BY event_type
+"""
+
+
 # -- exact distributed order statistics: median / MAD outliers --------------
 
 MAD_K = 5  # robust threshold: |x - median| > K · MAD
@@ -1094,6 +1146,7 @@ FROM sw WHERE nxt IS NOT NULL GROUP BY 1
 QUERIES = {
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
+    "events_type_moments": events_type_moments,
     "events_asof_orders": events_asof_orders,
     "events_value_outliers": events_value_outliers,
     "events_value_delta": events_value_delta,
@@ -1115,6 +1168,7 @@ ORACLE_SQL = {
         gap=SESSION_GAP_MIN
     ),
     "events_value_mad_outliers": MAD_OUTLIERS_SQL,
+    "events_type_moments": TYPE_MOMENTS_SQL,
     "events_asof_orders": ASOF_SQL,
     "events_value_outliers": OUTLIERS_SQL,
     "events_value_delta": VALUE_DELTA_SQL,

@@ -576,6 +576,50 @@ GROUP BY l_returnflag
 """
 
 
+# -- Q6-style: forecast revenue change (pure filter + one global sum) -------
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: the purest filter-pushdown + global-reduce shape — every
+    predicate (ship-date year, discount band, quantity cap) is pushed
+    into row-group selection so non-qualifying rows never leave storage;
+    per-batch partial sums reduce to one driver-side add of ≤ blocks
+    floats. The float comparisons use the same double literals on both
+    sides, so the selected row set is identical by construction."""
+    import datetime as _dt
+
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1997, 1, 1))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rev = pc.sum(
+            pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))
+        ).as_py()
+        return pd.DataFrame({"revenue": [rev if rev is not None else 0.0]})
+
+    parts = line.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts["revenue"].sum()), 4)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # -- Q10-style: returned-item revenue report (top 20 customers) -------------
 
 Q10_FROM = "1996-10-01"
@@ -692,6 +736,7 @@ LIMIT 20
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q10_returned_items": q10_returned_items,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q3_top_orders": q3_top_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "order_priority_count": order_priority_count,
@@ -706,6 +751,7 @@ QUERIES = {
 ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q10_returned_items": Q10_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "order_priority_count": Q4_SQL,

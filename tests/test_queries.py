@@ -91,7 +91,7 @@ def _sql_backed():
         "docs_dup_spans", "graph_pagerank", "graph_cosupply_pairs",
         "q10_returned_items", "ann_quantized", "events_range_layout",
         "events_session_concurrency", "events_value_mad_outliers",
-        "video_scene_changes",
+        "video_scene_changes", "q6_forecast_revenue", "events_type_moments",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
