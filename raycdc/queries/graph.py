@@ -159,11 +159,13 @@ def graph_pagerank(sf_dir: str):
         msgs = C.by_partition(
             src, "key", make_step(i == 0), nparts=nparts
         ).map_batches(conform_msgs, batch_format="pyarrow")
+        # no repartition: ranks are node-sized and the aggregate emits
+        # O(hash partitions) blocks — the next union/shuffle re-buckets
+        # anyway, and each saved barrier is wall-time at driver parity
         ranks = (
             msgs.groupby("node")
             .sum("c")
             .map_batches(damp, batch_format="pyarrow")
-            .repartition(nparts)
             .materialize()
         )
 
