@@ -32,18 +32,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the driver compares Ray vs SQL at sf0.01 — that tier's paths are
+    # embedded in the replay-derived oracle templates
+    return oracle_sql_for("/root/testdata/sf0.01")
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL with the replay-derived templates bound to ``sf_dir``.
+
+    The CDC/aggregate/ANN oracles read the SAME generated change-log
+    parquet (or deterministically-trained centroids) the Ray queries use,
+    so their SQL embeds tier-specific paths; building here also ensures
+    the log exists before the SQL runs. Preflight calls this with its own
+    tier so sf0.001 smoke runs compare against sf0.001 oracles."""
     from raycdc.queries import ORACLE_SQL
     from raycdc.queries.aggregates import build_aggregate_oracle_sql
     from raycdc.queries.ann import build_ann_oracle_sql
     from raycdc.queries.cdc import build_cdc_oracle_sql
 
     out = dict(ORACLE_SQL)
-    # replay-derived oracles read the SAME generated change-log parquet the
-    # Ray queries replay (path embedded; the driver compares at sf0.01 —
-    # building here also ensures the log exists before the SQL runs);
-    # the IVF oracle embeds the deterministically-trained centroids
-    sf = "/root/testdata/sf0.01"
-    out.update(build_cdc_oracle_sql(sf))
-    out.update(build_aggregate_oracle_sql(sf))
-    out.update(build_ann_oracle_sql(sf))
+    out.update(build_cdc_oracle_sql(sf_dir))
+    out.update(build_aggregate_oracle_sql(sf_dir))
+    out.update(build_ann_oracle_sql(sf_dir))
     return out

@@ -73,7 +73,7 @@ def main() -> int:
 
     import __ray_entry__ as entry
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    qs, oracles = entry.queries(), entry.oracle_sql_for(sf_dir)
     names = [n for n in sorted(qs) if not only or n in only]
     failures = []
     for name in names:
