@@ -24,12 +24,13 @@ from raycdc.queries import (
     scrub,
     sketches,
     tpch,
+    tpch2,
     traces,
 )
 
 _MODULES = [
-    tpch, events, docs, neardup, ann, multimodal, cdc, aggregates, traces,
-    sketches, analytics, scrub, graph,
+    tpch, tpch2, events, docs, neardup, ann, multimodal, cdc, aggregates,
+    traces, sketches, analytics, scrub, graph,
 ]
 
 QUERIES: dict = {}

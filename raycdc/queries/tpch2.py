@@ -1,0 +1,660 @@
+"""Second tranche of relational coverage (TPC-H Q7/Q13/Q14/Q15/Q17/Q18/Q19
+shapes adapted to the testdata's columns — no partsupp/shipmode/container
+in the driver tables, so predicates bind to the columns that exist).
+
+Each query is the canonical Ray-Data scale shape for its class:
+  * Q7  — two broadcast dimension filters + ONE big-big hash join, with
+    per-batch partials on both sides of the join (the q3/q10 combiner).
+  * Q13 — left-join-as-arithmetic: the zero bucket comes from a parquet
+    FOOTER row count, never a customer-corpus join.
+  * Q14 — broadcast dense bitmap + global conditional reduce.
+  * Q15 — dim-keyed aggregate → driver argmax over a dim-sized result.
+  * Q17 — the correlated-subquery class done as two pruned passes with a
+    broadcast per-key threshold map between them.
+  * Q18 — HAVING on a fact-keyed aggregate; winners (O(qualifying)) drive
+    key-pruned reads of the other tables, never a corpus join.
+  * Q19 — disjunctive multi-band predicate vectorized via a broadcast
+    per-key band id array.
+
+Parity targets in /root/reference: grouped SQL aggregates
+(`indexer/aggr_jobs/disorder_jobs/daily_wallet_addresses_aggregates.sql`),
+map-side dict joins (`indexer/jobs/export_contracts_job.py:50-58`),
+specification filters (`indexer/specification/specification.py:9-157`).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray
+from ray.data.aggregate import Sum
+
+from raycdc.queries import common as C
+
+
+# -- Q7: volume shipping between two nations --------------------------------
+
+# both nations carry suppliers at every testdata tier (sf0.001's 10
+# suppliers cover only a third of the nation space)
+Q7_N1, Q7_N2 = "NATION_3", "NATION_12"
+Q7_FROM, Q7_TO = "1996-01-01", "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """Revenue shipped between two nations by year. Both dimension paths
+    (supplier→nation, customer→nation) are broadcast as FILTERED lookup
+    dicts — only keys in the two target nations ship to workers (2/25 of
+    each dim), so each fact batch drops ~92% of its rows map-side before
+    the single big-big equi-join on orderkey. Partials run by
+    (orderkey, supp_nation, year) pre-join (the q10 shuffle cut) and by
+    the 2×2×years tiny key space post-join, so the final fold moves a few
+    dozen rows. The join itself is the house TAGGED CO-SHUFFLE (both
+    sides conformed to one schema, shuffled once on bounded
+    ``part_ids(orderkey)``, one vectorized pandas merge per partition)
+    rather than ``Dataset.join``: Ray 2.49's hash-shuffle join finalizes
+    a partition that received zero blocks from one side as a SCHEMA-LESS
+    table and Acero then fails on the missing key field (the
+    neardup_clusters r03 failure mode — sparse key spaces at small scale
+    make empty partitions near-certain). Same scale shape: each side
+    moves exactly once. At a scale where the filtered customer LUT
+    outgrows a broadcast, the orders mapper becomes this union's second
+    side unfiltered — nothing else changes."""
+    nat = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nk = {
+        int(k): v
+        for k, v in zip(nat["n_nationkey"], nat["n_name"])
+        if v in (Q7_N1, Q7_N2)
+    }
+    sup = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = {
+        int(s): nk[int(n)]
+        for s, n in zip(sup["s_suppkey"], sup["s_nationkey"])
+        if int(n) in nk
+    }
+    cust = C.read_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_nat = {
+        int(c): nk[int(n)]
+        for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+        if int(n) in nk
+    }
+    sref, cref = C.broadcast(supp_nat), C.broadcast(cust_nat)
+
+    # one tagged schema for BOTH co-shuffle sides: side 0 = lineitem
+    # partial (nation = supplier's), side 1 = order (nation = customer's)
+    tagged = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("nation", pa.string()),
+            ("l_year", pa.int64()),
+            ("volume", pa.float64()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def attach_cust(t: pa.Table) -> pa.Table:
+        lut = ray.get(cref)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cn = pd.Series(t.column("o_custkey").to_numpy(zero_copy_only=False)).map(lut)
+        m = cn.notna().to_numpy()
+        n = int(m.sum())
+        return pa.table(
+            {
+                "key": ok[m].astype(np.int64),
+                "nation": cn.to_numpy(dtype=object)[m],
+                "l_year": np.zeros(n, np.int64),
+                "volume": np.zeros(n, np.float64),
+                "side": np.ones(n, np.int8),
+            },
+            schema=tagged,
+        )
+
+    orders = C.read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        attach_cust, batch_format="pyarrow"
+    )
+
+    def partial_line(t: pa.Table) -> pa.Table:
+        lut = ray.get(sref)
+        sn = pd.Series(t.column("l_suppkey").to_numpy(zero_copy_only=False)).map(lut)
+        m = sn.notna().to_numpy()
+        if not m.any():
+            return tagged.empty_table()
+        df = pd.DataFrame(
+            {
+                "key": t.column("l_orderkey").to_numpy(zero_copy_only=False)[m],
+                "nation": sn.to_numpy(dtype=object)[m],
+                "l_year": pc.year(t.column("l_shipdate")).to_numpy(zero_copy_only=False)[m],
+                "volume": (
+                    t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                    * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+                )[m],
+            }
+        )
+        out = df.groupby(["key", "nation", "l_year"], as_index=False)["volume"].sum()
+        return pa.table(
+            {
+                "key": out["key"].to_numpy(np.int64),
+                "nation": out["nation"].to_numpy(dtype=object),
+                "l_year": out["l_year"].to_numpy(np.int64),
+                "volume": out["volume"].to_numpy(np.float64),
+                "side": np.zeros(len(out), np.int8),
+            },
+            schema=tagged,
+        )
+
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+        ),
+    ).map_batches(partial_line, batch_format="pyarrow")
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0]
+        o = g.loc[g["side"] == 1, ["key", "nation"]].rename(
+            columns={"nation": "cust_nation"}
+        )
+        m = e.merge(o, on="key", how="inner")
+        m = m[m["nation"] != m["cust_nation"]]
+        out = m.groupby(["nation", "cust_nation", "l_year"], as_index=False)[
+            "volume"
+        ].sum()
+        return pd.DataFrame(
+            {
+                "supp_nation": out["nation"].astype(object),
+                "cust_nation": out["cust_nation"].astype(object),
+                "l_year": out["l_year"].astype("int64"),
+                "volume": out["volume"].astype("float64"),
+            }
+        )
+
+    parts = C.by_partition(line.union(orders), "key", merge_pairs).to_pandas()
+    if len(parts) == 0:  # no qualifying pair anywhere: typed empty result
+        parts = pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype="int64"),
+                "volume": pd.Series([], dtype="float64"),
+            }
+        )
+    out = parts.groupby(
+        ["supp_nation", "cust_nation", "l_year"], as_index=False
+    )["volume"].sum()
+    out = out.rename(columns={"volume": "revenue"})
+    out["l_year"] = out["l_year"].astype("int64")
+    out = C.round_cols(out, ["revenue"])
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], kind="stable"
+    ).reset_index(drop=True)
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+      OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+    AND l_shipdate >= TIMESTAMP '{Q7_FROM}'
+    AND l_shipdate <  TIMESTAMP '{Q7_TO}'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# -- Q13: customer order-count distribution ---------------------------------
+
+def q13_customer_distribution(sf_dir: str):
+    """Distribution of per-customer order counts INCLUDING zero-order
+    customers — the left-join-with-absent-keys class. The join never
+    happens: counts come from a custkey-grouped aggregate over orders
+    alone; the zero bucket is total customers (one parquet FOOTER read —
+    zero data IO) minus the number of distinct ordering customers (the
+    aggregate's cardinality, folded as per-block histogram partials, not
+    materialized rows). Driver state is O(distinct counts), never
+    O(customers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+
+    orders = C.read(sf_dir, "orders", ["o_custkey"])
+
+    def partial_count(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("o_custkey", as_index=False).size()
+        return out.rename(columns={"size": "c_count"})
+
+    per_cust = (
+        orders.map_batches(partial_count, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("c_count", alias_name="c_count"))
+    )
+
+    def partial_hist(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["c_count"].value_counts().reset_index()
+        h.columns = ["c_count", "custdist"]
+        return h
+
+    hist = per_cust.map_batches(partial_hist, batch_format="pandas").to_pandas()
+    out = hist.groupby("c_count", as_index=False)["custdist"].sum()
+    zero = n_cust - int(out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="stable"
+    ).reset_index(drop=True)
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -- Q14: promo revenue share ------------------------------------------------
+
+Q14_FROM, Q14_TO = "1996-09-01", "1996-10-01"
+
+
+def q14_promo_revenue(sf_dir: str):
+    """Share of one month's revenue from promo-type parts. The part
+    dimension ships once as a DENSE boolean bitmap (partkeys are dense
+    ints — one bit per part, ~125 KB per million parts), so the fact scan
+    is a pushdown-pruned read + one vectorized gather per batch; partials
+    reduce to two floats per block."""
+    part = C.read_pandas(sf_dir, "part", ["p_partkey", "p_type"])
+    bm = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    bm[part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy()] = True
+    ref = C.broadcast(bm)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        promo = ray.get(ref)
+        rev = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        isp = promo[t.column("l_partkey").to_numpy(zero_copy_only=False)]
+        return pd.DataFrame(
+            {"promo": [float(rev[isp].sum())], "total": [float(rev.sum())]}
+        )
+
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= _dt.datetime(1996, 9, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1996, 10, 1))
+        ),
+    )
+    parts = line.map_batches(partial, batch_format="pyarrow").to_pandas()
+    share = 100.0 * parts["promo"].sum() / parts["total"].sum()
+    return pd.DataFrame({"promo_revenue": [round(float(share), C.ROUND_DIGITS)]})
+
+
+Q14_SQL = f"""
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q14_TO}'
+"""
+
+
+# -- Q15: top supplier(s) by quarterly revenue -------------------------------
+
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """Supplier(s) hitting the max quarterly revenue. Per-batch partials
+    by suppkey (supplier-dim-keyed, bounded), a dim-sized grouped sum,
+    then the argmax and name lookup run on the DRIVER over a dim-sized
+    frame — the 'create view revenue0' of TPC-H Q15 without a second
+    fact pass. Rounding to 4 digits happens BEFORE the max comparison on
+    both sides so FP summation order can't flip a tie."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "supplier_no": t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                "total_revenue": (
+                    t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                    * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+        return df.groupby("supplier_no", as_index=False)["total_revenue"].sum()
+
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1996, 4, 1))
+        ),
+    )
+    rev = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("supplier_no")
+        .aggregate(Sum("total_revenue", alias_name="total_revenue"))
+        .to_pandas()
+    )
+    rev["total_revenue"] = rev["total_revenue"].round(C.ROUND_DIGITS)
+    top = rev[rev["total_revenue"] == rev["total_revenue"].max()]
+    sup = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+    out = pd.DataFrame(
+        {
+            "s_suppkey": top["supplier_no"].astype("int64"),
+            "s_name": [names[int(k)] for k in top["supplier_no"]],
+            "total_revenue": top["total_revenue"],
+        }
+    )
+    return out.sort_values("s_suppkey", kind="stable").reset_index(drop=True)
+
+
+Q15_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+# -- Q17: small-quantity-order revenue (correlated subquery) ------------------
+
+Q17_BRAND = "Brand#16"
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """Average yearly revenue lost if small-quantity orders of one brand's
+    parts were not filled — TPC-H's correlated-subquery class
+    (l_quantity < 0.2 * per-part avg). Two passes over the SAME key-pruned
+    read (the brand's partkeys push into the scan as an `isin`): pass 1
+    folds per-part (sum, count) partials into a brand-sized threshold map,
+    broadcast once; pass 2 applies the per-row threshold vectorized and
+    reduces to one float per block. Quantities are integer-valued, so
+    sum/count is order-independent in fp64 and both sides compute the
+    identical threshold."""
+    part = C.read_pandas(
+        sf_dir, "part", ["p_partkey", "p_brand"],
+        filters=[("p_brand", "==", Q17_BRAND)],
+    )
+    keys = part["p_partkey"].to_numpy(dtype=np.int64)
+    pred = pads.field("l_partkey").isin(pa.array(keys))
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def partial_avg(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t.column("l_partkey").to_numpy(zero_copy_only=False),
+                "s": t.column("l_quantity").to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("l_partkey", as_index=False).agg(
+            s=("s", "sum"), n=("s", "size")
+        )
+
+    parts = (
+        C.read(sf_dir, "lineitem", cols, filter=pred)
+        .map_batches(partial_avg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("l_partkey", as_index=False).sum()
+    thresh = np.zeros(int(keys.max()) + 1, dtype=np.float64)
+    thresh[agg["l_partkey"].to_numpy(dtype=np.int64)] = (
+        0.2 * agg["s"].to_numpy() / agg["n"].to_numpy()
+    )
+    tref = C.broadcast(thresh)
+
+    def partial_rev(t: pa.Table) -> pd.DataFrame:
+        th = ray.get(tref)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = q < th[k]
+        s = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m].sum()
+        return pd.DataFrame({"s": [float(s)]})
+
+    tot = (
+        C.read(sf_dir, "lineitem", cols, filter=pred)
+        .map_batches(partial_rev, batch_format="pyarrow")
+        .to_pandas()["s"]
+        .sum()
+    )
+    return pd.DataFrame({"avg_yearly": [round(float(tot) / 7.0, C.ROUND_DIGITS)]})
+
+
+Q17_SQL = f"""
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+# -- Q18: large-volume customers ---------------------------------------------
+
+Q18_QTY = 300.0
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """Orders whose total quantity exceeds a threshold (HAVING over a
+    fact-keyed aggregate), decorated with customer/order attributes. The
+    aggregate's qualifying set is O(output) — tiny by construction — so
+    the orders and customer tables are read KEY-PRUNED (`in` filters at
+    the parquet layer) against the winner keys; no corpus-sized join
+    runs anywhere. Output capped at 100 like the spec."""
+
+    def partial_qty(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "sum_qty": t.column("l_quantity").to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("o_orderkey", as_index=False)["sum_qty"].sum()
+
+    per_order = (
+        C.read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial_qty, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+    def over(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_qty"] > Q18_QTY]
+
+    winners = per_order.map_batches(over, batch_format="pandas").to_pandas()
+    if len(winners) == 0:
+        return pd.DataFrame(
+            {
+                "c_name": pd.Series([], dtype=object),
+                "c_custkey": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "sum_qty": pd.Series([], dtype="float64"),
+            }
+        )
+    okeys = winners["o_orderkey"].astype(int).tolist()
+    orders = C.read_pandas(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filters=[("o_orderkey", "in", okeys)],
+    )
+    merged = orders.merge(winners, on="o_orderkey")
+    cust = C.read_pandas(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", merged["o_custkey"].astype(int).tolist())],
+    )
+    merged = merged.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    merged = merged.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="stable",
+    ).head(100)
+    out = merged[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return C.round_cols(out, ["o_totalprice", "sum_qty"])
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {Q18_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 4) AS o_totalprice, round(sum_qty, 4) AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# -- Q19: disjunctive brand/size/quantity band revenue ------------------------
+
+# (brand, max p_size, l_quantity band) — the three OR'd predicate bands
+Q19_BANDS = [
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#15", 15, 20.0, 30.0),
+]
+
+
+def q19_banded_revenue(sf_dir: str):
+    """Revenue under a disjunction of (brand, size, quantity-band)
+    predicates — the multi-band OR class that defeats naive pushdown. The
+    part side collapses to a broadcast per-partkey band-id array (int8,
+    dense keys); each fact batch gathers its band ids and applies the
+    per-band quantity window via two aligned lookup arrays — one
+    vectorized pass, no join, no per-band rescans. The quantity envelope
+    (the union of all bands) still pushes into the scan, so out-of-band
+    rows never leave storage."""
+    part = C.read_pandas(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    band = np.full(int(part["p_partkey"].max()) + 1, -1, dtype=np.int8)
+    for i, (brand, max_size, _, _) in enumerate(Q19_BANDS):
+        sel = (part["p_brand"] == brand) & (part["p_size"] >= 1) & (
+            part["p_size"] <= max_size
+        )
+        band[part.loc[sel, "p_partkey"].to_numpy()] = i
+    qlo = np.array([b[2] for b in Q19_BANDS] + [np.inf])
+    qhi = np.array([b[3] for b in Q19_BANDS] + [-np.inf])
+    ref = C.broadcast((band, qlo, qhi))
+
+    env_lo = min(b[2] for b in Q19_BANDS)
+    env_hi = max(b[3] for b in Q19_BANDS)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        bd, lo, hi = ray.get(ref)
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        b = bd[k]
+        m = (q >= lo[b]) & (q <= hi[b])
+        rev = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        return pd.DataFrame({"revenue": [float(rev[m].sum())]})
+
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_quantity") >= env_lo)
+            & (pads.field("l_quantity") <= env_hi)
+        ),
+    )
+    parts = line.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"revenue": [round(float(parts["revenue"].sum()), C.ROUND_DIGITS)]}
+    )
+
+
+def _q19_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{brand}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {lo} AND {hi})"
+        for brand, sz, lo, hi in Q19_BANDS
+    )
+    return f"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_banded_revenue": q19_banded_revenue,
+}
+
+ORACLE_SQL = {
+    "q7_volume_shipping": Q7_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_banded_revenue": _q19_sql(),
+}

@@ -92,6 +92,10 @@ def _sql_backed():
         "q10_returned_items", "ann_quantized", "events_range_layout",
         "events_session_concurrency", "events_value_mad_outliers",
         "video_scene_changes", "q6_forecast_revenue", "events_type_moments",
+        "q7_volume_shipping", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q19_banded_revenue",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
