@@ -1143,7 +1143,255 @@ FROM sw WHERE nxt IS NOT NULL GROUP BY 1
 """
 
 
+# -- grouped exact selection + trimmed statistics ---------------------------
+
+TRIM_FRAC = 0.1  # fraction trimmed from EACH tail
+
+
+def _ranks_smallest_by(ds, gcol: str, col: str, ks: dict) -> dict:
+    """EXACT k-th smallest (0-indexed) per GROUP, for several ranks at
+    once: ``ks[group] = [k0, k1, ...]`` → ``{(group, k): value}``.
+
+    The grouped generalization of :func:`_kth_smallest`, still two
+    bounded passes TOTAL for all groups and all ranks: pass 1 builds the
+    per-(group, factor-2 bucket) histogram (≤ groups×64 partial rows per
+    batch); the driver walks each group's cumulative counts to the bucket
+    holding each rank; pass 2 counts distinct values inside only the
+    selected (group, bucket) cells and the driver walks to the exact
+    values. Driver state is O(groups × buckets) + O(distinct values in
+    selected buckets) — never a sort, never corpus-sized."""
+    import ray as _ray
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(np.int64)
+        bl = np.frexp(np.maximum(v, 0).astype("float64"))[1]
+        bk = np.where(v <= 0, 0, bl).astype(np.int64)
+        g = (
+            pd.DataFrame({"g": b[gcol].to_numpy(dtype=object), "b": bk})
+            .groupby(["g", "b"], as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {"g": g["g"], "b": g["b"].astype("int64"), "n": g["size"].astype("int64")}
+        )
+
+    reg = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    reg = reg.groupby(["g", "b"], as_index=False)["n"].sum()
+
+    want: dict = {}  # (group, bucket) -> [(k, rank-within-bucket)]
+    for g, sub in reg.groupby("g"):
+        sub = sub.sort_values("b")
+        cum = np.cumsum(sub["n"].to_numpy(np.int64))
+        for k in ks[g]:
+            i = int(np.searchsorted(cum, k + 1))
+            bstar = int(sub["b"].iloc[i])
+            r = int(k - (cum[i - 1] if i else 0))
+            want.setdefault((g, bstar), []).append((k, r))
+    wanted = pd.DataFrame(
+        [(g, bs) for (g, bs) in want], columns=["g", "b"]
+    ).astype({"b": "int64"})
+    wref = C.broadcast(wanted)
+
+    def within(b: pd.DataFrame) -> pd.DataFrame:
+        sel = _ray.get(wref)
+        v = b[col].to_numpy(np.int64)
+        bl = np.frexp(np.maximum(v, 0).astype("float64"))[1]
+        bk = np.where(v <= 0, 0, bl).astype(np.int64)
+        df = pd.DataFrame({"g": b[gcol].to_numpy(dtype=object), "b": bk, "v": v})
+        m = df.merge(sel, on=["g", "b"])
+        out = m.groupby(["g", "b", "v"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "g": out["g"],
+                "b": out["b"].astype("int64"),
+                "v": out["v"].astype("int64"),
+                "n": out["size"].astype("int64"),
+            }
+        )
+
+    vc = ds.map_batches(within, batch_format="pandas").to_pandas()
+    vc = vc.groupby(["g", "b", "v"], as_index=False)["n"].sum()
+    res: dict = {}
+    for (g, bs), pairs in want.items():
+        sub = vc[(vc["g"] == g) & (vc["b"] == bs)].sort_values("v")
+        cum = np.cumsum(sub["n"].to_numpy(np.int64))
+        for k, r in pairs:
+            j = int(np.searchsorted(cum, r + 1))
+            res[(g, k)] = int(sub["v"].iloc[j])
+    return res
+
+
+def events_trimmed_stats(sf_dir: str):
+    """EXACT 10%-each-tail trimmed mean of ``value`` per event type — the
+    robust aggregate that normally forces a per-group global sort. Here:
+    one count pass, the two-pass grouped selection of both trim
+    boundaries (:func:`_ranks_smallest_by` — all groups and both ranks
+    share the same two passes), then one conditional-sum pass with the
+    boundaries broadcast. Integer cents throughout (the house floor law),
+    with exact tie accounting at both boundaries, so the SQL oracle's
+    row_number window matches bit-for-bit. Four bounded passes, zero
+    sorts, driver state O(types)."""
+    import ray as _ray
+
+    ds = C.read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(object),
+                "v": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+
+    def pcount(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).size()
+        return pd.DataFrame(
+            {"event_type": g["event_type"], "n": g["size"].astype("int64")}
+        )
+
+    counts = (
+        cents.map_batches(pcount, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n"]
+        .sum()
+    )
+    n_by = dict(zip(counts["event_type"], counts["n"].astype(int)))
+    k_by = {g: int(np.floor(TRIM_FRAC * n)) for g, n in n_by.items()}
+    ks = {g: sorted({k_by[g], n_by[g] - k_by[g] - 1}) for g in n_by}
+    sel = _ranks_smallest_by(cents, "event_type", "v", ks)
+    lo_by = {g: sel[(g, k_by[g])] for g in n_by}
+    hi_by = {g: sel[(g, n_by[g] - k_by[g] - 1)] for g in n_by}
+    bounds = C.broadcast((lo_by, hi_by))
+
+    def psums(b: pd.DataFrame) -> pd.DataFrame:
+        lo_d, hi_d = _ray.get(bounds)
+        v = b["v"].to_numpy(np.int64)
+        lo = b["event_type"].map(lo_d).to_numpy(np.int64)
+        hi = b["event_type"].map(hi_d).to_numpy(np.int64)
+        mid = (v > lo) & (v < hi)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n_lt_lo": (v < lo).astype(np.int64),
+                "n_eq_lo": (v == lo).astype(np.int64),
+                "sum_mid": np.where(mid, v, 0),
+                "n_eq_hi": (v == hi).astype(np.int64),
+                "n_gt_hi": (v > hi).astype(np.int64),
+            }
+        )
+        return df.groupby("event_type", as_index=False).sum()
+
+    parts = cents.map_batches(psums, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", as_index=False).sum()
+
+    rows = []
+    for _, r in agg.iterrows():
+        g = r["event_type"]
+        n, k, lo, hi = n_by[g], k_by[g], lo_by[g], hi_by[g]
+        kept = n - 2 * k
+        if lo == hi:  # whole window is one value
+            total = lo * kept
+        else:
+            # copies of lo trimmed from the bottom tail: k - count(v < lo)
+            lo_in = int(r["n_eq_lo"]) - (k - int(r["n_lt_lo"]))
+            hi_in = int(r["n_eq_hi"]) - (k - int(r["n_gt_hi"]))
+            total = int(r["sum_mid"]) + lo * lo_in + hi * hi_in
+        rows.append(
+            {
+                "event_type": g,
+                "trimmed_mean": round(total / (100.0 * kept), C.ROUND_DIGITS),
+                "n_kept": int(kept),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out
+
+
+TRIMMED_STATS_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       round(sum(v) / (100.0 * count(*)), 4) AS trimmed_mean,
+       count(*) AS n_kept
+FROM r
+WHERE rn > floor({TRIM_FRAC} * n) AND rn <= n - floor({TRIM_FRAC} * n)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- deterministic per-group sample (portable-hash reservoir) ----------------
+
+GROUP_SAMPLE_K = 10
+
+
+def events_group_sample(sf_dir: str):
+    """Deterministic k-per-group sample: for each event type, the K events
+    with the smallest portable hash of their id (ties by id). The
+    hash-rank law makes the sample stable across runs, re-shards and
+    corpus growth (a kept event only changes if a smaller-hash event
+    ARRIVES in its group) — the distributed reservoir-sample stand-in for
+    training-data subset selection. Per-batch local top-K per group (bounded K×groups
+    rows leave each block), one driver fold of the partials — no shuffle,
+    no sort of the corpus."""
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "events", ["event_id", "event_type"])
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        h = H.poly_hash(
+            b["event_id"].astype("string").to_numpy(dtype=object)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(object),
+                "event_id": b["event_id"].astype("int64"),
+                "h": h,
+            }
+        )
+        return (
+            df.sort_values(["event_type", "h", "event_id"], kind="stable")
+            .groupby("event_type", as_index=False)
+            .head(GROUP_SAMPLE_K)
+        )
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["event_type", "h", "event_id"], kind="stable")
+        .groupby("event_type", as_index=False)
+        .head(GROUP_SAMPLE_K)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _group_sample_sql() -> str:
+    from raycdc import phash as H
+
+    return f"""
+WITH h AS (
+  SELECT event_type, event_id,
+         {H.sql_poly("CAST(event_id AS VARCHAR)")} AS h
+  FROM events
+)
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id, CAST(h AS BIGINT) AS h
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY h, event_id) AS rn FROM h)
+WHERE rn <= {GROUP_SAMPLE_K}
+"""
+
+
 QUERIES = {
+    "events_trimmed_stats": events_trimmed_stats,
+    "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
     "events_type_moments": events_type_moments,
@@ -1164,6 +1412,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_trimmed_stats": TRIMMED_STATS_SQL,
+    "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
     ),

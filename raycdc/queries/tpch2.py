@@ -639,8 +639,168 @@ WHERE {ors}
 """
 
 
+# -- Q8: national market share ------------------------------------------------
+
+Q8_NATION = "NATION_3"
+Q8_TYPE = "ECONOMY"
+
+
+def q8_market_share(sf_dir: str):
+    """Share of one nation's suppliers in a part-type's revenue sold into
+    that nation's region, by year. Three broadcast dimension artifacts —
+    a part-type bitmap, a supplier-nation bitmap, and a region-filtered
+    customer set — shrink both fact sides map-side; the orderkey
+    equi-join is the q7 tagged co-shuffle; the final fold moves two
+    floats per (partition, year). The numerator rides WITH the volume
+    partial (one pass computes both sums), so the share is one driver
+    division per year."""
+    nat = C.read_pandas(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region_key = int(nat.loc[nat["n_name"] == Q8_NATION, "n_regionkey"].iloc[0])
+    region_nations = set(
+        int(k) for k in nat.loc[nat["n_regionkey"] == region_key, "n_nationkey"]
+    )
+    n3_key = int(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"].iloc[0])
+
+    part = C.read_pandas(sf_dir, "part", ["p_partkey", "p_type"])
+    pbm = np.zeros(int(part["p_partkey"].max()) + 1, dtype=bool)
+    pbm[part.loc[part["p_type"] == Q8_TYPE, "p_partkey"].to_numpy()] = True
+
+    sup = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sbm = np.zeros(int(sup["s_suppkey"].max()) + 1, dtype=bool)
+    sbm[sup.loc[sup["s_nationkey"] == n3_key, "s_suppkey"].to_numpy()] = True
+
+    cust = C.read_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cbm = np.zeros(int(cust["c_custkey"].max()) + 1, dtype=bool)
+    in_region = cust["c_nationkey"].isin(list(region_nations)).to_numpy()
+    cbm[cust.loc[in_region, "c_custkey"].to_numpy()] = True
+    pref, sref2, cref2 = C.broadcast(pbm), C.broadcast(sbm), C.broadcast(cbm)
+
+    tagged = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("l_year", pa.int64()),
+            ("volume", pa.float64()),
+            ("vol_nat", pa.float64()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def keep_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(cref2)
+        cu = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = ck[cu]  # dense custkey bitmap gather — one vectorized pass
+        n = int(m.sum())
+        return pa.table(
+            {
+                "key": t.column("o_orderkey").to_numpy(zero_copy_only=False)[m].astype(np.int64),
+                "l_year": np.zeros(n, np.int64),
+                "volume": np.zeros(n, np.float64),
+                "vol_nat": np.zeros(n, np.float64),
+                "side": np.ones(n, np.int8),
+            },
+            schema=tagged,
+        )
+
+    orders = C.read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        keep_orders, batch_format="pyarrow"
+    )
+
+    def partial_line(t: pa.Table) -> pa.Table:
+        pb, sb = ray.get(pref), ray.get(sref2)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = pb[pk]
+        if not m.any():
+            return tagged.empty_table()
+        vol = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )[m]
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)[m]
+        is_nat = np.where(sk < len(sb), sb[np.minimum(sk, len(sb) - 1)], False)
+        df = pd.DataFrame(
+            {
+                "key": t.column("l_orderkey").to_numpy(zero_copy_only=False)[m],
+                "l_year": pc.year(t.column("l_shipdate")).to_numpy(zero_copy_only=False)[m],
+                "volume": vol,
+                "vol_nat": np.where(is_nat, vol, 0.0),
+            }
+        )
+        out = df.groupby(["key", "l_year"], as_index=False).sum()
+        return pa.table(
+            {
+                "key": out["key"].to_numpy(np.int64),
+                "l_year": out["l_year"].to_numpy(np.int64),
+                "volume": out["volume"].to_numpy(np.float64),
+                "vol_nat": out["vol_nat"].to_numpy(np.float64),
+                "side": np.zeros(len(out), np.int8),
+            },
+            schema=tagged,
+        )
+
+    line = C.read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+        ),
+    ).map_batches(partial_line, batch_format="pyarrow")
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g["side"] == 1, "key"]
+        e = g[(g["side"] == 0) & g["key"].isin(keep)]
+        out = e.groupby("l_year", as_index=False)[["volume", "vol_nat"]].sum()
+        return pd.DataFrame(
+            {
+                "l_year": out["l_year"].astype("int64"),
+                "volume": out["volume"].astype("float64"),
+                "vol_nat": out["vol_nat"].astype("float64"),
+            }
+        )
+
+    parts = C.by_partition(line.union(orders), "key", semi).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "l_year": pd.Series([], dtype="int64"),
+                "mkt_share": pd.Series([], dtype="float64"),
+            }
+        )
+    out = parts.groupby("l_year", as_index=False)[["volume", "vol_nat"]].sum()
+    out["mkt_share"] = (out["vol_nat"] / out["volume"]).round(C.ROUND_DIGITS)
+    return out[["l_year", "mkt_share"]].sort_values("l_year").reset_index(drop=True)
+
+
+Q8_SQL = f"""
+SELECT l_year,
+       round(sum(CASE WHEN s_nat = '{Q8_NATION}' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS s_nat
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = '{Q8_TYPE}'
+    AND n2.n_regionkey = (
+      SELECT n_regionkey FROM nation WHERE n_name = '{Q8_NATION}')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+GROUP BY l_year ORDER BY l_year
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
@@ -651,6 +811,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q15_top_supplier": Q15_SQL,

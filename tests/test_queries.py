@@ -95,7 +95,8 @@ def _sql_backed():
         "q7_volume_shipping", "q13_customer_distribution",
         "q14_promo_revenue", "q15_top_supplier",
         "q17_small_quantity_revenue", "q18_large_volume_customers",
-        "q19_banded_revenue",
+        "q19_banded_revenue", "q8_market_share", "events_trimmed_stats",
+        "events_group_sample",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
