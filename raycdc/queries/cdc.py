@@ -1122,6 +1122,62 @@ def cdc_history_scd2_delta(sf_dir: str):
     return hist.map_batches(delta_only, batch_format="pandas")
 
 
+# as-of probe anchors: first, second-to-last and last committed rounds of
+# the tier's replay plan (pure footer-only planning, shared with the SQL)
+_ASOF_POSITIONS = (0, -2, -1)
+
+
+def _asof_probe_wms(sf_dir: str) -> list[int]:
+    """Probe watermarks: end-of-round boundaries in composite-watermark
+    time ((cursor_hi+1)·WM − 1 includes every seq at cursor_hi)."""
+    return sorted(
+        {
+            (_plan_round_at(sf_dir, pos)[2] + 1) * _WM - 1
+            for pos in _ASOF_POSITIONS
+        }
+    )
+
+
+def cdc_scd2_asof(sf_dir: str):
+    """Batched point-in-time lookups against the versioned history: for a
+    deterministic probe set (the tier's lookup keys × three committed
+    round boundaries), the version of each (conv_id, turn_idx) that was
+    valid at each probe watermark — the "what did this dimension row look
+    like when the fact happened" as-of class that SCD2 tables exist to
+    serve.
+
+    Scale shape: the history derivation is RESTRICTED to the probe keys
+    before its shuffle (the ``_scd2_history(conv_keys=...)`` broadcast
+    semi-join — probe-sized input, not corpus-sized), then every batch
+    resolves ALL probe watermarks with k vectorized interval tests
+    (k = #probes, constant). Delete-versions resolve to absent, open
+    intervals carry the −1 sentinel. Contrast ``cdc_time_travel`` (full
+    snapshot via manifest version history) — this path never touches the
+    lake at all, it serves point-in-time from the derived history table."""
+    keys = np.array(sorted(_lookup_keys(sf_dir)), dtype=object)
+    wms = _asof_probe_wms(sf_dir)
+    hist = _scd2_history(sf_dir, conv_keys=keys)
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        vf = b["valid_from"].to_numpy(np.int64)
+        vt = b["valid_to"].to_numpy(np.int64)
+        alive = b["ver_op"].to_numpy(dtype=object) != "delete"
+        outs = []
+        for w in wms:
+            m = alive & (vf <= w) & ((vt == _SCD2_OPEN) | (vt > w))
+            sub = b.loc[
+                m, ["conv_id", "turn_idx", "ver", "role", "text", "tool", "ts"]
+            ].copy()
+            sub.insert(0, "probe_wm", np.full(int(m.sum()), w, np.int64))
+            outs.append(sub)
+        return pd.concat(outs, ignore_index=True)
+
+    df = hist.map_batches(resolve, batch_format="pandas").to_pandas()
+    return df.sort_values(
+        ["probe_wm", "conv_id", "turn_idx"], kind="stable"
+    ).reset_index(drop=True)
+
+
 CDC_SNAPSHOT_DIFF_SQL_TEMPLATE = """
 WITH lo AS ({lo_replay}), hi AS ({hi_replay})
 SELECT COALESCE(lo.conv_id, hi.conv_id) AS conv_id,
@@ -1577,6 +1633,22 @@ SELECT * FROM h
 WHERE valid_from // {_WM} > {anchor_cursor}
    OR (valid_to <> {_SCD2_OPEN} AND valid_to // {_WM} > {anchor_cursor})"""
         ),
+        # as-of probes: interval-join the probe watermarks to the history
+        # CTE (same template), delete-versions excluded
+        "cdc_scd2_asof": (
+            "WITH h AS ("
+            + CDC_HISTORY_SCD2_SQL_TEMPLATE.format(path=path)
+            + "),\np AS (SELECT * FROM (VALUES "
+            + ", ".join(f"({w})" for w in _asof_probe_wms(sf_dir))
+            + ") t(probe_wm))\n"
+            "SELECT CAST(probe_wm AS BIGINT) AS probe_wm, conv_id, turn_idx,\n"
+            "       ver, role, text, tool, ts\n"
+            "FROM p JOIN h ON valid_from <= probe_wm\n"
+            f"            AND (valid_to = {_SCD2_OPEN} OR valid_to > probe_wm)\n"
+            "WHERE conv_id IN ("
+            + ", ".join(f"'{k}'" for k in sorted(_lookup_keys(sf_dir)))
+            + ") AND ver_op <> 'delete'"
+        ),
         "cdc_time_travel": time_travel,
         "cdc_read_key": read_key,
         "cdc_changefeed": changefeed,
@@ -1712,6 +1784,7 @@ QUERIES = {
     "cdc_apply_events": cdc_apply_events,
     "cdc_history_scd2": cdc_history_scd2,
     "cdc_history_scd2_delta": cdc_history_scd2_delta,
+    "cdc_scd2_asof": cdc_scd2_asof,
     "cdc_round_ledger": cdc_round_ledger,
     "cdc_time_travel": cdc_time_travel,
     "cdc_read_key": cdc_read_key,
