@@ -834,7 +834,263 @@ FROM d a JOIN d b
 """
 
 
+# -- exact set-similarity join via prefix filtering (AllPairs/PPJoin) -------
+
+# Jaccard threshold as an exact rational so both sides test integers
+PJ_NUM, PJ_DEN = 1, 2
+
+
+def _pj_prefix_len(m: np.ndarray) -> np.ndarray:
+    """AllPairs prefix length m − ⌈T·m⌉ + 1 with integer ceil of the
+    rational threshold (no float boundary anywhere)."""
+    return m - (PJ_NUM * m + PJ_DEN - 1) // PJ_DEN + 1
+
+
+def dedup_prefix_jaccard(sf_dir: str):
+    """EXACT all-pairs trigram-set Jaccard join (≥ 1/2) via df-ordered
+    prefix filtering — the AllPairs/PPJoin family (Bayardo et al. WWW'07,
+    Xiao et al. WWW'08): two records can reach the threshold only if they
+    share a token among the FIRST ``m − ⌈T·m⌉ + 1`` of their tokens in
+    ascending-document-frequency order, so candidate generation touches
+    only the rarest slice of each record and is exact — no false
+    negatives, unlike the MinHash/SimHash paths. Complements them as the
+    dedup family's exactness anchor (reference analog: the exact-dup
+    delete+rewrite, ``indexer/exporters/postgres_item_exporter.py``).
+
+    Scale shape, three bounded passes:
+      1. df pass over DISTINCT trigrams (per-batch partials → int groupby),
+         keeping ONLY df ≥ 2 — a df-1 trigram can't co-occur, and absent
+         keys order as (df=1, tok) — so the broadcast order map is
+         O(shared content), never O(vocab);
+      2. prefix pass: per doc, distinct trigrams sort by (df, tok) — a
+         total order both sides replicate exactly — and only prefix
+         tokens with df ≥ 2 emit (tok, doc, m) rows; candidates pair up
+         inside per-token bounded partitions (prefix tokens are the
+         RAREST of each doc, so buckets are df-bounded and tiny by
+         construction);
+      3. verify: candidate docs re-read KEY-PRUNED, exploded to
+         (pair, doc) rows, exact intersection counted per pair inside
+         bounded partitions with the integer cross-multiplied threshold
+         test (PJ_DEN·i ≥ PJ_NUM·(mₐ+m_b−i)).
+    Driver materializations: the candidate pair list (O(candidates),
+    prefix-filtered) — the same contract as dedup_minhash_pairs."""
+    import pyarrow.dataset as pads
+    import ray
+
+    docs = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tri_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, distinct trigram) rows; token-less docs drop (an empty
+        set is similar to nothing under this operator's contract)."""
+        texts = b["text"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        tris: list = []
+        bounds = [0]
+        keep = []
+        for i, t in enumerate(texts):
+            s = _shingle_strings(t)
+            if s == [""]:
+                continue
+            keep.append(i)
+            tris.extend(set(s))
+            bounds.append(len(tris))
+        counts = np.diff(bounds)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids[keep], counts).astype(np.int64),
+                "tok": np.array(tris, dtype=object),
+            }
+        )
+
+    # NOT materialized: both consumers (df pass, prefix pass) recompute the
+    # explosion from the pruned read — re-shingling is cheap vectorized CPU,
+    # pinning the exploded corpus (~3× text bytes) in the object store is not
+    tri = docs.map_batches(tri_rows, batch_format="pandas")
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("tok", as_index=False).size()
+        return pd.DataFrame({"tok": g["tok"], "n": g["size"].astype("int64")})
+
+    df_tbl = (
+        tri.map_batches(df_partial, batch_format="pandas")
+        .groupby("tok")
+        .sum("n")
+        .to_pandas()
+    )
+    shared = df_tbl[df_tbl["sum(n)"] >= 2]
+    df_map = dict(zip(shared["tok"], shared["sum(n)"].astype(int)))
+    dref = ray.put(df_map)
+
+    def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """Per doc: sort distinct trigrams by (df, tok), emit df≥2 prefix
+        tokens. Vectorized: one lexsort over the batch's exploded rows
+        with doc as the major key, then a per-doc positional mask."""
+        dmap = ray.get(dref)
+        if not len(b):
+            return pd.DataFrame(
+                {"tok": pd.Series(dtype=object),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "m": pd.Series(dtype="int64")}
+            )
+        dfv = b["tok"].map(dmap).fillna(1).to_numpy(np.int64)
+        order = np.lexsort(
+            (b["tok"].to_numpy(dtype=object), dfv, b["doc_id"].to_numpy())
+        )
+        d = b["doc_id"].to_numpy()[order]
+        tok = b["tok"].to_numpy(dtype=object)[order]
+        dfo = dfv[order]
+        # per-doc sizes and positions within the doc's sorted token run
+        _, starts, m = np.unique(d, return_index=True, return_counts=True)
+        pos = np.arange(len(d)) - np.repeat(starts, m)
+        plen = _pj_prefix_len(np.repeat(m, m))
+        sel = (pos < plen) & (dfo >= 2)
+        return pd.DataFrame(
+            {
+                "tok": tok[sel],
+                "doc_id": d[sel].astype(np.int64),
+                "m": np.repeat(m, m)[sel].astype(np.int64),
+            }
+        )
+
+    pref = tri.map_batches(prefix_rows, batch_format="pandas")
+
+    def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs within each token's bucket (doc-sorted triu);
+        buckets are df-bounded (prefix tokens are rare by construction)."""
+        outs = []
+        for _, sub in g.groupby("tok", sort=False):
+            sub = sub.sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy(np.int64)
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs.append(
+                pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    cand = (
+        C.by_partition(pref, "tok", token_pairs)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+
+    cand["pair_id"] = np.arange(len(cand), dtype=np.int64)
+    pair_of: dict = {}
+    for pid, a, bdoc in zip(cand["pair_id"], cand["doc_a"], cand["doc_b"]):
+        pair_of.setdefault(int(a), []).append(int(pid))
+        pair_of.setdefault(int(bdoc), []).append(int(pid))
+    pref_map = ray.put({k: np.asarray(v, np.int64) for k, v in pair_of.items()})
+    doc_ids = sorted(pair_of)
+
+    cdocs = C.read(
+        sf_dir, "documents", ["doc_id", "text"],
+        filter=pads.field("doc_id").isin(doc_ids),
+    )
+
+    def to_pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pref_map)
+        ids = b["doc_id"].to_numpy(np.int64)
+        texts = b["text"].to_numpy()
+        reps = [pm.get(int(i), np.empty(0, np.int64)) for i in ids]
+        counts = np.array([len(r) for r in reps], np.int64)
+        return pd.DataFrame(
+            {
+                "pair_id": (
+                    np.concatenate(reps) if len(reps) else np.empty(0, np.int64)
+                ),
+                "doc_id": np.repeat(ids, counts),
+                "text": np.repeat(texts, counts),
+            }
+        )
+
+    rows = cdocs.map_batches(to_pair_rows, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pair_id": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+        g = g[g.groupby("pair_id")["doc_id"].transform("size") == 2]
+        if len(g) == 0:
+            return empty
+        texts = g["text"].to_numpy()
+        tris: list = []
+        bounds = [0]
+        for t in texts:
+            tris.extend(set(_shingle_strings(t)))
+            bounds.append(len(tris))
+        counts = np.diff(bounds)
+        ex = pd.DataFrame(
+            {
+                "pair_id": np.repeat(g["pair_id"].to_numpy(np.int64), counts),
+                "tri": tris,
+            }
+        )
+        per = ex.groupby(["pair_id", "tri"], sort=False).size()
+        stats = per.groupby(level=0).agg(["size", "sum"])
+        union = stats["size"].to_numpy(np.int64)
+        inter = (stats["sum"].to_numpy(np.int64) - union)  # docs-per-tri − 1
+        ok = PJ_DEN * inter >= PJ_NUM * union
+        pid = stats.index.to_numpy(np.int64)[ok]
+        # doc_a/doc_b resolve on the driver from the candidate table
+        return pd.DataFrame(
+            {
+                "pair_id": pid,
+                "jaccard": np.round(
+                    inter[ok] / union[ok], 4
+                ).astype(np.float64),
+            }
+        )
+
+    ver = C.by_partition(rows, "pair_id", verify).to_pandas()
+    out = cand.merge(ver, on="pair_id")[["doc_a", "doc_b", "jaccard"]]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _prefix_jaccard_sql() -> str:
+    """Oracle = the DIRECT exact join (token equi-join over distinct
+    trigram sets + integer threshold), no prefix filter — independently
+    validating the filter's no-false-negative guarantee."""
+    return f"""
+WITH {_TOKS_CTE},
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(t) < {SHINGLE_W} THEN [array_to_string(t, ' ')]
+             ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]
+        END AS s
+    FROM toks WHERE len(t) > 0
+),
+tri AS (SELECT doc_id, unnest(list_distinct(s)) AS tok FROM sh),
+m AS (SELECT doc_id, count(*) AS m FROM tri GROUP BY 1),
+inter AS (
+    SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+    FROM tri x JOIN tri y ON x.tok = y.tok AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(i AS DOUBLE) / (a.m + b.m - i), 4) AS jaccard
+FROM inter JOIN m a ON a.doc_id = da JOIN m b ON b.doc_id = db
+WHERE {PJ_DEN} * i >= {PJ_NUM} * (a.m + b.m - i)
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_levenshtein_pairs": dedup_levenshtein_pairs,
     "dedup_simhash": dedup_simhash,
@@ -843,6 +1099,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_prefix_jaccard": _prefix_jaccard_sql(),
     "dedup_minhash_pairs": MINHASH_PAIRS_SQL,
     "dedup_levenshtein_pairs": LEVENSHTEIN_PAIRS_SQL,
     "dedup_simhash": SIMHASH_GROUPS_SQL,
