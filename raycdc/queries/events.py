@@ -1328,6 +1328,65 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# -- cumulative distinct users (running distinct-count) ----------------------
+
+def events_new_users_hourly(sf_dir: str):
+    """Hourly new-user counts and the running total of distinct users ever
+    seen — the cumulative-COUNT(DISTINCT) class that naive plans answer
+    with a per-bucket distinct over an ever-growing prefix (quadratic). The
+    scale shape: distinct-ness collapses to each user's FIRST-SEEN hour
+    (per-batch arg-min partials → one user-keyed bounded aggregate), the
+    per-hour histogram folds to O(hours) driver rows, and the running total
+    is a driver cumsum over hours — the prefix-scan state is O(hours),
+    never O(users)."""
+    from ray.data.aggregate import Min as AggMin
+
+    ds = C.read(sf_dir, "events", ["user_id", "ts"])
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].dt.floor("h")
+        return (
+            pd.DataFrame({"user_id": b["user_id"].astype("int64"), "hour": d})
+            .groupby("user_id", as_index=False)["hour"]
+            .min()
+        )
+
+    first = (
+        ds.map_batches(first_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(AggMin("hour", alias_name="hour"))
+    )
+
+    def day_hist(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("hour", as_index=False).size()
+        return pd.DataFrame({"hour": g["hour"], "n_new": g["size"].astype("int64")})
+
+    hist = (
+        first.map_batches(day_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("hour", as_index=False)["n_new"]
+        .sum()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    hist["cum_users"] = hist["n_new"].cumsum().astype("int64")
+    hist["n_new"] = hist["n_new"].astype("int64")
+    return hist
+
+
+NEW_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT hour, count(*) AS n_new FROM f GROUP BY hour
+)
+SELECT hour, n_new,
+       CAST(sum(n_new) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+FROM d ORDER BY hour
+"""
+
+
 # -- deterministic per-group sample (portable-hash reservoir) ----------------
 
 GROUP_SAMPLE_K = 10
@@ -1390,6 +1449,7 @@ WHERE rn <= {GROUP_SAMPLE_K}
 
 
 QUERIES = {
+    "events_new_users_hourly": events_new_users_hourly,
     "events_trimmed_stats": events_trimmed_stats,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
@@ -1412,6 +1472,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_new_users_hourly": NEW_USERS_SQL,
     "events_trimmed_stats": TRIMMED_STATS_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
