@@ -911,14 +911,17 @@ def dedup_prefix_jaccard(sf_dir: str):
         g = b.groupby("tok", as_index=False).size()
         return pd.DataFrame({"tok": g["tok"], "n": g["size"].astype("int64")})
 
-    df_tbl = (
-        tri.map_batches(df_partial, batch_format="pandas")
-        .groupby("tok")
-        .sum("n")
-        .to_pandas()
-    )
-    shared = df_tbl[df_tbl["sum(n)"] >= 2]
-    df_map = dict(zip(shared["tok"], shared["sum(n)"].astype(int)))
+    # trigram keys are near-unique → fold df per bounded partition and keep
+    # ONLY df≥2 rows inside the kernel (the native hash aggregate would
+    # shuffle O(vocab) string keys; this ships O(shared content))
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("tok", as_index=False)["n"].sum()
+        return s[s["n"] >= 2]
+
+    shared = C.by_partition(
+        tri.map_batches(df_partial, batch_format="pandas"), "tok", df_fold
+    ).to_pandas()
+    df_map = dict(zip(shared["tok"], shared["n"].astype(int)))
     dref = ray.put(df_map)
 
     def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -930,7 +933,8 @@ def dedup_prefix_jaccard(sf_dir: str):
             return pd.DataFrame(
                 {"tok": pd.Series(dtype=object),
                  "doc_id": pd.Series(dtype="int64"),
-                 "m": pd.Series(dtype="int64")}
+                 "m": pd.Series(dtype="int64"),
+                 "pos": pd.Series(dtype="int64")}
             )
         dfv = b["tok"].map(dmap).fillna(1).to_numpy(np.int64)
         order = np.lexsort(
@@ -949,6 +953,7 @@ def dedup_prefix_jaccard(sf_dir: str):
                 "tok": tok[sel],
                 "doc_id": d[sel].astype(np.int64),
                 "m": np.repeat(m, m)[sel].astype(np.int64),
+                "pos": pos[sel].astype(np.int64),
             }
         )
 
@@ -956,22 +961,40 @@ def dedup_prefix_jaccard(sf_dir: str):
 
     def token_pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within each token's bucket (doc-sorted triu);
-        buckets are df-bounded (prefix tokens are rare by construction)."""
+        buckets are df-bounded (prefix tokens are rare by construction).
+        Vectorized by the size-bucketed triu expansion (one
+        ``np.triu_indices`` per DISTINCT bucket size, never a Python loop
+        over the near-unique token key — the graph_cosupply_pairs
+        kernel)."""
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64")}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["tok", "doc_id"], kind="stable")
+        toks = g["tok"].to_numpy(dtype=object)
+        ids = g["doc_id"].to_numpy(np.int64)
+        new = np.ones(len(g), bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(g)))
         outs = []
-        for _, sub in g.groupby("tok", sort=False):
-            sub = sub.sort_values("doc_id")
-            ids = sub["doc_id"].to_numpy(np.int64)
-            if len(ids) < 2:
+        for s in np.unique(sizes):
+            if s < 2:
                 continue
-            ia, ib = np.triu_indices(len(ids), k=1)
+            gs = starts[sizes == s]
+            ia, ib = np.triu_indices(int(s), k=1)
             outs.append(
-                pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[(gs[:, None] + ia[None, :]).ravel()],
+                        "doc_b": ids[(gs[:, None] + ib[None, :]).ravel()],
+                    }
+                )
             )
         if not outs:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"),
-                 "doc_b": pd.Series(dtype="int64")}
-            )
+            return empty
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
     cand = (

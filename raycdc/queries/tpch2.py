@@ -244,18 +244,20 @@ def q13_customer_distribution(sf_dir: str):
         out = b.groupby("o_custkey", as_index=False).size()
         return out.rename(columns={"size": "c_count"})
 
-    per_cust = (
-        orders.map_batches(partial_count, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("c_count", alias_name="c_count"))
-    )
-
-    def partial_hist(b: pd.DataFrame) -> pd.DataFrame:
-        h = b["c_count"].value_counts().reset_index()
+    # custkey is near-unique → fold per bounded partition (the native hash
+    # aggregate shuffles O(customers) keys); each partition emits only its
+    # count-of-counts histogram (≤ distinct order counts rows)
+    def partial_hist(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False)["c_count"].sum()
+        h = s["c_count"].value_counts().reset_index()
         h.columns = ["c_count", "custdist"]
         return h
 
-    hist = per_cust.map_batches(partial_hist, batch_format="pandas").to_pandas()
+    hist = C.by_partition(
+        orders.map_batches(partial_count, batch_format="pandas"),
+        "o_custkey",
+        partial_hist,
+    ).to_pandas()
     out = hist.groupby("c_count", as_index=False)["custdist"].sum()
     zero = n_cust - int(out["custdist"].sum())
     if zero > 0:
@@ -500,17 +502,18 @@ def q18_large_volume_customers(sf_dir: str):
         )
         return df.groupby("o_orderkey", as_index=False)["sum_qty"].sum()
 
-    per_order = (
-        C.read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(partial_qty, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-    )
+    partials = C.read(
+        sf_dir, "lineitem", ["l_orderkey", "l_quantity"]
+    ).map_batches(partial_qty, batch_format="pyarrow")
 
-    def over(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["sum_qty"] > Q18_QTY]
+    # HAVING inside the bounded-partition kernel — orderkey is near-unique,
+    # so the native hash aggregate would shuffle O(orders) keys (measured
+    # 25× slower at sf0.1); here only the O(output) winners leave the fold
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_orderkey", as_index=False)["sum_qty"].sum()
+        return s[s["sum_qty"] > Q18_QTY]
 
-    winners = per_order.map_batches(over, batch_format="pandas").to_pandas()
+    winners = C.by_partition(partials, "o_orderkey", having).to_pandas()
     if len(winners) == 0:
         return pd.DataFrame(
             {
