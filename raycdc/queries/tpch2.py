@@ -801,6 +801,95 @@ GROUP BY l_year ORDER BY l_year
 """
 
 
+# -- Q22: dormant high-balance customers --------------------------------------
+
+
+# every testdata customer has at least one order, so bare NOT-EXISTS is
+# degenerate; "dormant" = no order on/after this cutoff (last ~10 months
+# of the order history at every tier), which keeps the anti-join populated
+Q22_CUTOFF = "2000-10-01"
+
+
+def q22_dormant_balances(sf_dir: str):
+    """Customers above the global positive-average balance with NO recent
+    orders, rolled up by market segment — the scalar-subquery + anti-join
+    class (TPC-H Q22 adapted: mktsegment stands in for the phone country
+    code the testdata lacks, and dormancy is "no order since Q22_CUTOFF").
+    The threshold is two numbers per block (conditional sum/count partials
+    folded on the driver — never a materialized pass); the anti-join is
+    Ray's native hash-partitioned ``left_anti`` with the probe side
+    already threshold-filtered map-side, so only above-average customers
+    shuffle, and the orders side is date-pruned AT THE READ (row-group
+    predicate pushdown) down to the recent window. The rollup output is
+    segment-sized.
+
+    Parity: the reference's existence-gated aggregate exports
+    (indexer/aggr_jobs/order_jobs/*.sql NOT-EXISTS shapes)."""
+    cust = C.read(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def bal_partial(t: pa.Table) -> pd.DataFrame:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0.0]
+        return pd.DataFrame({"s": [float(pos.sum())], "n": [int(len(pos))]})
+
+    p = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    avg_bal = float(p["s"].sum()) / max(int(p["n"].sum()), 1)
+
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+    cutoff = _dt.datetime.fromisoformat(Q22_CUTOFF)
+    recent = C.read(
+        sf_dir, "orders", ["o_custkey"],
+        filter=(pads.field("o_orderdate") >= cutoff),
+    )
+    dormant = rich.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=C.join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    _EMPTY = pd.DataFrame(
+        {"c_mktsegment": pd.Series(dtype=object),
+         "numcust": pd.Series(dtype="int64"),
+         "totacctbal": pd.Series(dtype="float64")}
+    )
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        # Ray 2.49's hash join finalizes empty partitions schema-less
+        if len(b) == 0 or "c_mktsegment" not in b.columns:
+            return _EMPTY
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum")
+        )
+
+    parts = dormant.map_batches(rollup, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "c_mktsegment" not in parts.columns:
+        return _EMPTY
+    out = (
+        parts.groupby("c_mktsegment", as_index=False)
+        .agg(numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum"))
+        .sort_values("c_mktsegment", kind="stable")
+        .reset_index(drop=True)
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    return C.round_cols(out, ["totacctbal"])
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -810,6 +899,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_banded_revenue": q19_banded_revenue,
+    "q22_dormant_balances": q22_dormant_balances,
 }
 
 ORACLE_SQL = {
@@ -821,4 +911,5 @@ ORACLE_SQL = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_customers": Q18_SQL,
     "q19_banded_revenue": _q19_sql(),
+    "q22_dormant_balances": Q22_SQL,
 }

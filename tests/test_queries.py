@@ -97,7 +97,7 @@ def _sql_backed():
         "q17_small_quantity_revenue", "q18_large_volume_customers",
         "q19_banded_revenue", "q8_market_share", "events_trimmed_stats",
         "events_group_sample", "dedup_prefix_jaccard",
-        "events_new_users_hourly",
+        "events_new_users_hourly", "q22_dormant_balances",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
