@@ -890,6 +890,233 @@ ORDER BY c_mktsegment
 """
 
 
+# -- Q16: supplier counts per part attribute group ----------------------------
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (3, 7, 14, 23, 36, 45)
+Q16_EXCL_MOD = 7  # "suppliers with complaints" stand-in: s_suppkey % 7 == 0
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """COUNT(DISTINCT supplier) per (brand, type, size) over qualifying
+    parts, excluding a blacklisted supplier set — TPC-H Q16 with the
+    part-supplier pairs derived from lineitem (the testdata has no
+    partsupp) and the complaints predicate standing on a key residue.
+    Scale shape for exact grouped distinct-count: (1) part attrs ride as
+    DENSE broadcast arrays (partkeys are dense ints) so each fact batch
+    gathers brand/type/size vectorized and drops non-qualifying rows
+    map-side; (2) per-batch ``drop_duplicates`` bounds egress at the
+    distinct (group, suppkey) combos per block; (3) the shuffle
+    co-locates ALL rows of a suppkey in one bounded partition, so each
+    partition's distinct (group, suppkey) count is disjoint from every
+    other's and the driver fold is an exact SUM over |groups|-sized
+    partials — no global distinct materialization. At a part cardinality
+    where the attr arrays outgrow a broadcast, the gather becomes the q7
+    tagged co-shuffle on partkey; nothing downstream changes.
+
+    Parity: the reference's distinct-entity rollups
+    (indexer/aggr_jobs/disorder_jobs/daily_wallet_addresses_aggregates.sql)."""
+    part = C.read_pandas(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    sup = C.read_pandas(sf_dir, "supplier", ["s_suppkey"])
+    excl = set(
+        int(s) for s in sup["s_suppkey"] if int(s) % Q16_EXCL_MOD == 0
+    )
+    maxpk = int(part["p_partkey"].max())
+    keep = np.zeros(maxpk + 1, dtype=bool)
+    sel = (part["p_brand"] != Q16_EXCL_BRAND) & part["p_size"].isin(Q16_SIZES)
+    keep[part.loc[sel, "p_partkey"].to_numpy()] = True
+    brand = np.empty(maxpk + 1, dtype=object)
+    ptype = np.empty(maxpk + 1, dtype=object)
+    psize = np.zeros(maxpk + 1, dtype=np.int64)
+    pk_all = part["p_partkey"].to_numpy()
+    brand[pk_all] = part["p_brand"].to_numpy(dtype=object)
+    ptype[pk_all] = part["p_type"].to_numpy(dtype=object)
+    psize[pk_all] = part["p_size"].to_numpy()
+    ref = C.broadcast((keep, brand, ptype, psize, np.array(sorted(excl))))
+
+    def local_pairs(t: pa.Table) -> pd.DataFrame:
+        kp, br, ty, sz, ex = ray.get(ref)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        m = kp[pk] & ~np.isin(sk, ex)
+        pk, sk = pk[m], sk[m]
+        df = pd.DataFrame(
+            {
+                "p_brand": br[pk],
+                "p_type": ty[pk],
+                "p_size": sz[pk],
+                "suppkey": sk.astype(np.int64),
+            }
+        )
+        return df.drop_duplicates()
+
+    pairs = C.read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey"]
+    ).map_batches(local_pairs, batch_format="pyarrow")
+
+    def part_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        return d.groupby(
+            ["p_brand", "p_type", "p_size"], as_index=False
+        ).agg(supplier_cnt=("suppkey", "size"))
+
+    hist = C.by_partition(pairs, "suppkey", part_distinct).to_pandas()
+    if len(hist) == 0:
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series(dtype=object),
+                "p_type": pd.Series(dtype=object),
+                "p_size": pd.Series(dtype="int64"),
+                "supplier_cnt": pd.Series(dtype="int64"),
+            }
+        )
+    out = hist.groupby(
+        ["p_brand", "p_type", "p_size"], as_index=False
+    )["supplier_cnt"].sum()
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+        kind="stable",
+    ).reset_index(drop=True)
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % {Q16_EXCL_MOD} = 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# -- Q21: sole-failed-supplier wait counts -------------------------------------
+
+
+def q21_sole_failed_supplier(sf_dir: str):
+    """Per-supplier count of failed lines in multi-supplier finished
+    orders where that supplier was the ONLY one with a failed line —
+    TPC-H Q21's EXISTS + NOT-EXISTS pair adapted to the testdata
+    (o_orderstatus='F' finished orders, l_returnflag='R' as the
+    late/failed marker; no receipt/commit dates in the schema). Both
+    correlated subqueries collapse into ONE co-shuffle: the F-order keys
+    (pushdown-pruned at the read) and the lineitem rows ride a tagged
+    union partitioned on orderkey, and a single vectorized kernel per
+    bounded partition computes per-order distinct-supplier and
+    distinct-failed-supplier counts, keeps orders with >1 suppliers and
+    exactly 1 failing one, and emits per-supplier partial counts — the
+    driver folds a supplier-sized frame. The supplier name map is a
+    broadcast dim lookup.
+
+    Parity: the reference's multi-entity consistency exports
+    (indexer/jobs/export_transactions_and_logs_job.py cross-checks)."""
+    tagged = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("suppkey", pa.int64()),
+            ("failed", pa.int8()),
+            ("side", pa.int8()),
+        ]
+    )
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(ok)
+        return pa.table(
+            {
+                "key": ok.astype(np.int64),
+                "suppkey": np.zeros(n, np.int64),
+                "failed": np.zeros(n, np.int8),
+                "side": np.ones(n, np.int8),
+            },
+            schema=tagged,
+        )
+
+    orders = C.read(
+        sf_dir, "orders", ["o_orderkey"],
+        filter=(pads.field("o_orderstatus") == "F"),
+    ).map_batches(order_side, batch_format="pyarrow")
+
+    def line_side(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        fl = (
+            pc.equal(t.column("l_returnflag"), "R")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int8)
+        )
+        return pa.table(
+            {
+                "key": ok.astype(np.int64),
+                "suppkey": sk.astype(np.int64),
+                "failed": fl,
+                "side": np.zeros(len(ok), np.int8),
+            },
+            schema=tagged,
+        )
+
+    line = C.read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        fkeys = g.loc[g["side"] == 1, "key"].unique()
+        l = g[(g["side"] == 0) & g["key"].isin(fkeys)]
+        lf = l[l["failed"] == 1]
+        if len(lf) == 0:
+            return pd.DataFrame(
+                {"suppkey": pd.Series(dtype="int64"),
+                 "numwait": pd.Series(dtype="int64")}
+            )
+        nsupp = l.groupby("key")["suppkey"].nunique()
+        nfail = lf.groupby("key")["suppkey"].nunique()
+        qual = nfail.index[(nfail == 1) & (nsupp.reindex(nfail.index) > 1)]
+        lq = lf[lf["key"].isin(qual)]
+        return lq.groupby("suppkey", as_index=False).agg(
+            numwait=("suppkey", "size")
+        )
+
+    parts = C.by_partition(line.union(orders), "key", kernel).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"s_name": pd.Series(dtype=object),
+             "numwait": pd.Series(dtype="int64")}
+        )
+    sup = C.read_pandas(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+    out = parts.groupby("suppkey", as_index=False)["numwait"].sum()
+    out["s_name"] = out["suppkey"].map(names)
+    out = out[["s_name", "numwait"]]
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -900,6 +1127,8 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_banded_revenue": q19_banded_revenue,
     "q22_dormant_balances": q22_dormant_balances,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q21_sole_failed_supplier": q21_sole_failed_supplier,
 }
 
 ORACLE_SQL = {
@@ -912,4 +1141,6 @@ ORACLE_SQL = {
     "q18_large_volume_customers": Q18_SQL,
     "q19_banded_revenue": _q19_sql(),
     "q22_dormant_balances": Q22_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q21_sole_failed_supplier": Q21_SQL,
 }

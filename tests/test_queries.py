@@ -98,6 +98,7 @@ def _sql_backed():
         "q19_banded_revenue", "q8_market_share", "events_trimmed_stats",
         "events_group_sample", "dedup_prefix_jaccard",
         "events_new_users_hourly", "q22_dormant_balances",
+        "q16_supplier_part_counts", "q21_sole_failed_supplier",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
