@@ -251,9 +251,84 @@ FROM c GROUP BY 1, 2
 """
 
 
+# -- CUBE over (event_type, day) ----------------------------------------------
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): all four grouping sets — the finest
+    grain, per-type, per-day, and the grand total ('ALL' sentinel instead
+    of SQL NULL so the value-hash compare is total-order-stable). Extends
+    :func:`events_rollup` with the day-only set that ROLLUP omits.
+
+    Scale shape: identical to the rollup — the finest grain is BOUNDED
+    (types × days), ONE distributed pass emits per-batch partial rows,
+    and every coarser set is a driver-side re-aggregation of the folded
+    finest grain (provably exact: count and sum are distributive over the
+    partition of rows by the finest grain). No shuffle at any level."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "n": np.int64(1),
+                "sum_value": b["value"],
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)
+        .sum()
+    )
+
+    def coarse(keys: list[str]) -> pd.DataFrame:
+        g = fine.groupby(keys, as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        for col in ("event_type", "day"):
+            if col not in keys:
+                g[col] = "ALL"
+        return g
+
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "n": [fine["n"].sum()],
+            "sum_value": [fine["sum_value"].sum()],
+        }
+    )
+    out = pd.concat(
+        [fine, coarse(["event_type"]), coarse(["day"]), total],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out[["event_type", "day", "n", "sum_value"]]
+    return C.round_cols(out, ["sum_value"])
+
+
+CUBE_SQL = """
+WITH b AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, 'ALL')        AS day,
+       count(*)                    AS n,
+       round(sum(value), 4)        AS sum_value
+FROM b
+GROUP BY CUBE (event_type, day)
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_rollup": events_rollup,
+    "events_cube": events_cube,
     "events_value_histogram": events_value_histogram,
     "user_retention_cohorts": user_retention_cohorts,
 }
@@ -261,6 +336,7 @@ QUERIES = {
 ORACLE_SQL = {
     "events_funnel": FUNNEL_SQL,
     "events_rollup": ROLLUP_SQL,
+    "events_cube": CUBE_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
     "user_retention_cohorts": RETENTION_SQL,
 }
