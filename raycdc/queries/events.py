@@ -1328,6 +1328,144 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# -- exact grouped NTILE without a per-group sort -----------------------------
+
+NTILE_K = 4
+
+
+def events_value_ntile(sf_dir: str):
+    """Per (event_type, quartile) row count and value sum under
+    ``NTILE(4) OVER (PARTITION BY event_type ORDER BY value)`` — the
+    window-function class that naive plans answer with a per-group global
+    sort. The aggregated output is order-independent (ties at a tile
+    boundary carry equal values, so any tie assignment yields the same
+    per-tile sums), which lets the whole window collapse to ORDER
+    STATISTICS: tile sizes follow from the group count (first ``n % k``
+    tiles take the extra row, SQL NTILE law), the 3 interior boundary
+    values come from :func:`_ranks_smallest_by` (two bounded passes for
+    ALL groups and ranks), and one final pass accumulates per-boundary
+    (count, sum) of strictly-smaller values so each prefix sum
+    ``S(c) = sum_lt(b) + b·(c − n_lt(b))`` is exact under ties. Integer
+    cents throughout (the house floor law). Four bounded passes, zero
+    sorts, driver state O(types × k)."""
+    import ray as _ray
+
+    ds = C.read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(object),
+                "v": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+
+    def pcount(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False).size()
+        return pd.DataFrame(
+            {"event_type": g["event_type"], "n": g["size"].astype("int64")}
+        )
+
+    counts = (
+        cents.map_batches(pcount, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)["n"]
+        .sum()
+    )
+    n_by = dict(zip(counts["event_type"], counts["n"].astype(int)))
+
+    # cumulative tile-boundary ranks per group (SQL NTILE sizing)
+    cuts_by: dict = {}
+    ks: dict = {}
+    for g, n in n_by.items():
+        q, r = divmod(n, NTILE_K)
+        sizes = [q + 1] * r + [q] * (NTILE_K - r)
+        cuts = list(np.cumsum(sizes))  # c_1..c_K (c_K == n)
+        cuts_by[g] = cuts
+        ks[g] = sorted({c - 1 for c in cuts[:-1] if c >= 1})
+    sel = _ranks_smallest_by(cents, "event_type", "v", ks)
+    # per group: the ≤ K-1 interior (cut, boundary-value) pairs
+    bounds_by = {
+        g: [(c, sel[(g, c - 1)]) for c in cuts_by[g][:-1] if c >= 1]
+        for g in n_by
+    }
+    pad = np.iinfo("int64").max
+    bmaps = [
+        {
+            g: (bl[i][1] if i < len(bl) else pad)
+            for g, bl in bounds_by.items()
+        }
+        for i in range(NTILE_K - 1)
+    ]
+    bref = C.broadcast(bmaps)
+
+    def psums(b: pd.DataFrame) -> pd.DataFrame:
+        maps = _ray.get(bref)
+        v = b["v"].to_numpy(np.int64)
+        cols = {"event_type": b["event_type"], "sum_all": v}
+        for i, mp in enumerate(maps):
+            bi = b["event_type"].map(mp).to_numpy(np.int64)
+            lt = v < bi
+            cols[f"n_lt_{i}"] = lt.astype(np.int64)
+            cols[f"sum_lt_{i}"] = np.where(lt, v, 0)
+        return pd.DataFrame(cols).groupby("event_type", as_index=False).sum()
+
+    agg = (
+        cents.map_batches(psums, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+
+    rows = []
+    for _, r in agg.iterrows():
+        g = r["event_type"]
+        bl = bounds_by[g]
+        prefix = [0]  # S(c_0)=0, then S at each cut
+        for i, (c, bv) in enumerate(bl):
+            prefix.append(
+                int(r[f"sum_lt_{i}"]) + bv * (c - int(r[f"n_lt_{i}"]))
+            )
+        prefix.append(int(r["sum_all"]))  # S(n)
+        cuts = [0] + cuts_by[g][: len(bl)] + [n_by[g]]
+        for t in range(len(cuts) - 1):
+            nt = cuts[t + 1] - cuts[t]
+            if nt <= 0:
+                continue
+            rows.append(
+                {
+                    "event_type": g,
+                    "tile": t + 1,
+                    "n": nt,
+                    "sum_value": round(
+                        (prefix[t + 1] - prefix[t]) / 100.0, C.ROUND_DIGITS
+                    ),
+                }
+            )
+    out = pd.DataFrame(rows).sort_values(
+        ["event_type", "tile"], kind="stable"
+    ).reset_index(drop=True)
+    out["tile"] = out["tile"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+NTILE_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+), t AS (
+  SELECT event_type, v,
+         ntile({NTILE_K}) OVER (PARTITION BY event_type ORDER BY v) AS tile
+  FROM c
+)
+SELECT event_type, tile, count(*) AS n, round(sum(v) / 100.0, 4) AS sum_value
+FROM t GROUP BY event_type, tile
+ORDER BY event_type, tile
+"""
+
+
 # -- cumulative distinct users (running distinct-count) ----------------------
 
 def events_new_users_hourly(sf_dir: str):
@@ -1451,6 +1589,7 @@ WHERE rn <= {GROUP_SAMPLE_K}
 QUERIES = {
     "events_new_users_hourly": events_new_users_hourly,
     "events_trimmed_stats": events_trimmed_stats,
+    "events_value_ntile": events_value_ntile,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -1474,6 +1613,7 @@ QUERIES = {
 ORACLE_SQL = {
     "events_new_users_hourly": NEW_USERS_SQL,
     "events_trimmed_stats": TRIMMED_STATS_SQL,
+    "events_value_ntile": NTILE_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
