@@ -334,12 +334,197 @@ WITH pair AS (
     return head + "".join(steps) + f"\nSELECT node, r AS pr FROM r{PR_ITERS}"
 
 
+def graph_triangles(sf_dir: str):
+    """Per-node triangle counts (the clustering-coefficient numerator)
+    over the co-supply graph — edges are the ``graph_cosupply_pairs``
+    output (supplier pairs sharing ≥ 2 parts, canonical s1 < s2).
+
+    The distributed shape is degree-oriented node-iterator triangle
+    counting (Schank/Wagner; the MapReduce form is Suri & Vassilvitskii,
+    *Counting Triangles and the Curse of the Last Reducer*): every edge
+    is directed from its lower-(degree, id) endpoint to the higher one,
+    which (a) turns the graph into a DAG so each triangle is found
+    exactly once at its lowest-degree apex, and (b) bounds every
+    out-degree at O(√m) — the wedge space Σ C(outdeg, 2) stays near-linear
+    even with hub nodes, the whole point at 100 TB. Wedges (pairs of
+    out-neighbors, packed into one int64 key) co-shuffle with the edge
+    set on the closing pair key; a vectorized partition kernel keeps
+    wedges whose closing edge exists and credits all three corners.
+    Degrees are node-sized (supplier dim) → one broadcast; nothing
+    edge-sized ever reaches the driver."""
+    import ray as _ray
+
+    edges = graph_cosupply_pairs(sf_dir).materialize()
+
+    def pdeg(b: pd.DataFrame) -> pd.DataFrame:
+        s = np.concatenate(
+            [b["s1"].to_numpy(np.int64), b["s2"].to_numpy(np.int64)]
+        )
+        vc = pd.Series(s).value_counts()
+        return pd.DataFrame(
+            {
+                "node": vc.index.to_numpy(np.int64),
+                "d": vc.to_numpy(np.int64),
+            }
+        )
+
+    deg = (
+        edges.map_batches(pdeg, batch_format="pandas")
+        .to_pandas()
+        .groupby("node", as_index=False)["d"]
+        .sum()
+    )
+    dref = C.broadcast(dict(zip(deg["node"].astype(int), deg["d"].astype(int))))
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        dm = _ray.get(dref)
+        a = b["s1"].to_numpy(np.int64)
+        c = b["s2"].to_numpy(np.int64)
+        da = pd.Series(a).map(dm).to_numpy(np.int64)
+        dc = pd.Series(c).map(dm).to_numpy(np.int64)
+        a_first = (da < dc) | ((da == dc) & (a < c))
+        return pd.DataFrame(
+            {
+                "src": np.where(a_first, a, c),
+                "dst": np.where(a_first, c, a),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+
+    _W_EMPTY = pd.DataFrame(
+        {
+            "key": pd.Series(dtype="int64"),
+            "apex": pd.Series(dtype="int64"),
+            "side": pd.Series(dtype="int8"),
+        }
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["src", "dst"])
+        s = d["src"].to_numpy(np.int64)
+        t = d["dst"].to_numpy(np.int64)
+        if not len(d):
+            return _W_EMPTY
+        new = np.ones(len(d), bool)
+        new[1:] = s[1:] != s[:-1]
+        gid = np.cumsum(new) - 1
+        sizes = np.bincount(gid)
+        keep = (sizes >= 2)[gid]
+        s, t, sz = s[keep], t[keep], sizes[gid[keep]]
+        frames = []
+        for d0 in np.unique(sz):
+            m = sz == d0
+            mat = t[m].reshape(-1, d0)  # dst ascend within each src
+            apex = s[m].reshape(-1, d0)[:, 0]
+            iu, ju = np.triu_indices(d0, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": mat[:, iu].ravel() * PAIR_MOD
+                        + mat[:, ju].ravel(),
+                        "apex": np.repeat(apex, len(iu)),
+                    }
+                )
+            )
+        if not frames:
+            return _W_EMPTY
+        out = pd.concat(frames, ignore_index=True)
+        out["side"] = np.int8(0)
+        return out
+
+    wedge_ds = C.by_partition(oriented, "src", wedges)
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["s1"].to_numpy(np.int64) * PAIR_MOD
+            + b["s2"].to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "key": k,
+                "apex": np.full(len(k), -1, np.int64),
+                "side": np.ones(len(k), np.int8),
+            }
+        )
+
+    edge_side = edges.map_batches(tag_edges, batch_format="pandas")
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        ek = g.loc[g["side"] == 1, "key"].unique()
+        w = g[(g["side"] == 0) & g["key"].isin(ek)]
+        if not len(w):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="int64"),
+                    "n_triangles": pd.Series(dtype="int64"),
+                }
+            )
+        k = w["key"].to_numpy(np.int64)
+        nodes = np.concatenate(
+            [w["apex"].to_numpy(np.int64), k // PAIR_MOD, k % PAIR_MOD]
+        )
+        vc = pd.Series(nodes).value_counts()
+        return pd.DataFrame(
+            {
+                "node": vc.index.to_numpy(np.int64),
+                "n_triangles": vc.to_numpy(np.int64),
+            }
+        )
+
+    parts = C.by_partition(
+        wedge_ds.union(edge_side), "key", close
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "n_triangles": pd.Series(dtype="int64"),
+            }
+        )
+    out = parts.groupby("node", as_index=False)["n_triangles"].sum()
+    out["node"] = out["node"].astype("int64")
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.sort_values("node", kind="stable").reset_index(drop=True)
+
+
+TRIANGLES_SQL = f"""
+WITH pair AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), dg AS (
+  SELECT p, count(*) AS d FROM pair GROUP BY p
+), keep AS (
+  SELECT pair.p, pair.s FROM pair JOIN dg USING (p)
+  WHERE d BETWEEN 2 AND {WEDGE_DEG_CAP}
+), wd AS (
+  SELECT a.p, a.s AS s1, b.s AS s2
+  FROM keep a JOIN keep b ON a.p = b.p AND a.s < b.s
+), e AS (
+  SELECT s1, s2 FROM wd GROUP BY s1, s2 HAVING count(*) >= 2
+), tri AS (
+  SELECT a.s1 AS x, a.s2 AS y, b.s2 AS z
+  FROM e a
+  JOIN e b ON b.s1 = a.s2
+  JOIN e c ON c.s1 = a.s1 AND c.s2 = b.s2
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_cosupply_pairs": graph_cosupply_pairs,
+    "graph_triangles": graph_triangles,
 }
 
 ORACLE_SQL = {
     "graph_pagerank": _pagerank_sql(),
     "graph_cosupply_pairs": COSUPPLY_SQL,
+    "graph_triangles": TRIANGLES_SQL,
 }

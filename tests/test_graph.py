@@ -88,3 +88,31 @@ def test_pagerank_matches_pure_python_simulation(ray_session):
     got = graph_pagerank(SF).to_pandas()
     gd = dict(zip(got["node"].astype(int), got["pr"].astype(int)))
     assert gd == r
+
+
+def test_triangles_match_bruteforce(ray_session):
+    """graph_triangles equals a pure-Python set-intersection triangle
+    count over the same brute-forced co-supply edge set."""
+    from raycdc.queries.graph import graph_triangles
+
+    df = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    edges = [k for k, n in _brute_pairs(df).items() if n >= 2]
+    adj: dict[int, set] = defaultdict(set)
+    for k in edges:
+        a, b = k // PAIR_MOD, k % PAIR_MOD
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt: dict[int, int] = defaultdict(int)
+    for a in sorted(adj):
+        for b in sorted(adj[a]):
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for x in (a, b, c):
+                        cnt[x] += 1
+    got = graph_triangles(SF)
+    gd = dict(zip(got["node"].astype(int), got["n_triangles"].astype(int)))
+    assert gd == dict(cnt)
