@@ -1233,6 +1233,129 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+# -- per-source char-budget quota (data-mixture primitive) ------------------
+
+BUDGET_CHARS = 3000
+_BUD_SHIFT = 19  # hash space P < 2^31 → 4096 equal-width buckets
+
+
+def docs_char_budget(sf_dir: str):
+    """Per-source character-budget quota: keep each source's docs in
+    deterministic hash order (H(doc_id), doc_id) until the running char
+    total reaches BUDGET_CHARS, including the doc that crosses the line —
+    the greedy budgeted selection behind "X tokens per domain" data
+    mixtures (seedable, order-independent, resumable: the kept set is a
+    pure function of doc ids).
+
+    The window cumsum the SQL oracle uses would need a per-source global
+    sort; the distributed shape is EXACT WEIGHTED SELECTION instead
+    (the weighted generalization of :func:`_ranks_smallest_by`): pass A
+    folds a (source × 4096-bucket) weighted histogram (hashes are
+    uniform, so equal-width buckets split mass evenly) and the driver
+    walks each source's cumulative mass to the budget-crossing bucket;
+    pass B ships only crossing-bucket rows (≈ 1/4096 of each source) to
+    the driver to pin the exact cutoff key; pass C filters by broadcast
+    cutoff. Three bounded passes, zero sorts, zero shuffles. At domain
+    cardinalities where (sources × touched buckets) outgrows the driver,
+    pass A's fold becomes a distributed ``by_partition(source)`` walk —
+    the per-source logic is unchanged."""
+    import ray as _ray
+
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def with_key(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": b["source"].astype(object),
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_chars": b["n_chars"].astype("int64"),
+            }
+        )
+        out["hk"] = H.poly_hash(
+            b["doc_id"].astype("string").to_numpy(dtype=object)
+        ).astype("int64")
+        out["bk"] = (out["hk"].to_numpy() >> _BUD_SHIFT).astype("int64")
+        return out
+
+    keyed = ds.map_batches(with_key, batch_format="pandas").materialize()
+
+    def phist(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["source", "bk"], as_index=False)["n_chars"].sum()
+
+    hist = (
+        keyed.map_batches(phist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["source", "bk"], as_index=False)["n_chars"]
+        .sum()
+    )
+    cross_bk: dict = {}   # source -> crossing bucket
+    mass_below: dict = {}
+    keep_all: set = set()
+    for src, sub in hist.groupby("source"):
+        sub = sub.sort_values("bk")
+        cum = np.cumsum(sub["n_chars"].to_numpy(np.int64))
+        if cum[-1] < BUDGET_CHARS:
+            keep_all.add(src)
+            continue
+        i = int(np.searchsorted(cum, BUDGET_CHARS))
+        cross_bk[src] = int(sub["bk"].iloc[i])
+        mass_below[src] = int(cum[i - 1]) if i else 0
+    bref = C.broadcast(cross_bk)
+
+    def pcross(b: pd.DataFrame) -> pd.DataFrame:
+        bm = _ray.get(bref)
+        tgt = b["source"].map(bm).fillna(-1).to_numpy(np.int64)
+        return b[b["bk"].to_numpy() == tgt]
+
+    rows = keyed.map_batches(pcross, batch_format="pandas").to_pandas()
+    P_SENTINEL = (int(H.P), np.iinfo("int64").max)
+    cutoff = {s: P_SENTINEL for s in keep_all}
+    for src, sub in rows.groupby("source"):
+        sub = sub.sort_values(["hk", "doc_id"], kind="stable")
+        remaining = BUDGET_CHARS - mass_below[src]
+        cum = np.cumsum(sub["n_chars"].to_numpy(np.int64))
+        j = int(np.searchsorted(cum, remaining))  # crossing doc index
+        cutoff[src] = (int(sub["hk"].iloc[j]), int(sub["doc_id"].iloc[j]))
+    cref = C.broadcast(cutoff)
+
+    def pkeep(b: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(cref)
+        hs = b["source"].map({s: h for s, (h, d) in cm.items()}).to_numpy(np.int64)
+        dstar = b["source"].map({s: d for s, (h, d) in cm.items()}).to_numpy(np.int64)
+        hk = b["hk"].to_numpy(np.int64)
+        did = b["doc_id"].to_numpy(np.int64)
+        keep = (hk < hs) | ((hk == hs) & (did <= dstar))
+        return b.loc[keep, ["source", "doc_id", "n_chars"]]
+
+    out = keyed.map_batches(pkeep, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values(["source", "doc_id"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def _char_budget_sql() -> str:
+    from raycdc import phash as H
+
+    return f"""
+WITH h AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         {H.sql_poly("CAST(doc_id AS VARCHAR)")} AS hk
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS prev
+  FROM h
+)
+SELECT source, doc_id, n_chars FROM c WHERE prev < {BUDGET_CHARS}
+ORDER BY source, doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
@@ -1251,6 +1374,7 @@ QUERIES = {
     "doc_pack_offsets": doc_pack_offsets,
     "docs_contamination": docs_contamination,
     "docs_dup_spans": docs_dup_spans,
+    "docs_char_budget": docs_char_budget,
 }
 
 ORACLE_SQL = {
@@ -1271,4 +1395,5 @@ ORACLE_SQL = {
     "doc_pack_offsets": PACK_OFFSETS_SQL,
     "docs_contamination": _contamination_sql(),
     "docs_dup_spans": _dup_spans_sql(),
+    "docs_char_budget": _char_budget_sql(),
 }
