@@ -23,8 +23,11 @@ def _write(tbl: pa.Table, path: str, fmt: str) -> None:
         with pa.OSFile(path, "wb") as f:  # explicit truncate
             pacsv.write_csv(tbl, f)
     elif fmt == "json":
+        # date_unit="us": the default (ms) silently truncates microseconds,
+        # breaking JSONL round-trip fidelity vs the lake's timestamp[us]
         tbl.to_pandas().to_json(
-            path, orient="records", lines=True, date_format="iso"
+            path, orient="records", lines=True, date_format="iso",
+            date_unit="us",
         )
     elif fmt == "parquet":
         pq.write_table(tbl, path)
@@ -176,6 +179,63 @@ def read_ranged_csv(paths_or_dir, lo: int | None = None, hi: int | None = None):
             return t.filter(m)
 
         ds = ds.map_batches(rowfilter, batch_format="pyarrow")
+    return ds
+
+
+def read_ranged_json(
+    paths_or_dir,
+    lo: int | None = None,
+    hi: int | None = None,
+    parse_ts: list[str] | None = None,
+):
+    """JSONL source with the same filename range pruning as
+    :func:`read_ranged_csv` (the reference's file-source family,
+    ``indexer/jobs/source_job/csv_source_job.py:34-108``, JSON variant):
+    skip files whose ``-lo-hi.`` range cannot intersect [lo, hi], then
+    row-filter exactly. ``parse_ts`` casts the named ISO-string columns
+    back to ``timestamp[us]`` so a JSONL round trip is value-identical to
+    the lake (the JSON exporter serializes timestamps as ISO strings)."""
+    import glob as _glob
+    import re
+
+    import ray.data
+
+    if isinstance(paths_or_dir, str) and os.path.isdir(paths_or_dir):
+        paths = sorted(_glob.glob(os.path.join(paths_or_dir, "*.json")))
+    else:
+        paths = list(paths_or_dir)
+    rng = re.compile(r"-(\d+)-(\d+)(?:-[pf]\d+)?\.json$")
+    kept = []
+    for p in paths:
+        m = rng.search(p)
+        if m and lo is not None and int(m.group(2)) < lo:
+            continue
+        if m and hi is not None and int(m.group(1)) > hi:
+            continue
+        kept.append(p)
+    ds = ray.data.read_json(kept)
+    if lo is not None or hi is not None or parse_ts:
+        import pyarrow.compute as pc
+
+        def fix(t: pa.Table) -> pa.Table:
+            for c in parse_ts or []:
+                if c in t.column_names and pa.types.is_string(
+                    t.schema.field(c).type
+                ):
+                    idx = t.column_names.index(c)
+                    # Arrow's cast parses ISO 8601 natively (strptime's %f
+                    # is not portable across Arrow builds)
+                    t = t.set_column(
+                        idx, c, pc.cast(t.column(c), pa.timestamp("us"))
+                    )
+            m = pa.array([True] * t.num_rows)
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(t.column("cursor"), lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less_equal(t.column("cursor"), hi))
+            return t.filter(m)
+
+        ds = ds.map_batches(fix, batch_format="pyarrow")
     return ds
 
 
