@@ -491,6 +491,121 @@ def cdc_conv_stats(sf_dir: str):
     return _conv_stats_ds(eng)
 
 
+def cdc_conv_text(sf_dir: str):
+    """Flatten each live conversation into ONE training document —
+    ``role: text`` lines joined in turn order — the transcript→corpus
+    assembly step every LLM pipeline runs between the CDC lake and
+    tokenization. Distributed shape: conv-keyed ``by_partition`` (all
+    turns of a conversation co-locate; conv_id is near-unique so the
+    bounded-partition fold, not a per-group map_groups), one pandas
+    kernel per partition: lexsort, vectorized line build, and a per-group
+    ``str.join`` (string concatenation has no array kernel — the join
+    itself is C; only the group iteration is Python, O(convs/partition)).
+    Parity: the reference's per-entity document assembly
+    (indexer/modules/custom/deep_flow/* aggregation exports)."""
+    eng = _replayed_engine(sf_dir, salted=False)
+    ds = eng.read_lake(columns=["conv_id", "turn_idx", "role", "text"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        # role can be NULL on patch-only keys: empty-string it explicitly
+        # (SQL || would null the whole line and string_agg would DROP it)
+        line = (
+            d["role"].fillna("").astype(str)
+            + ": "
+            + d["text"].fillna("").astype(str)
+        )
+        grp = line.groupby(d["conv_id"].to_numpy())
+        doc = grp.agg("\n".join)
+        n = grp.size()
+        out = pd.DataFrame(
+            {
+                "conv_id": doc.index.to_numpy(dtype=object),
+                "doc": doc.to_numpy(dtype=object),
+            }
+        )
+        out["n_turns"] = n.to_numpy().astype("int64")
+        out["n_chars"] = out["doc"].str.len().astype("int64")
+        return out
+
+    return C.by_partition(ds, "conv_id", kernel)
+
+
+def cdc_turn_pairs(sf_dir: str):
+    """(prompt, response) pair extraction: every live ``user`` turn whose
+    NEXT live turn in the conversation is an ``assistant`` turn — the
+    SFT-pair mining step over the transcript lake (delete events punch
+    holes, so "next live turn" is a LEAD over surviving rows, not
+    turn_idx+1). Distributed shape: conv-keyed ``by_partition``, one
+    fully vectorized kernel per partition — lexsort, shifted arrays with
+    a conv-boundary mask, one boolean gather. Zero per-row Python."""
+    eng = _replayed_engine(sf_dir, salted=False)
+    ds = eng.read_lake(columns=["conv_id", "turn_idx", "role", "text"])
+
+    _EMPTY = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype=object),
+            "prompt_turn": pd.Series(dtype="int64"),
+            "prompt": pd.Series(dtype=object),
+            "response_turn": pd.Series(dtype="int64"),
+            "response": pd.Series(dtype=object),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        d = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = d["conv_id"].to_numpy(dtype=object)
+        role = d["role"].to_numpy(dtype=object)
+        text = d["text"].to_numpy(dtype=object)
+        turn = d["turn_idx"].to_numpy().astype(np.int64)
+        same = np.zeros(len(d), bool)
+        same[:-1] = conv[:-1] == conv[1:]  # next row is same conversation
+        m = same & (role == "user")
+        m[:-1] &= role[1:] == "assistant"
+        idx = np.flatnonzero(m)
+        return pd.DataFrame(
+            {
+                "conv_id": conv[idx],
+                "prompt_turn": turn[idx],
+                "prompt": text[idx],
+                "response_turn": turn[idx + 1],
+                "response": text[idx + 1],
+            }
+        )
+
+    return C.by_partition(ds, "conv_id", kernel)
+
+
+CDC_CONV_TEXT_SQL_TEMPLATE = """
+WITH replay AS ({replay}), lines AS (
+  SELECT conv_id, turn_idx,
+         COALESCE(role, '') || ': ' || COALESCE(text, '') AS line
+  FROM replay
+)
+SELECT conv_id,
+       string_agg(line, chr(10) ORDER BY turn_idx) AS doc,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(line, chr(10) ORDER BY turn_idx)) AS BIGINT)
+           AS n_chars
+FROM lines GROUP BY conv_id
+"""
+
+CDC_TURN_PAIRS_SQL_TEMPLATE = """
+WITH replay AS ({replay}), w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER win AS nrole,
+         lead(text) OVER win AS ntext,
+         lead(turn_idx) OVER win AS nturn
+  FROM replay WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS prompt_turn, text AS prompt,
+       CAST(nturn AS BIGINT) AS response_turn, ntext AS response
+FROM w WHERE role = 'user' AND nrole = 'assistant'
+"""
+
+
 def cdc_incremental_stats(sf_dir: str):
     """Incremental view maintenance of the conv-stats aggregate: given the
     stats table as it was MATERIALIZED at the anchor round, refresh it by
@@ -1582,6 +1697,8 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
             f"GROUP BY 1"
         ),
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
+        "cdc_conv_text": CDC_CONV_TEXT_SQL_TEMPLATE.format(replay=replay),
+        "cdc_turn_pairs": CDC_TURN_PAIRS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
         "cdc_fingerprint_index": _fingerprint_sql(path),
@@ -1793,6 +1910,8 @@ QUERIES = {
     "cdc_changefeed_latest": cdc_changefeed_latest,
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_conv_text": cdc_conv_text,
+    "cdc_turn_pairs": cdc_turn_pairs,
 }
 
 ORACLE_SQL = {
