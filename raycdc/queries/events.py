@@ -1466,6 +1466,138 @@ ORDER BY event_type, tile
 """
 
 
+# -- ratio-to-report: share of each day's events per type ---------------------
+
+def events_share_of_day(sf_dir: str):
+    """Per (day, event_type): event count and its share of that DAY's
+    total — the ratio-to-report window class (``n / sum(n) OVER
+    (PARTITION BY day)``). The grain is bounded (days × types), so one
+    distributed pass folds per-batch partial counts and the window
+    itself is a driver-side transform of the tiny folded frame; the
+    share is INTEGER BASIS POINTS (``n·10⁴ // day_total``) — float
+    rounding of small-int ratios hits exact half-ties (5/32 = 0.15625)
+    where numpy rounds half-even and SQL half-away, so the contract is
+    floor division, tie-free on both sides."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": b["event_type"],
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby(["day", "event_type"], as_index=False)["n"].sum()
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["day", "event_type"], as_index=False)["n"]
+        .sum()
+    )
+    day_tot = fine.groupby("day")["n"].transform("sum")
+    fine["n"] = fine["n"].astype("int64")
+    fine["share_bp"] = (
+        fine["n"].to_numpy(np.int64) * 10_000 // day_tot.to_numpy(np.int64)
+    ).astype("int64")
+    return fine.sort_values(["day", "event_type"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+SHARE_OF_DAY_SQL = """
+WITH b AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events
+), c AS (
+  SELECT day, event_type, count(*) AS n FROM b GROUP BY day, event_type
+)
+SELECT day, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 10000 // sum(n) OVER (PARTITION BY day) AS BIGINT)
+           AS share_bp
+FROM c ORDER BY day, event_type
+"""
+
+
+# -- exact Pearson correlation from integer moment sums ------------------------
+
+def events_value_time_corr(sf_dir: str):
+    """Pearson correlation between ``value`` and hour-of-day per event
+    type, EXACT to the bit across engines: the five moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) fold as int64 (x = value cents, y = hour) —
+    distributive, mergeable, order-independent — and both sides evaluate
+    the SAME fixed float expression on those exact integers (every step
+    correctly rounded: cast, ·, −, √, ÷), so no Welford-order noise can
+    flip the 4th digit. One bounded pass, driver state O(types).
+    Overflow bound: Σx² < 2^63 holds to ~3·10^9 rows per type at this
+    value range; beyond that the partials fold in float128/two int64
+    limbs — the pipeline shape is unchanged."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        y = b["ts"].dt.hour.to_numpy().astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n": np.int64(1),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return df.groupby("event_type", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    n = agg["n"].astype("float64")
+    sx = agg["sx"].astype("float64")
+    sy = agg["sy"].astype("float64")
+    cov = n * agg["sxy"].astype("float64") - sx * sy
+    vx = n * agg["sxx"].astype("float64") - sx * sx
+    vy = n * agg["syy"].astype("float64") - sy * sy
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "corr_value_hour": (cov / (np.sqrt(vx) * np.sqrt(vy))).round(
+                C.ROUND_DIGITS
+            ),
+        }
+    )
+    return out.sort_values("event_type", kind="stable").reset_index(drop=True)
+
+
+VALUE_TIME_CORR_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sx,
+         sum(CAST(hour(ts) AS BIGINT)) AS sy,
+         sum(CAST(floor(value * 100) AS BIGINT) * hour(ts)) AS sxy,
+         sum(CAST(floor(value * 100) AS BIGINT)
+             * CAST(floor(value * 100) AS BIGINT)) AS sxx,
+         sum(CAST(hour(ts) AS BIGINT) * hour(ts)) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+           AS corr_value_hour
+FROM m ORDER BY event_type
+"""
+
+
 # -- cumulative distinct users (running distinct-count) ----------------------
 
 def events_new_users_hourly(sf_dir: str):
@@ -1590,6 +1722,8 @@ QUERIES = {
     "events_new_users_hourly": events_new_users_hourly,
     "events_trimmed_stats": events_trimmed_stats,
     "events_value_ntile": events_value_ntile,
+    "events_share_of_day": events_share_of_day,
+    "events_value_time_corr": events_value_time_corr,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -1614,6 +1748,8 @@ ORACLE_SQL = {
     "events_new_users_hourly": NEW_USERS_SQL,
     "events_trimmed_stats": TRIMMED_STATS_SQL,
     "events_value_ntile": NTILE_SQL,
+    "events_share_of_day": SHARE_OF_DAY_SQL,
+    "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN

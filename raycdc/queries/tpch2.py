@@ -996,6 +996,83 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 
+# -- Q11: part value concentration ---------------------------------------------
+
+Q11_FRACTION_BP = 1  # keep parts whose value > total / 10_000 (1 basis point)
+
+
+def q11_value_concentration(sf_dir: str):
+    """Parts whose lineitem revenue exceeds a fixed fraction of GLOBAL
+    revenue — TPC-H Q11's "aggregate HAVING a global-scalar threshold"
+    class (partsupp value → lineitem revenue on this schema). Exactness
+    discipline: everything folds in INTEGER CENTS, and the threshold test
+    is the cross-multiplied integer comparison ``part_cents × 10000 >
+    total_cents`` — no float sum ordering can flip a boundary part on
+    either side. Scale shape: per-batch (partkey, cents) partials are
+    materialized once and feed BOTH the O(blocks) total fold and the
+    bounded-partition per-part fold (partkey is near-unique — the Q13/Q18
+    law); the broadcast threshold filters INSIDE each partition so only
+    the O(1/fraction)-bounded winner set reaches the driver. Overflow
+    bound: total cents < 2^63 up to ~9·10^16 dollars of revenue."""
+    import ray as _ray
+
+    line = C.read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "p_partkey": t.column("l_partkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "cents": cents,
+            }
+        )
+        return df.groupby("p_partkey", as_index=False)["cents"].sum()
+
+    partials = line.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def ptotal(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [int(b["cents"].sum())]})
+
+    total_cents = int(
+        partials.map_batches(ptotal, batch_format="pandas").to_pandas()["t"].sum()
+    )
+    tref = C.broadcast(total_cents)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = _ray.get(tref)
+        s = g.groupby("p_partkey", as_index=False)["cents"].sum()
+        s = s[s["cents"] * 10_000 * Q11_FRACTION_BP > tot]
+        return s
+
+    win = C.by_partition(partials, "p_partkey", fold).to_pandas()
+    out = pd.DataFrame(
+        {
+            "p_partkey": win["p_partkey"].astype("int64"),
+            "part_value": (win["cents"] / 100.0).round(C.ROUND_DIGITS),
+        }
+    )
+    return out.sort_values(
+        ["part_value", "p_partkey"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+
+
+Q11_SQL = f"""
+WITH c AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, round(cents / 100.0, 4) AS part_value
+FROM c
+WHERE cents * {10_000 * Q11_FRACTION_BP} > (SELECT sum(cents) FROM c)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
 # -- Q21: sole-failed-supplier wait counts -------------------------------------
 
 
@@ -1129,6 +1206,7 @@ QUERIES = {
     "q22_dormant_balances": q22_dormant_balances,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q21_sole_failed_supplier": q21_sole_failed_supplier,
+    "q11_value_concentration": q11_value_concentration,
 }
 
 ORACLE_SQL = {
@@ -1143,4 +1221,5 @@ ORACLE_SQL = {
     "q22_dormant_balances": Q22_SQL,
     "q16_supplier_part_counts": Q16_SQL,
     "q21_sole_failed_supplier": Q21_SQL,
+    "q11_value_concentration": Q11_SQL,
 }

@@ -100,7 +100,8 @@ def _sql_backed():
         "events_new_users_hourly", "q22_dormant_balances",
         "q16_supplier_part_counts", "q21_sole_failed_supplier",
         "events_cube", "events_value_ntile", "graph_triangles",
-        "docs_char_budget",
+        "docs_char_budget", "events_share_of_day",
+        "events_value_time_corr", "q11_value_concentration",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
