@@ -1598,6 +1598,95 @@ FROM m ORDER BY event_type
 """
 
 
+# -- distributed skyline (Pareto frontier) -------------------------------------
+
+def _skyline2d(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Keep mask of the 2-D maxima skyline: point i survives iff no point
+    has (s ≥ sᵢ, n ≥ nᵢ) with one strict. Vectorized: one descending
+    lexsort; a point is dominated iff the max n over STRICTLY-greater-s
+    points reaches its n, or an equal-s point strictly exceeds its n
+    (ties on both coordinates survive together). O(k log k), no pairs."""
+    k = len(s)
+    if k == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-n, -s))
+    ss, nn = s[order], n[order]
+    new_blk = np.ones(k, bool)
+    new_blk[1:] = ss[1:] != ss[:-1]
+    bid = np.cumsum(new_blk) - 1
+    nb = int(bid[-1]) + 1
+    blk_max = np.full(nb, np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(blk_max, bid, nn)
+    prior = np.full(nb, np.iinfo(np.int64).min, np.int64)
+    if nb > 1:
+        prior[1:] = np.maximum.accumulate(blk_max)[:-1]
+    keep_sorted = (nn > prior[bid]) & (nn == blk_max[bid])
+    keep = np.zeros(k, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def users_pareto_frontier(sf_dir: str):
+    """Users on the (total spend, event count) Pareto frontier — the
+    multi-criteria top-k ("skyline") operator. Exactness: spend folds in
+    integer cents, domination is pure int64 comparison. Scale shape:
+    skylines COMPOSE — ``skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B)``, so
+    each bounded user partition reduces to its local skyline (vectorized
+    lexsort + running block max, :func:`_skyline2d`, never the O(k²)
+    pair join the SQL oracle runs) and the driver takes the skyline of
+    the partial skylines — expected O(log) points per partition, never
+    the user table."""
+    ds = C.read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "sum_cents": np.floor(
+                    b["value"].to_numpy() * 100.0
+                ).astype(np.int64),
+                "n_events": np.int64(1),
+            }
+        )
+        return df.groupby("user_id", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def local_sky(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).sum()
+        keep = _skyline2d(
+            u["sum_cents"].to_numpy(np.int64), u["n_events"].to_numpy(np.int64)
+        )
+        return u[keep]
+
+    sky = C.by_partition(partials, "user_id", local_sky).to_pandas()
+    keep = _skyline2d(
+        sky["sum_cents"].to_numpy(np.int64), sky["n_events"].to_numpy(np.int64)
+    )
+    out = sky[keep].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id", kind="stable").reset_index(drop=True)
+
+
+PARETO_SQL = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, sum_cents, n_events
+FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.sum_cents >= a.sum_cents AND b.n_events >= a.n_events
+    AND (b.sum_cents > a.sum_cents OR b.n_events > a.n_events))
+ORDER BY user_id
+"""
+
+
 # -- cumulative distinct users (running distinct-count) ----------------------
 
 def events_new_users_hourly(sf_dir: str):
@@ -1724,6 +1813,7 @@ QUERIES = {
     "events_value_ntile": events_value_ntile,
     "events_share_of_day": events_share_of_day,
     "events_value_time_corr": events_value_time_corr,
+    "users_pareto_frontier": users_pareto_frontier,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -1750,6 +1840,7 @@ ORACLE_SQL = {
     "events_value_ntile": NTILE_SQL,
     "events_share_of_day": SHARE_OF_DAY_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
+    "users_pareto_frontier": PARETO_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN

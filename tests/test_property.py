@@ -607,3 +607,31 @@ def test_scd2_kernel_matches_reference(rows, data):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        max_size=40,
+    )
+)
+def test_skyline2d_matches_bruteforce(pts):
+    """_skyline2d == the O(k²) domination definition, including ties on
+    one or both coordinates (exact duplicates all survive)."""
+    from raycdc.queries.events import _skyline2d
+
+    s = np.array([p[0] for p in pts], np.int64)
+    n = np.array([p[1] for p in pts], np.int64)
+    got = _skyline2d(s, n)
+    for i in range(len(pts)):
+        dominated = any(
+            s[j] >= s[i]
+            and n[j] >= n[i]
+            and (s[j] > s[i] or n[j] > n[i])
+            for j in range(len(pts))
+        )
+        assert got[i] == (not dominated), (i, pts)
