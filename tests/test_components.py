@@ -994,3 +994,39 @@ def test_ranged_json_export_and_pruned_reread(ray_session, tmp_path):
     narrow = read_ranged_json(out, lo=lo, hi=hi).to_pandas()
     assert len(narrow) > 0
     assert narrow["cursor"].between(lo, hi).all()
+
+
+def test_ntile_edge_ties_and_tiny_groups(ray_session, tmp_path):
+    """events_value_ntile on crafted data: groups smaller than K (empty
+    tiles dropped like SQL), all-equal values (every boundary the same),
+    and heavy boundary ties — against DuckDB on the same parquet."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.queries.events import NTILE_SQL, events_value_ntile
+
+    rows = []
+    # tiny groups: n = 1, 2, 3 (< K=4)
+    for i, n in enumerate([1, 2, 3]):
+        for v in range(n):
+            rows.append((f"tiny{i}", float(v)))
+    # all-equal values
+    rows += [("const", 7.0)] * 11
+    # heavy ties at the boundaries: 0 ×6, 1 ×6, 2 ×1
+    rows += [("ties", 0.0)] * 6 + [("ties", 1.0)] * 6 + [("ties", 2.0)]
+    df = pd.DataFrame(rows, columns=["event_type", "value"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    got = (
+        events_value_ntile(str(tmp_path))
+        .sort_values(["event_type", "tile"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(NTILE_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
