@@ -1233,6 +1233,75 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+# -- global percentile length clip ------------------------------------------
+
+CLIP_LO_FRAC, CLIP_HI_FRAC = 0.05, 0.95
+
+
+def docs_length_clip(sf_dir: str):
+    """Keep docs whose length sits inside the corpus's [p5, p95] band —
+    the global-percentile outlier clip every pretraining pipeline runs
+    before tokenization (drops empty shells and mega-docs). The exact
+    band edges are ORDER STATISTICS at ranks ``floor(f·(n−1))``
+    (0-indexed, the tie-free contract both sides share), found by the
+    sketch-guided distributed selection (:func:`_kth_smallest` — two
+    bounded passes per edge, no sort); the clip itself is one
+    broadcast-threshold filter pass. Nothing corpus-sized leaves the
+    workers."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from raycdc.queries.events import _kth_smallest
+
+    n = _pq.ParquetFile(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    ds = C.read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def to_i64(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": b["n_chars"].astype("int64")})
+
+    lens = ds.map_batches(to_i64, batch_format="pandas")
+    lo = _kth_smallest(lens, "v", int(np.floor(CLIP_LO_FRAC * (n - 1))))
+    hi = _kth_smallest(lens, "v", int(np.floor(CLIP_HI_FRAC * (n - 1))))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["n_chars"].astype("int64")
+        m = (v >= lo) & (v <= hi)
+        out = b.loc[m, ["doc_id", "source", "n_chars"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(keep, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def _length_clip_sql() -> str:
+    lo_rank = f"CAST(floor({CLIP_LO_FRAC} * (count(*) OVER () - 1)) AS BIGINT)"
+    hi_rank = f"CAST(floor({CLIP_HI_FRAC} * (count(*) OVER () - 1)) AS BIGINT)"
+    return f"""
+WITH r AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (ORDER BY n_chars) - 1 AS rk,
+         {lo_rank} AS lo_rank, {hi_rank} AS hi_rank
+  FROM documents
+), b AS (
+  SELECT (SELECT n_chars FROM r WHERE rk = lo_rank) AS lo,
+         (SELECT n_chars FROM r WHERE rk = hi_rank) AS hi
+)
+SELECT doc_id, source, n_chars
+FROM documents, b
+WHERE n_chars >= b.lo AND n_chars <= b.hi
+ORDER BY doc_id
+"""
+
+
 # -- per-source char-budget quota (data-mixture primitive) ------------------
 
 BUDGET_CHARS = 3000
@@ -1375,6 +1444,7 @@ QUERIES = {
     "docs_contamination": docs_contamination,
     "docs_dup_spans": docs_dup_spans,
     "docs_char_budget": docs_char_budget,
+    "docs_length_clip": docs_length_clip,
 }
 
 ORACLE_SQL = {
@@ -1396,4 +1466,5 @@ ORACLE_SQL = {
     "docs_contamination": _contamination_sql(),
     "docs_dup_spans": _dup_spans_sql(),
     "docs_char_budget": _char_budget_sql(),
+    "docs_length_clip": _length_clip_sql(),
 }

@@ -1598,6 +1598,103 @@ FROM m ORDER BY event_type
 """
 
 
+# -- set difference over derived audiences -------------------------------------
+
+def events_audience_except(sf_dir: str):
+    """Signed-up users who never purchased — the EXCEPT / set-difference
+    class, collapsed to ONE conditional aggregate pass: each batch emits
+    per-user (has_signup, has_purchase) flag partials (max is the
+    distributive OR), the user-keyed fold is a native vectorized
+    aggregate, and the difference is a flag filter — no second scan, no
+    anti-join shuffle of two derived sets."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max as AggMax
+
+    ds = C.read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["event_type"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "s": (et == "signup").astype(np.int64),
+                "p": (et == "purchase").astype(np.int64),
+            }
+        )
+        return df.groupby("user_id", as_index=False).max()
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(AggMax("s", alias_name="s"), AggMax("p", alias_name="p"))
+        .to_pandas()
+    )
+    hit = folded[(folded["s"] == 1) & (folded["p"] == 0)]
+    out = pd.DataFrame({"user_id": hit["user_id"].astype("int64")})
+    return out.sort_values("user_id", kind="stable").reset_index(drop=True)
+
+
+AUDIENCE_EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+# -- period-over-period growth (LAG on the aggregate grain) --------------------
+
+def events_daily_growth(sf_dir: str):
+    """Per (event_type, day): event count and the integer delta vs the
+    type's PREVIOUS ACTIVE day — LAG at the aggregate grain. The grain is
+    bounded (types × days), so the distributed work is one partial-count
+    pass; the window is a driver-side shift over the tiny folded frame
+    (first day of a type ships delta 0, matching COALESCE(n − lag(n), 0)).
+    All-integer — no float anywhere."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False)["n"].sum()
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"]
+        .sum()
+        .sort_values(["event_type", "day"], kind="stable")
+        .reset_index(drop=True)
+    )
+    prev = fine.groupby("event_type")["n"].shift(1)
+    fine["n"] = fine["n"].astype("int64")
+    fine["delta"] = (fine["n"] - prev.fillna(fine["n"])).astype("int64")
+    return fine
+
+
+DAILY_GROWTH_SQL = """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(COALESCE(n - lag(n) OVER (PARTITION BY event_type ORDER BY day),
+                     0) AS BIGINT) AS delta
+FROM c ORDER BY event_type, day
+"""
+
+
 # -- distributed skyline (Pareto frontier) -------------------------------------
 
 def _skyline2d(s: np.ndarray, n: np.ndarray) -> np.ndarray:
@@ -1814,6 +1911,8 @@ QUERIES = {
     "events_share_of_day": events_share_of_day,
     "events_value_time_corr": events_value_time_corr,
     "users_pareto_frontier": users_pareto_frontier,
+    "events_audience_except": events_audience_except,
+    "events_daily_growth": events_daily_growth,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -1841,6 +1940,8 @@ ORACLE_SQL = {
     "events_share_of_day": SHARE_OF_DAY_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "users_pareto_frontier": PARETO_SQL,
+    "events_audience_except": AUDIENCE_EXCEPT_SQL,
+    "events_daily_growth": DAILY_GROWTH_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
