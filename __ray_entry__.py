@@ -49,9 +49,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     from raycdc.queries.aggregates import build_aggregate_oracle_sql
     from raycdc.queries.ann import build_ann_oracle_sql
     from raycdc.queries.cdc import build_cdc_oracle_sql
+    from raycdc.queries.docs import build_docs_oracle_sql
 
     out = dict(ORACLE_SQL)
     out.update(build_cdc_oracle_sql(sf_dir))
     out.update(build_aggregate_oracle_sql(sf_dir))
     out.update(build_ann_oracle_sql(sf_dir))
+    out.update(build_docs_oracle_sql(sf_dir))
     return out

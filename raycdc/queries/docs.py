@@ -1233,6 +1233,137 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+# -- BM25 retrieval ----------------------------------------------------------
+
+BM25_QUERY = ("merge", "window", "stream")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def _bm25_stats(sf_dir: str) -> tuple[int, dict, float]:
+    """One distributed pass → (N, df per query term, avgdl). The float
+    idf/avgdl derived from these ints are computed ONCE here and embedded
+    as literals in BOTH engines (repr round-trips doubles exactly), so
+    every downstream float op sees bit-identical inputs."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(BM25_QUERY)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = T.token_lists(b["text"])
+        row = {"dl_sum": [int(toks.str.len().sum())]}
+        for i, t in enumerate(terms):
+            row[f"df{i}"] = [int(toks.map(lambda l, t=t: t in l).sum())]
+        return pd.DataFrame(row)
+
+    agg = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    df = {t: int(agg[f"df{i}"]) for i, t in enumerate(terms)}
+    avgdl = float(agg["dl_sum"]) / float(n_docs)
+    return n_docs, df, avgdl
+
+
+def _bm25_idf(n_docs: int, df: int) -> float:
+    return float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+
+
+def docs_bm25_topk(sf_dir: str):
+    """Top-20 documents by BM25 for a fixed query — the lexical-retrieval
+    operator beside the ANN family. Cross-engine exactness without exact
+    logs: the only transcendental inputs (idf per term, avgdl) are
+    computed once from EXACT integer statistics and embedded as double
+    literals in both the numpy kernel and the SQL oracle, after which
+    every op (·, /, +) is IEEE-exactly-rounded in the same order — the
+    unrounded scores are bit-identical, so the (score desc, doc_id)
+    ranking needs no tolerance. Scale shape: one bounded stats pass, then
+    one scoring pass with per-batch explode→tf→pivot and a LOCAL top-k
+    combiner (superset-stable) — only K rows per block reach the driver."""
+    n_docs, dfm, avgdl = _bm25_stats(sf_dir)
+    terms = list(BM25_QUERY)
+    idf = [_bm25_idf(n_docs, dfm[t]) for t in terms]
+    k1, b = BM25_K1, BM25_B
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(bt: pd.DataFrame) -> pd.DataFrame:
+        toks = T.token_lists(bt["text"])
+        dl = toks.str.len().to_numpy().astype(np.int64)
+        base = pd.DataFrame(
+            {"doc_id": bt["doc_id"].astype("int64"), "dl": dl}
+        )
+        e = bt[["doc_id"]].assign(token=toks).explode("token")
+        e = e[e["token"].isin(terms)]
+        tf = (
+            e.groupby(["doc_id", "token"]).size().unstack(fill_value=0)
+            if len(e)
+            else pd.DataFrame()
+        )
+        s = np.zeros(len(base), np.float64)
+        for i, t in enumerate(terms):
+            if len(tf) and t in tf.columns:
+                tfv = (
+                    tf[t]
+                    .reindex(base["doc_id"].to_numpy())
+                    .fillna(0)
+                    .to_numpy()
+                    .astype(np.int64)
+                )
+            else:
+                tfv = np.zeros(len(base), np.int64)
+            s = s + idf[i] * (tfv * (k1 + 1.0)) / (
+                tfv + k1 * (1.0 - b + b * dl / avgdl)
+            )
+        base["score"] = s
+        hit = base[base["score"] > 0.0]
+        return hit.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(BM25_TOPK)[["doc_id", "score"]]
+
+    parts = ds.map_batches(score, batch_format="pandas").to_pandas()
+    top = (
+        parts.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        .head(BM25_TOPK)
+        .reset_index(drop=True)
+    )
+    top.insert(0, "rnk", np.arange(1, len(top) + 1, dtype=np.int64))
+    top["score"] = top["score"].round(C.ROUND_DIGITS)
+    return top
+
+
+def _bm25_sql(sf_dir: str) -> str:
+    n_docs, dfm, avgdl = _bm25_stats(sf_dir)
+    terms = list(BM25_QUERY)
+    k1, b = BM25_K1, BM25_B
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"{_bm25_idf(n_docs, dfm[t])!r} * (tf{i} * {k1 + 1.0!r})"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE)"
+        f" / {avgdl!r}))"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {T.toks_sql('text')} AS t FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM toks
+), s AS (
+  SELECT doc_id, {score_terms} AS score FROM d
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rnk,
+       doc_id, round(score, 4) AS score
+FROM s WHERE score > 0
+ORDER BY rnk LIMIT {BM25_TOPK}
+"""
+
+
 # -- global percentile length clip ------------------------------------------
 
 CLIP_LO_FRAC, CLIP_HI_FRAC = 0.05, 0.95
@@ -1445,7 +1576,15 @@ QUERIES = {
     "docs_dup_spans": docs_dup_spans,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
+    "docs_bm25_topk": docs_bm25_topk,
 }
+
+
+def build_docs_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Tier-bound oracles: BM25 embeds idf/avgdl literals derived from
+    ``sf_dir``'s corpus statistics (same pattern as the ANN oracles'
+    trained-centroid literals)."""
+    return {"docs_bm25_topk": _bm25_sql(sf_dir)}
 
 ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,

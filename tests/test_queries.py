@@ -638,3 +638,16 @@ def test_scd2_delta_prunes_input(ray_session):
         .column("conv_id")
     ).as_py()
     assert dirty < all_convs, (dirty, all_convs)
+
+
+def test_bm25_matches_sql_oracle(ray_session):
+    """BM25 top-k vs a DuckDB oracle carrying the driver-computed
+    idf/avgdl double literals — unrounded scores are bit-identical, so
+    rank order needs no tolerance."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.docs import build_docs_oracle_sql
+
+    got = canon(to_df(QUERIES["docs_bm25_topk"](SF_DIR)))
+    want = canon(duck(build_docs_oracle_sql(SF_DIR)["docs_bm25_topk"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
