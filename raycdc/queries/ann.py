@@ -218,15 +218,16 @@ _SAMPLE_A, _SAMPLE_C = 2654435761, 40503  # Knuth multiplicative hash
 NPROBE = 3
 
 
-def _train_centroids(sf_dir: str) -> np.ndarray:
-    """Deterministic coarse quantizer shared by the Ray query AND the SQL
-    oracle builder. The training set is the TRAIN_SAMPLE rows with the
-    smallest ``hash(vec_id)`` — a bottom-k-by-hash sample: unbiased w.r.t.
-    file order (fixes the prefix-bias of ``limit(n)`` on sorted corpora),
-    order-independent, and streaming-bounded (O(TRAIN_SAMPLE + batch)
-    memory; at cluster scale bottom-k-by-hash is a tiny distributed
-    aggregate). Pure pyarrow — no Ray session needed (the oracle builder
-    runs without one)."""
+def _train_sample(sf_dir: str) -> np.ndarray:
+    """Deterministic training sample shared by every trained quantizer
+    (coarse IVF and PQ codebooks) AND the SQL oracle builders: the
+    TRAIN_SAMPLE rows with the smallest ``hash(vec_id)`` — a
+    bottom-k-by-hash sample: unbiased w.r.t. file order (fixes the
+    prefix-bias of ``limit(n)`` on sorted corpora), order-independent,
+    and streaming-bounded (O(TRAIN_SAMPLE + batch) memory; at cluster
+    scale bottom-k-by-hash is a tiny distributed aggregate). Pure
+    pyarrow — no Ray session needed (the oracle builder runs without
+    one). Rows are returned in canonical hash order."""
     import pyarrow.dataset as pads
 
     dsd = pads.dataset(f"{sf_dir}/embeddings.parquet")
@@ -247,7 +248,12 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
             cand_h, cand_m = cand_h[keep], cand_m[keep]
         best_h, best_m = cand_h, cand_m
     order = np.argsort(best_h, kind="stable")  # canonical training order
-    return _kmeans(best_m[order], N_CENTROIDS, KMEANS_ITERS)
+    return best_m[order]
+
+
+def _train_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic coarse quantizer (see :func:`_train_sample`)."""
+    return _kmeans(_train_sample(sf_dir), N_CENTROIDS, KMEANS_ITERS)
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -1166,6 +1172,7 @@ WINDOW w AS (
 QUALIFY nn_rank <= {KNN_K}
 """
     return {
+        "ann_pq": _pq_sql(sf_dir),
         "ann_ivf": sql,
         "ann_knn_graph": knn_sql,
         "ann_ivf_multi": multi_sql,
@@ -1365,9 +1372,173 @@ LIMIT {TOP_K}
 """
 
 
+# -- product quantization (IVF-PQ's compression half) ------------------------
+
+PQ_M, PQ_K = 8, 16   # 8 subspaces × 16 codewords → 8 bytes per vector
+PQ_CAND = 100        # ADC candidate pool reranked exactly (5× TOP_K)
+
+
+def _train_pq(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ codebooks: the shared bottom-k-by-hash training
+    sample split into PQ_M contiguous subspaces, one seeded k-means each.
+    Returns (M, K, D/M)."""
+    sample = _train_sample(sf_dir)
+    d = sample.shape[1]
+    sub_d = d // PQ_M
+    return np.stack(
+        [
+            _kmeans(sample[:, m * sub_d : (m + 1) * sub_d], PQ_K, KMEANS_ITERS)
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def _pq_codes(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, M) codeword indices: per subspace, argmin of the L2 surrogate
+    ``‖c‖² − 2·x·c`` (monotone in the true distance, avoids the sqrt the
+    SQL side would have to reproduce); first-index tie-break matches
+    DuckDB's ``list_position(…, list_min(…))``."""
+    n, d = mat.shape
+    sub_d = d // PQ_M
+    codes = np.empty((n, PQ_M), np.int64)
+    for m in range(PQ_M):
+        x = mat[:, m * sub_d : (m + 1) * sub_d]
+        c = cb[m]
+        vals = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        codes[:, m] = vals.argmin(axis=1)
+    return codes
+
+
+def ann_pq(sf_dir: str):
+    """Product-quantization ANN — the compression half of the standard
+    IVF-PQ layout (Jégou et al., *Product Quantization for Nearest
+    Neighbor Search*): vectors collapse to PQ_M codeword ids (4 bytes
+    here vs 256 for float32 — at 100 TB the code table is the persisted
+    scan copy, 64× smaller, exactly like the int8 layout of
+    ``ann_quantized`` but sublinear in dimension). The scan is
+    ASYMMETRIC-DISTANCE (ADC): the query builds one (M × K) inner-product
+    lookup table ONCE on the driver; each batch encodes (argmin per
+    subspace, vectorized matmul) and scores by 4 table gathers + adds —
+    no per-row float dot against the full vector. Block-local top-C
+    candidates (superset-stable) fold on the driver; pass 2 re-reads ONLY
+    the C candidates (vec_id pushdown) and ranks exact rounded cosine.
+    The LUT floats are embedded as literals in the SQL oracle, so both
+    engines sum the SAME four doubles per row."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    cb = _train_pq(sf_dir)
+    q = _query_vec(sf_dir)
+    sub_d = len(q) // PQ_M
+    lut = np.stack(
+        [cb[m] @ q[m * sub_d : (m + 1) * sub_d] for m in range(PQ_M)]
+    )  # (M, K) inner products
+    ref = ray.put((cb, lut))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        cb_, lut_ = _r.get(ref)
+        mat = _emb_matrix(b)
+        codes = _pq_codes(mat, cb_)
+        sc = np.zeros(len(mat), np.float64)
+        for m in range(PQ_M):  # fixed order — the SQL sum mirrors it
+            sc = sc + lut_[m][codes[:, m]]
+        ids = b["vec_id"].to_numpy()
+        order = np.lexsort((ids, -sc))[:PQ_CAND]
+        return pd.DataFrame({"vec_id": ids[order], "iscore": sc[order]})
+
+    ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["iscore", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(PQ_CAND)
+    ids = sorted(int(v) for v in cand["vec_id"])
+
+    sub = C.read(
+        sf_dir,
+        "embeddings",
+        ["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(ids),
+    )
+    qn = q / np.linalg.norm(q)
+
+    def exact(b: pd.DataFrame) -> pd.DataFrame:
+        m = _emb_matrix(b)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms[:, None]) @ qn, 4)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(), "cosine_sim": sims}
+        )
+
+    out = sub.map_batches(exact, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True], kind="stable"
+        )
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+
+
+def _pq_sql(sf_dir: str) -> str:
+    """DuckDB oracle: codebooks and the query LUT ride as literals; the
+    per-row code is the same ``‖c‖² − 2·x·c`` argmin with the
+    list_position first-min tie-break; ADC is four 1-based list gathers
+    summed in the kernel's order."""
+    cb = _train_pq(sf_dir)
+    q = _query_vec(sf_dir)
+    sub_d = len(q) // PQ_M
+    lut = np.stack(
+        [cb[m] @ q[m * sub_d : (m + 1) * sub_d] for m in range(PQ_M)]
+    )
+    code_cols = []
+    for m in range(PQ_M):
+        lo, hi = m * sub_d + 1, (m + 1) * sub_d  # 1-based inclusive slice
+        vals = ", ".join(
+            f"{float((c * c).sum())!r} - 2.0 * "
+            f"list_dot_product(de[{lo}:{hi}], {_vec_lit(c)})"
+            for c in cb[m]
+        )
+        code_cols.append(
+            f"list_position([{vals}], list_min([{vals}])) AS k{m}"
+        )
+    lut_lits = [
+        "[" + ",".join(repr(float(x)) for x in lut[m]) + "]"
+        for m in range(PQ_M)
+    ]
+    iscore = " + ".join(f"({lut_lits[m]})[k{m}]" for m in range(PQ_M))
+    codes_joined = ",\n         ".join(code_cols)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS de
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, embedding,
+         {codes_joined}
+  FROM e
+), cand AS (
+  SELECT vec_id, embedding, {iscore} AS iscore
+  FROM coded
+  ORDER BY iscore DESC, vec_id
+  LIMIT {PQ_CAND}
+)
+SELECT cand.vec_id,
+       round(CAST(list_cosine_similarity(cand.embedding, q.embedding)
+                  AS DOUBLE), 4) AS cosine_sim
+FROM cand, (SELECT embedding FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}) q
+ORDER BY cosine_sim DESC, cand.vec_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_quantized": ann_quantized,
+    "ann_pq": ann_pq,
     "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_multi": ann_bruteforce_multi,
     "ann_ivf": ann_ivf,

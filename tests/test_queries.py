@@ -651,3 +651,26 @@ def test_bm25_matches_sql_oracle(ray_session):
     want = canon(duck(build_docs_oracle_sql(SF_DIR)["docs_bm25_topk"]))
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
+
+
+def test_ann_pq_matches_sql_oracle(ray_session):
+    """PQ/ADC candidates + exact rerank vs a DuckDB oracle carrying the
+    trained codebooks and the query LUT as literals."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_pq"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_pq"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+
+def test_ann_pq_recall_vs_bruteforce(ray_session):
+    """ADC candidates must carry most of the exact top-k: 4-byte codes are
+    lossy, but CAND_K=3×TOP_K rerank recovers recall ≥ 0.7 on this corpus."""
+    from raycdc.queries import QUERIES
+
+    pq = to_df(QUERIES["ann_pq"](SF_DIR))
+    bf = to_df(QUERIES["ann_bruteforce"](SF_DIR))
+    recall = len(set(pq["vec_id"]) & set(bf["vec_id"])) / len(bf)
+    assert recall >= 0.7, f"recall@{len(bf)} = {recall}"
