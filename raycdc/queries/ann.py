@@ -163,6 +163,62 @@ ORDER BY cosine_sim DESC, e.vec_id LIMIT {TOP_K}
 """
 
 
+def label_doc_stats(sf_dir: str):
+    """Cross-modal join: embedding labels × document lengths (vec_id is
+    the doc_id of the embedded text — the id-aligned two-table layout
+    multimodal corpora use). Both sides are corpus-sized, so this is the
+    honest big-big hash join — neither side broadcastable — with each
+    side PRUNED to two columns at the read; the label rollup runs as
+    per-batch partials after the join (bounded grain), so only
+    O(labels × blocks) rows move after the exchange."""
+    emb = C.read(sf_dir, "embeddings", ["vec_id", "label"])
+    doc = C.read(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = emb.join(
+        doc,
+        join_type="inner",
+        num_partitions=C.join_partitions(),
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "label": pd.Series(dtype="int64"),
+            "n_docs": pd.Series(dtype="int64"),
+            "sum_chars": pd.Series(dtype="int64"),
+        }
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # empty hash partitions finalize schema-less (the r03 join lesson)
+        if len(b) == 0 or "label" not in b.columns:
+            return _EMPTY
+        df = pd.DataFrame(
+            {
+                "label": b["label"].astype("int64"),
+                "n_docs": np.int64(1),
+                "sum_chars": b["n_chars"].astype("int64"),
+            }
+        )
+        return df.groupby("label", as_index=False).sum()
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return _EMPTY
+    out = parts.groupby("label", as_index=False).sum()
+    for c in ("label", "n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label", kind="stable").reset_index(drop=True)
+
+
+LABEL_DOC_STATS_SQL = """
+SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM embeddings JOIN documents ON doc_id = vec_id
+GROUP BY label ORDER BY label
+"""
+
+
 def embedding_norms(sf_dir: str):
     ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1539,6 +1595,7 @@ QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_quantized": ann_quantized,
     "ann_pq": ann_pq,
+    "label_doc_stats": label_doc_stats,
     "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_multi": ann_bruteforce_multi,
     "ann_ivf": ann_ivf,
@@ -1555,6 +1612,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_bruteforce": ANN_BRUTE_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,
+    "label_doc_stats": LABEL_DOC_STATS_SQL,
     "ann_bruteforce_multi": ANN_MULTI_SQL,
     "embedding_norms": NORMS_SQL,
     "embedding_neardup": NEARDUP_SQL,

@@ -103,7 +103,7 @@ def _sql_backed():
         "docs_char_budget", "events_share_of_day",
         "events_value_time_corr", "q11_value_concentration",
         "users_pareto_frontier", "events_audience_except",
-        "events_daily_growth", "docs_length_clip",
+        "events_daily_growth", "docs_length_clip", "label_doc_stats",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
