@@ -336,7 +336,7 @@ def _probe_lists(cent: np.ndarray, q: np.ndarray) -> list[int]:
 # corpus leaves storage. At cluster scale this layout lives in the shared
 # lake (S3); /tmp here because the sandbox is single-node.
 
-IVF_LAYOUT_VERSION = 1
+IVF_LAYOUT_VERSION = 2  # v2: PQ code columns ride in the layout
 
 
 def _ivf_fingerprint(sf_dir: str) -> str:
@@ -347,7 +347,8 @@ def _ivf_fingerprint(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = (
         f"v{IVF_LAYOUT_VERSION}:{os.path.abspath(sf_dir)}:{st.st_size}:"
-        f"{st.st_mtime_ns}:{N_CENTROIDS}:{KMEANS_ITERS}:{TRAIN_SAMPLE}"
+        f"{st.st_mtime_ns}:{N_CENTROIDS}:{KMEANS_ITERS}:{TRAIN_SAMPLE}:"
+        f"{PQ_M}:{PQ_K}"
     )
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
@@ -367,17 +368,20 @@ def ivf_layout(sf_dir: str, root: str = "/tmp/raycdc-ivf") -> str:
     import ray
 
     cent = _train_centroids(sf_dir)
-    ref = ray.put(cent)
+    cb = _train_pq(sf_dir)
+    ref = ray.put((cent, cb))
     stage = f"{out_dir}.stage-{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
 
     def assign(t: pa.Table) -> pa.Table:
         # pure pyarrow: the embedding column passes through UNTOUCHED (same
-        # arrow type on disk as the source), only ivf_list is appended
+        # arrow type on disk as the source); ivf_list plus the PQ code
+        # columns (int8, 1 byte each — the 32×-smaller scan copy of the
+        # vector) are appended
         import ray as _r
 
-        cent_ = _r.get(ref)
+        cent_, cb_ = _r.get(ref)
         emb = t.column("embedding").combine_chunks()
         m = (
             emb.flatten()
@@ -387,9 +391,15 @@ def ivf_layout(sf_dir: str, root: str = "/tmp/raycdc-ivf") -> str:
         )
         d = ((m[:, None, :] - cent_[None, :, :]) ** 2).sum(axis=2)
         # first-index argmin tie-break == the oracle's list_position
-        return t.append_column(
+        t = t.append_column(
             "ivf_list", pa.array(d.argmin(axis=1).astype(np.int64))
         )
+        codes = _pq_codes(m, cb_)
+        for j in range(PQ_M):
+            t = t.append_column(
+                f"pq{j}", pa.array(codes[:, j].astype(np.int8))
+            )
+        return t
 
     (
         C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1229,6 +1239,7 @@ QUALIFY nn_rank <= {KNN_K}
 """
     return {
         "ann_pq": _pq_sql(sf_dir),
+        "ann_ivf_pq": _ivf_pq_sql(sf_dir),
         "ann_ivf": sql,
         "ann_knn_graph": knn_sql,
         "ann_ivf_multi": multi_sql,
@@ -1591,10 +1602,153 @@ LIMIT {TOP_K}
 """
 
 
+def ann_ivf_pq(sf_dir: str):
+    """The full IVF-PQ search over the PERSISTED layout — the standard
+    trillion-scale ANN stack in one pipeline: (IO prune) read ONLY the
+    query's nprobe partition dirs, and of those only vec_id + the 8 int8
+    code columns — the embedding column never leaves storage, so the
+    candidate scan reads ≈ nprobe/N_CENTROIDS of the corpus at ~1/32 of
+    its width; (compute) ADC-score each batch with four gathers into the
+    broadcast query LUT; (exact) rerank the PQ_CAND survivors by rounded
+    float cosine via a vec_id-pushdown read of the base table. Composes
+    :func:`ivf_layout` (codes ride in the layout) with :func:`ann_pq`'s
+    scoring."""
+    import ray
+    import ray.data
+
+    lay = ivf_layout(sf_dir)
+    cent = np.load(os.path.join(lay, "centroids.npy"))
+    cb = _train_pq(sf_dir)
+    q = _query_vec(sf_dir)
+    sub_d = len(q) // PQ_M
+    lut = np.stack(
+        [cb[m] @ q[m * sub_d : (m + 1) * sub_d] for m in range(PQ_M)]
+    )
+    probe = _probe_lists(cent, q)
+    paths = _probe_paths(lay, probe)
+    empty = pd.DataFrame(
+        {"vec_id": pd.Series(dtype="int64"),
+         "cosine_sim": pd.Series(dtype="float64")}
+    )
+    if not paths:
+        return empty
+    ref = ray.put(lut)
+    code_cols = [f"pq{j}" for j in range(PQ_M)]
+    ds = ray.data.read_parquet(paths, columns=["vec_id"] + code_cols)
+
+    def adc(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        lut_ = _r.get(ref)
+        sc = np.zeros(len(b), np.float64)
+        for m in range(PQ_M):
+            sc = sc + lut_[m][b[f"pq{m}"].to_numpy(np.int64)]
+        ids = b["vec_id"].to_numpy()
+        order = np.lexsort((ids, -sc))[:PQ_CAND]
+        return pd.DataFrame({"vec_id": ids[order], "iscore": sc[order]})
+
+    cand = ds.map_batches(adc, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        return empty
+    cand = cand.sort_values(
+        ["iscore", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(PQ_CAND)
+    ids = sorted(int(v) for v in cand["vec_id"])
+
+    import pyarrow.dataset as pads
+
+    sub = C.read(
+        sf_dir,
+        "embeddings",
+        ["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(ids),
+    )
+    qn = q / np.linalg.norm(q)
+
+    def exact(b: pd.DataFrame) -> pd.DataFrame:
+        m = _emb_matrix(b)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms[:, None]) @ qn, 4)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(), "cosine_sim": sims}
+        )
+
+    out = sub.map_batches(exact, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(
+            ["cosine_sim", "vec_id"], ascending=[False, True], kind="stable"
+        )
+        .head(TOP_K)
+        .reset_index(drop=True)
+    )
+
+
+def _ivf_pq_sql(sf_dir: str) -> str:
+    """IVF-PQ oracle: coarse assignment (centroid literals), probed-list
+    filter, PQ codes + ADC (codebook/LUT literals), exact cosine rerank —
+    the whole persisted pipeline replayed as one DuckDB query."""
+    cent = _train_centroids(sf_dir)
+    q = _query_vec(sf_dir)
+    probe = _probe_lists(cent, q)
+    cb = _train_pq(sf_dir)
+    sub_dd = len(q) // PQ_M
+    lut = np.stack(
+        [cb[m] @ q[m * sub_dd : (m + 1) * sub_dd] for m in range(PQ_M)]
+    )
+    dists = ", ".join(f"list_distance(de, {_vec_lit(c)})" for c in cent)
+    code_cols = []
+    for m in range(PQ_M):
+        lo, hi = m * sub_dd + 1, (m + 1) * sub_dd
+        vals = ", ".join(
+            f"{float((c * c).sum())!r} - 2.0 * "
+            f"list_dot_product(de[{lo}:{hi}], {_vec_lit(c)})"
+            for c in cb[m]
+        )
+        code_cols.append(
+            f"list_position([{vals}], list_min([{vals}])) AS k{m}"
+        )
+    lut_lits = [
+        "[" + ",".join(repr(float(x)) for x in lut[m]) + "]"
+        for m in range(PQ_M)
+    ]
+    iscore = " + ".join(f"({lut_lits[m]})[k{m}]" for m in range(PQ_M))
+    codes_joined = ",\n         ".join(code_cols)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS de,
+         [{dists}] AS dists
+  FROM embeddings
+), probed AS (
+  SELECT vec_id, embedding, de
+  FROM e
+  WHERE list_position(dists, list_min(dists)) - 1 IN
+        ({",".join(map(str, probe))})
+), coded AS (
+  SELECT vec_id, embedding,
+         {codes_joined}
+  FROM probed
+), cand AS (
+  SELECT vec_id, embedding, {iscore} AS iscore
+  FROM coded
+  ORDER BY iscore DESC, vec_id
+  LIMIT {PQ_CAND}
+)
+SELECT cand.vec_id,
+       round(CAST(list_cosine_similarity(cand.embedding, q.embedding)
+                  AS DOUBLE), 4) AS cosine_sim
+FROM cand, (SELECT embedding FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}) q
+ORDER BY cosine_sim DESC, cand.vec_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_quantized": ann_quantized,
     "ann_pq": ann_pq,
+    "ann_ivf_pq": ann_ivf_pq,
     "label_doc_stats": label_doc_stats,
     "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_multi": ann_bruteforce_multi,

@@ -674,3 +674,16 @@ def test_ann_pq_recall_vs_bruteforce(ray_session):
     bf = to_df(QUERIES["ann_bruteforce"](SF_DIR))
     recall = len(set(pq["vec_id"]) & set(bf["vec_id"])) / len(bf)
     assert recall >= 0.7, f"recall@{len(bf)} = {recall}"
+
+
+def test_ann_ivf_pq_matches_sql_oracle(ray_session):
+    """Persisted IVF-PQ (probed-list IO pruning + int8-code ADC scan +
+    exact rerank) vs a DuckDB oracle replaying the whole pipeline from
+    centroid/codebook/LUT literals."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["ann_ivf_pq"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_ivf_pq"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
