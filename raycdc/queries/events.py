@@ -1695,6 +1695,76 @@ FROM c ORDER BY event_type, day
 """
 
 
+# -- time-weighted average over irregular samples ------------------------------
+
+def events_time_weighted_avg(sf_dir: str):
+    """Per-user time-weighted average of ``value`` — each observation
+    holds until the next one (the step-function integral every
+    monitoring/market pipeline computes over irregular samples; a plain
+    mean over-weights bursts). Exactness: the integral folds as
+    Σ vᵢ·Δtᵢ in int64 (cents × µs — bounded by max_cents · user_span
+    < 2^63 for spans to ~5 years at this value range), the divisor
+    Σ Δtᵢ likewise; ONE IEEE division at the end. Distributed shape:
+    user-keyed bounded partitions, one vectorized kernel (lexsort by
+    (user, ts, event_id), shifted arrays with a user-boundary mask) —
+    adjacent-pair semantics need co-located users, never a global sort."""
+    ds = C.read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    _EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "twa": pd.Series(dtype="float64"),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy(np.int64)
+        t = d["ts"].astype("datetime64[us]").to_numpy().view("int64")
+        v = np.floor(d["value"].to_numpy() * 100.0).astype(np.int64)
+        same = np.zeros(len(d), bool)
+        same[:-1] = u[:-1] == u[1:]
+        gap = np.zeros(len(d), np.int64)
+        gap[:-1] = t[1:] - t[:-1]
+        gap[~same] = 0
+        w = pd.DataFrame({"user_id": u, "num": v * gap, "den": gap})
+        agg = w.groupby("user_id", as_index=False).sum()
+        agg = agg[agg["den"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "twa": (
+                    agg["num"].to_numpy(np.float64)
+                    / (100.0 * agg["den"].to_numpy(np.float64))
+                ).round(C.ROUND_DIGITS),
+            }
+        )
+
+    out = C.by_partition(ds, "user_id", kernel).to_pandas()
+    if len(out) == 0:
+        return _EMPTY
+    return out.sort_values("user_id", kind="stable").reset_index(drop=True)
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+  FROM events
+)
+SELECT user_id,
+       round(CAST(sum(v * (nt - t)) AS DOUBLE)
+             / (100.0 * CAST(sum(nt - t) AS DOUBLE)), 4) AS twa
+FROM o WHERE nt IS NOT NULL
+GROUP BY user_id HAVING sum(nt - t) > 0
+ORDER BY user_id
+"""
+
+
 # -- distributed skyline (Pareto frontier) -------------------------------------
 
 def _skyline2d(s: np.ndarray, n: np.ndarray) -> np.ndarray:
@@ -1913,6 +1983,7 @@ QUERIES = {
     "users_pareto_frontier": users_pareto_frontier,
     "events_audience_except": events_audience_except,
     "events_daily_growth": events_daily_growth,
+    "events_time_weighted_avg": events_time_weighted_avg,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -1942,6 +2013,7 @@ ORACLE_SQL = {
     "users_pareto_frontier": PARETO_SQL,
     "events_audience_except": AUDIENCE_EXCEPT_SQL,
     "events_daily_growth": DAILY_GROWTH_SQL,
+    "events_time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
