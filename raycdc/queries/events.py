@@ -1695,6 +1695,68 @@ FROM c ORDER BY event_type, day
 """
 
 
+# -- event-type transition matrix (sequence mining) ----------------------------
+
+def events_type_transitions(sf_dir: str):
+    """Markov transition counts between CONSECUTIVE event types within
+    each user's timeline — the sequence-mining grain behind session-flow
+    and next-action models. Distributed shape: user-keyed bounded
+    partitions (adjacency needs co-located, ordered users), one
+    vectorized kernel — lexsort by (user, ts, event_id), shifted type
+    arrays with a user-boundary mask — emitting per-partition partial
+    counts over the BOUNDED (types × types) grain; the driver folds
+    O(types² × partitions) rows. All-integer."""
+    ds = C.read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    _EMPTY = pd.DataFrame(
+        {
+            "from_type": pd.Series(dtype=object),
+            "to_type": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy(np.int64)
+        et = d["event_type"].to_numpy(dtype=object)
+        same = u[:-1] == u[1:]
+        pairs = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        out = pairs.groupby(
+            ["from_type", "to_type"], as_index=False
+        ).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = C.by_partition(ds, "user_id", kernel).to_pandas()
+    if len(parts) == 0:
+        return _EMPTY
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["from_type", "to_type"], kind="stable"
+    ).reset_index(drop=True)
+
+
+TYPE_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
 # -- time-weighted average over irregular samples ------------------------------
 
 def events_time_weighted_avg(sf_dir: str):
@@ -1984,6 +2046,7 @@ QUERIES = {
     "events_audience_except": events_audience_except,
     "events_daily_growth": events_daily_growth,
     "events_time_weighted_avg": events_time_weighted_avg,
+    "events_type_transitions": events_type_transitions,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -2014,6 +2077,7 @@ ORACLE_SQL = {
     "events_audience_except": AUDIENCE_EXCEPT_SQL,
     "events_daily_growth": DAILY_GROWTH_SQL,
     "events_time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
+    "events_type_transitions": TYPE_TRANSITIONS_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN

@@ -104,7 +104,7 @@ def _sql_backed():
         "events_value_time_corr", "q11_value_concentration",
         "users_pareto_frontier", "events_audience_except",
         "events_daily_growth", "docs_length_clip", "label_doc_stats",
-        "events_time_weighted_avg",
+        "events_time_weighted_avg", "events_type_transitions",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
