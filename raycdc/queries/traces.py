@@ -158,5 +158,58 @@ FROM events e JOIN kids k ON k.j < e.event_id % 3
 WHERE (e.event_id + k.j) % 2 = 1
 """
 
-QUERIES = {"trace_flatten": trace_flatten}
-ORACLE_SQL = {"trace_flatten": TRACE_FLATTEN_SQL}
+def trace_depth_stats(sf_dir: str):
+    """Tree analytics over the flattened trace stream: per (depth, op)
+    node counts and gas totals — the call-tree profile report. Composes
+    :func:`trace_flatten` (still a lazy Dataset — the flatten streams
+    straight into the aggregation, nothing materializes) with per-batch
+    partials over the BOUNDED (depth × op) grain; the driver folds
+    O(grain × blocks) rows. All-integer."""
+    import pandas as pd
+
+    ds = trace_flatten(sf_dir)
+
+    def partial(b: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "depth": b.column("depth").to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "op": b.column("op").to_numpy(zero_copy_only=False),
+                "n": np.int64(1),
+                "sum_gas": b.column("gas").to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        return df.groupby(["depth", "op"], as_index=False).sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["depth", "op"], as_index=False)
+        .sum()
+    )
+    for c in ("depth", "n", "sum_gas"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["depth", "op"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+TRACE_DEPTH_STATS_SQL = f"""
+WITH flat AS ({TRACE_FLATTEN_SQL})
+SELECT CAST(depth AS BIGINT) AS depth, op,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gas) AS BIGINT) AS sum_gas
+FROM flat GROUP BY depth, op
+ORDER BY depth, op
+"""
+
+
+QUERIES = {
+    "trace_flatten": trace_flatten,
+    "trace_depth_stats": trace_depth_stats,
+}
+ORACLE_SQL = {
+    "trace_flatten": TRACE_FLATTEN_SQL,
+    "trace_depth_stats": TRACE_DEPTH_STATS_SQL,
+}
