@@ -1695,6 +1695,98 @@ FROM c ORDER BY event_type, day
 """
 
 
+# -- conversion-lag distribution ------------------------------------------------
+
+def events_conversion_lag(sf_dir: str):
+    """Histogram of signup→purchase conversion lag in whole days: for each
+    user, the FIRST purchase at-or-after their FIRST signup — the funnel
+    variant that needs an ORDER-dependent pair (min-over-a-conditional-
+    subset is not distributive from per-type extremes alone). Shape:
+    read pruned to the two event types, user-keyed bounded partitions,
+    one vectorized kernel per partition (each user's events co-locate, so
+    per-user firsts are exact), per-partition partial histograms over the
+    BOUNDED day grain fold on the driver. Lag arithmetic is integer µs →
+    floor-div days — no float anywhere."""
+    import pyarrow.dataset as pads
+
+    ds = C.read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["signup", "purchase"]),
+    )
+    _US_DAY = 86_400_000_000
+
+    _EMPTY = pd.DataFrame(
+        {
+            "lag_days": pd.Series(dtype="int64"),
+            "n_users": pd.Series(dtype="int64"),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        t = g["ts"].astype("datetime64[us]").to_numpy().view("int64")
+        u = g["user_id"].to_numpy(np.int64)
+        is_s = g["event_type"].to_numpy() == "signup"
+        d = pd.DataFrame(
+            {
+                "u": u,
+                "s": np.where(is_s, t, np.iinfo(np.int64).max),
+                "p": np.where(~is_s, t, np.iinfo(np.int64).max),
+            }
+        )
+        first = d.groupby("u").min()  # first signup per user (exact: co-located)
+        # first purchase AT-OR-AFTER the first signup: mask then min
+        pp = pd.DataFrame(
+            {
+                "u": u[~is_s],
+                "t": t[~is_s],
+                "su": first["s"].reindex(u[~is_s]).to_numpy(),
+            }
+        )
+        pp = pp[pp["t"] >= pp["su"]]
+        if not len(pp):
+            return _EMPTY
+        conv = pp.groupby("u")["t"].min()
+        lag = (
+            conv.to_numpy() - first["s"].reindex(conv.index).to_numpy()
+        ) // _US_DAY
+        vc = pd.Series(lag).value_counts()
+        return pd.DataFrame(
+            {
+                "lag_days": vc.index.to_numpy(np.int64),
+                "n_users": vc.to_numpy(np.int64),
+            }
+        )
+
+    parts = C.by_partition(ds, "user_id", kernel).to_pandas()
+    if len(parts) == 0:
+        return _EMPTY
+    out = parts.groupby("lag_days", as_index=False)["n_users"].sum()
+    out["lag_days"] = out["lag_days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("lag_days", kind="stable").reset_index(drop=True)
+
+
+CONVERSION_LAG_SQL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS su FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS pu
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.su
+  GROUP BY e.user_id
+)
+SELECT CAST((p.pu - s.su) // 86400000000 AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p JOIN s ON s.user_id = p.user_id
+GROUP BY lag_days ORDER BY lag_days
+"""
+
+
 # -- event-type transition matrix (sequence mining) ----------------------------
 
 def events_type_transitions(sf_dir: str):
@@ -2047,6 +2139,7 @@ QUERIES = {
     "events_daily_growth": events_daily_growth,
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_type_transitions": events_type_transitions,
+    "events_conversion_lag": events_conversion_lag,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -2078,6 +2171,7 @@ ORACLE_SQL = {
     "events_daily_growth": DAILY_GROWTH_SQL,
     "events_time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "events_type_transitions": TYPE_TRANSITIONS_SQL,
+    "events_conversion_lag": CONVERSION_LAG_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN

@@ -105,7 +105,7 @@ def _sql_backed():
         "users_pareto_frontier", "events_audience_except",
         "events_daily_growth", "docs_length_clip", "label_doc_stats",
         "events_time_weighted_avg", "events_type_transitions",
-        "trace_depth_stats",
+        "trace_depth_stats", "events_conversion_lag",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
