@@ -1695,6 +1695,38 @@ FROM c ORDER BY event_type, day
 """
 
 
+# -- UNPIVOT (melt) back to long form -------------------------------------------
+
+def events_daily_type_unpivot(sf_dir: str):
+    """UNPIVOT: the wide per-day crosstab melted back to long
+    (day, metric, n) rows — the melt half of the pivot/unpivot pair
+    (wide telemetry → long for storage/joins). Composes the still-lazy
+    pivot with one vectorized per-batch melt (`pd.melt` is a reshape,
+    no per-row Python); zero-count cells are kept, mirroring SQL
+    UNPIVOT INCLUDE NULLS semantics on a dense crosstab. The melt
+    multiplies rows only by the bounded type axis."""
+    wide = events_daily_type_pivot(sf_dir)
+
+    value_cols = [c for c in wide.columns if c.startswith("n_")]
+    out = wide.melt(
+        id_vars=["day"], value_vars=value_cols,
+        var_name="metric", value_name="n",
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["day", "metric"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS ({{pivot}})
+SELECT day, metric, CAST(n AS BIGINT) AS n
+FROM wide UNPIVOT INCLUDE NULLS (n FOR metric IN (
+  n_click, n_error, n_purchase, n_signup, n_view))
+ORDER BY day, metric
+"""
+
+
 # -- conversion-lag distribution ------------------------------------------------
 
 def events_conversion_lag(sf_dir: str):
@@ -2140,6 +2172,7 @@ QUERIES = {
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_type_transitions": events_type_transitions,
     "events_conversion_lag": events_conversion_lag,
+    "events_daily_type_unpivot": events_daily_type_unpivot,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -2172,6 +2205,7 @@ ORACLE_SQL = {
     "events_time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "events_type_transitions": TYPE_TRANSITIONS_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
+    "events_daily_type_unpivot": UNPIVOT_SQL.format(pivot=PIVOT_SQL),
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
