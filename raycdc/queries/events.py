@@ -1695,6 +1695,75 @@ FROM c ORDER BY event_type, day
 """
 
 
+# -- contingency-table independence (chi-square cells) --------------------------
+
+def events_type_hour_indep(sf_dir: str):
+    """Per-cell chi-square decomposition of the (event_type × hour)
+    contingency table — observed count, independence-expected count, and
+    the cell's χ² contribution (the data-drift / feature-dependence
+    screen). Exactness: all marginals fold as int64 over the BOUNDED
+    grain (one distributed partial-count pass, driver state
+    O(types × 24)); the derived cells are INTEGER BASIS POINTS via pure
+    integer floor division — ``E_bp = r·c·10⁴ // n`` and
+    ``χ²_bp = (o·n − r·c)²·10⁴ // (n·r·c)`` — because the float ratios
+    land on exact half-ties (dyadic rationals) where numpy rounds
+    half-even and SQL half-away. The squared numerator exceeds int64, so
+    the bounded driver-side cells use Python ints (SQL side: HUGEINT)."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].dt.hour.astype("int64"),
+                "obs": np.int64(1),
+            }
+        )
+        return df.groupby(["event_type", "hour"], as_index=False)["obs"].sum()
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "hour"], as_index=False)["obs"]
+        .sum()
+    )
+    r = cells.groupby("event_type")["obs"].transform("sum").astype("int64")
+    c = cells.groupby("hour")["obs"].transform("sum").astype("int64")
+    n = int(cells["obs"].sum())
+    # unbounded-width integer arithmetic over the tiny bounded grain
+    exp_bp = [int(ri) * int(ci) * 10_000 // n for ri, ci in zip(r, c)]
+    chi_bp = [
+        (int(oi) * n - int(ri) * int(ci)) ** 2 * 10_000
+        // (n * int(ri) * int(ci))
+        for oi, ri, ci in zip(cells["obs"], r, c)
+    ]
+    cells["obs"] = cells["obs"].astype("int64")
+    cells["expected_bp"] = pd.Series(exp_bp, dtype="int64")
+    cells["chi2_bp"] = pd.Series(chi_bp, dtype="int64")
+    return cells.sort_values(
+        ["event_type", "hour"], kind="stable"
+    ).reset_index(drop=True)
+
+
+TYPE_HOUR_INDEP_SQL = """
+WITH cell AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, count(*) AS o
+  FROM events GROUP BY event_type, hour
+), m AS (
+  SELECT event_type, hour, o,
+         sum(o) OVER (PARTITION BY event_type) AS r,
+         sum(o) OVER (PARTITION BY hour) AS c,
+         sum(o) OVER () AS n
+  FROM cell
+)
+SELECT event_type, hour, CAST(o AS BIGINT) AS obs,
+       CAST(r * c * 10000 // n AS BIGINT) AS expected_bp,
+       CAST((o * n - r * c) * (o * n - r * c) * 10000
+            // (n * r * c) AS BIGINT) AS chi2_bp
+FROM m ORDER BY event_type, hour
+"""
+
+
 # -- UNPIVOT (melt) back to long form -------------------------------------------
 
 def events_daily_type_unpivot(sf_dir: str):
@@ -2173,6 +2242,7 @@ QUERIES = {
     "events_type_transitions": events_type_transitions,
     "events_conversion_lag": events_conversion_lag,
     "events_daily_type_unpivot": events_daily_type_unpivot,
+    "events_type_hour_indep": events_type_hour_indep,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -2206,6 +2276,7 @@ ORACLE_SQL = {
     "events_type_transitions": TYPE_TRANSITIONS_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
     "events_daily_type_unpivot": UNPIVOT_SQL.format(pivot=PIVOT_SQL),
+    "events_type_hour_indep": TYPE_HOUR_INDEP_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
