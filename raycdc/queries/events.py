@@ -1695,6 +1695,77 @@ FROM c ORDER BY event_type, day
 """
 
 
+# -- per-day P50/P95 bands via sort-free selection -------------------------------
+
+def events_daily_p50_p95(sf_dir: str):
+    """Per-day P50/P95 value bands (discrete order statistics at ranks
+    ``floor(f·(n−1))``, integer cents) — the ops-dashboard staple, done
+    the SCALABLE way: where :func:`events_value_quantiles` co-locates
+    each group (fine for a bounded type axis), days × values here run
+    through :func:`_ranks_smallest_by` — two bounded histogram passes
+    serve ALL days and BOTH ranks at once, no per-group sort, driver
+    state O(days × buckets). All-integer output."""
+    import ray as _ray  # noqa: F401  (parallel with sibling selection ops)
+
+    ds = C.read(sf_dir, "events", ["ts", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": b["ts"].dt.strftime("%Y-%m-%d").astype(object),
+                "v": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+
+    def pcount(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("day", as_index=False).size()
+        return pd.DataFrame({"day": g["day"], "n": g["size"].astype("int64")})
+
+    counts = (
+        cents.map_batches(pcount, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)["n"]
+        .sum()
+    )
+    n_by = dict(zip(counts["day"], counts["n"].astype(int)))
+    k50 = {d: int(np.floor(0.5 * (n - 1))) for d, n in n_by.items()}
+    k95 = {d: int(np.floor(0.95 * (n - 1))) for d, n in n_by.items()}
+    ks = {d: sorted({k50[d], k95[d]}) for d in n_by}
+    sel = _ranks_smallest_by(cents, "day", "v", ks)
+    out = pd.DataFrame(
+        {
+            "day": sorted(n_by),
+            "p50_cents": [sel[(d, k50[d])] for d in sorted(n_by)],
+            "p95_cents": [sel[(d, k95[d])] for d in sorted(n_by)],
+        }
+    )
+    out["p50_cents"] = out["p50_cents"].astype("int64")
+    out["p95_cents"] = out["p95_cents"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+DAILY_P50_P95_SQL = """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT day, v,
+         row_number() OVER (PARTITION BY day ORDER BY v) - 1 AS rk,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM c
+)
+SELECT day,
+       max(CASE WHEN rk = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                THEN v END) AS p50_cents,
+       max(CASE WHEN rk = CAST(floor(0.95 * (n - 1)) AS BIGINT)
+                THEN v END) AS p95_cents
+FROM r GROUP BY day ORDER BY day
+"""
+
+
 # -- contingency-table independence (chi-square cells) --------------------------
 
 def events_type_hour_indep(sf_dir: str):
@@ -2243,6 +2314,7 @@ QUERIES = {
     "events_conversion_lag": events_conversion_lag,
     "events_daily_type_unpivot": events_daily_type_unpivot,
     "events_type_hour_indep": events_type_hour_indep,
+    "events_daily_p50_p95": events_daily_p50_p95,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -2277,6 +2349,7 @@ ORACLE_SQL = {
     "events_conversion_lag": CONVERSION_LAG_SQL,
     "events_daily_type_unpivot": UNPIVOT_SQL.format(pivot=PIVOT_SQL),
     "events_type_hour_indep": TYPE_HOUR_INDEP_SQL,
+    "events_daily_p50_p95": DAILY_P50_P95_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN
