@@ -938,6 +938,74 @@ def cdc_snapshot_diff(sf_dir: str):
     return C.by_partition(both, "conv_id", kernel)
 
 
+def cdc_column_diff(sf_dir: str):
+    """Column-level change attribution: for every UPDATE in the snapshot
+    diff, WHICH payload columns changed (canonical comma-joined list in
+    fixed role,text,tool,ts order) — the column-lineage feed downstream
+    cache-invalidation / selective-reindex consumers need (only text
+    changes dirty a text index). Composes the still-lazy
+    :func:`cdc_snapshot_diff` stream with one vectorized kernel: the four
+    NULL-safe inequality masks pack into a 4-bit code and a 16-entry
+    lookup maps code → column list — no per-row string building."""
+    payload = ["role", "text", "tool", "ts"]
+    lut = np.array(
+        [
+            ",".join(c for j, c in enumerate(payload) if code & (1 << j))
+            for code in range(16)
+        ],
+        dtype=object,
+    )
+    diff = cdc_snapshot_diff(sf_dir)
+
+    _EMPTY = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype=object),
+            "turn_idx": pd.Series(dtype="int64"),
+            "changed_cols": pd.Series(dtype=object),
+        }
+    )
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "kind" not in b.columns:
+            return _EMPTY
+        u = b[b["kind"] == "update"]
+        if not len(u):
+            return _EMPTY
+        code = np.zeros(len(u), np.int64)
+        for j, c in enumerate(payload):
+            o, n = u[f"old_{c}"], u[f"new_{c}"]
+            ne = ((o != n) & ~(o.isna() & n.isna())).to_numpy()
+            code |= ne.astype(np.int64) << j
+        return pd.DataFrame(
+            {
+                "conv_id": u["conv_id"].to_numpy(dtype=object),
+                "turn_idx": u["turn_idx"].astype("int64").to_numpy(),
+                "changed_cols": lut[code],
+            }
+        )
+
+    out = diff.map_batches(kernel, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return _EMPTY
+    return out.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+CDC_COLUMN_DIFF_SQL_TEMPLATE = """
+WITH d AS ({snapshot_diff})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       concat_ws(',',
+         CASE WHEN old_role IS DISTINCT FROM new_role THEN 'role' END,
+         CASE WHEN old_text IS DISTINCT FROM new_text THEN 'text' END,
+         CASE WHEN old_tool IS DISTINCT FROM new_tool THEN 'tool' END,
+         CASE WHEN old_ts   IS DISTINCT FROM new_ts   THEN 'ts'   END)
+           AS changed_cols
+FROM d WHERE kind = 'update'
+ORDER BY conv_id, turn_idx
+"""
+
+
 # open-interval sentinel for the SCD2 history (avoids a nullable BIGINT,
 # which DuckDB's .df() surfaces as float64 and pandas as Int64 — the
 # canonical compare would then coerce differently on the two sides)
@@ -1699,6 +1767,9 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_conv_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(replay=replay),
         "cdc_conv_text": CDC_CONV_TEXT_SQL_TEMPLATE.format(replay=replay),
         "cdc_turn_pairs": CDC_TURN_PAIRS_SQL_TEMPLATE.format(replay=replay),
+        "cdc_column_diff": CDC_COLUMN_DIFF_SQL_TEMPLATE.format(
+            snapshot_diff=snapshot_diff
+        ),
         "cdc_conv_latest": CONV_LATEST_SQL_TEMPLATE.format(path=path),
         "cdc_tool_index": CDC_TOOL_INDEX_SQL_TEMPLATE.format(path=path, where=""),
         "cdc_fingerprint_index": _fingerprint_sql(path),
@@ -1912,6 +1983,7 @@ QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_conv_text": cdc_conv_text,
     "cdc_turn_pairs": cdc_turn_pairs,
+    "cdc_column_diff": cdc_column_diff,
 }
 
 ORACLE_SQL = {
