@@ -1867,6 +1867,97 @@ ORDER BY day, metric
 """
 
 
+# -- strict 3-step ordered funnel -------------------------------------------------
+
+def events_funnel3(sf_dir: str):
+    """Users completing the strictly-ordered view → click → purchase
+    funnel, with each stage's timestamp — the greedy earliest-chain
+    (first view, first click strictly after it, first purchase strictly
+    after that), which is exact for existence: if ANY ordered triple
+    exists, the greedy one does. Unlike the 2-step funnel's per-type
+    extremes, the chain is order-dependent, so users co-locate in bounded
+    partitions and one vectorized kernel runs three masked groupby-mins
+    (no row loops). Read pruned to the three stage types."""
+    import pyarrow.dataset as pads
+
+    STAGES = ("view", "click", "purchase")
+    ds = C.read(
+        sf_dir,
+        "events",
+        ["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(list(STAGES)),
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "view_ts": pd.Series(dtype="datetime64[us]"),
+            "click_ts": pd.Series(dtype="datetime64[us]"),
+            "purchase_ts": pd.Series(dtype="datetime64[us]"),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].astype("datetime64[us]").to_numpy().view("int64")
+        et = g["event_type"].to_numpy()
+        NOMIN = np.iinfo(np.int64).max
+
+        def chain_min(mask: np.ndarray, after: "pd.Series | None") -> pd.Series:
+            tt = np.where(mask, t, NOMIN)
+            if after is not None:
+                lo = after.reindex(u).to_numpy()
+                tt = np.where(np.isnan(lo) | (tt <= lo), NOMIN, tt)
+            s = pd.DataFrame({"u": u, "t": tt}).groupby("u")["t"].min()
+            return s[s != NOMIN].astype("float64")
+
+        mv = chain_min(et == STAGES[0], None)
+        mc = chain_min(et == STAGES[1], mv)
+        mp = chain_min(et == STAGES[2], mc)
+        if not len(mp):
+            return _EMPTY
+        users = mp.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "view_ts": mv.reindex(users).astype("int64")
+                .to_numpy().view("datetime64[us]"),
+                "click_ts": mc.reindex(users).astype("int64")
+                .to_numpy().view("datetime64[us]"),
+                "purchase_ts": mp.reindex(users).astype("int64")
+                .to_numpy().view("datetime64[us]"),
+            }
+        )
+
+    out = C.by_partition(ds, "user_id", kernel).to_pandas()
+    if len(out) == 0:
+        return _EMPTY
+    return out.sort_values("user_id", kind="stable").reset_index(drop=True)
+
+
+FUNNEL3_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT p.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+ORDER BY p.user_id
+"""
+
+
 # -- conversion-lag distribution ------------------------------------------------
 
 def events_conversion_lag(sf_dir: str):
@@ -2312,6 +2403,7 @@ QUERIES = {
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_type_transitions": events_type_transitions,
     "events_conversion_lag": events_conversion_lag,
+    "events_funnel3": events_funnel3,
     "events_daily_type_unpivot": events_daily_type_unpivot,
     "events_type_hour_indep": events_type_hour_indep,
     "events_daily_p50_p95": events_daily_p50_p95,
@@ -2347,6 +2439,7 @@ ORACLE_SQL = {
     "events_time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "events_type_transitions": TYPE_TRANSITIONS_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
+    "events_funnel3": FUNNEL3_SQL,
     "events_daily_type_unpivot": UNPIVOT_SQL.format(pivot=PIVOT_SQL),
     "events_type_hour_indep": TYPE_HOUR_INDEP_SQL,
     "events_daily_p50_p95": DAILY_P50_P95_SQL,
