@@ -1073,6 +1073,136 @@ ORDER BY part_value DESC, p_partkey
 """
 
 
+# -- RFM customer segmentation --------------------------------------------------
+
+
+def customer_rfm_segments(sf_dir: str):
+    """RFM segmentation: each customer scored on Recency (days since last
+    order, vs the corpus max date), Frequency (order count) and Monetary
+    (total spend, integer cents), each bucketed into terciles, rolled up
+    to per-(r,f,m)-segment customer counts — the classic BI segmentation
+    done with EXPLICIT tercile edges. NTILE would be wrong here: ties
+    spanning a tercile boundary get arbitrary bucket assignments, so the
+    contract is order-statistic edges at ranks ``floor((n−1)/3)`` and
+    ``floor(2(n−1)/3)`` with the deterministic rule ``v ≤ edge`` — stable
+    under ties on both engines. Scale shape: per-customer aggregates fold
+    in bounded partitions (custkey near-unique, the Q13 law); each
+    metric's two edges come from the sketch-guided global selection over
+    the STILL-DISTRIBUTED aggregate (no sort, no driver materialization
+    of customers); the segment rollup is a 27-cell bounded fold."""
+    import ray as _ray
+
+    from raycdc.queries.events import _kth_smallest
+
+    orders = C.read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c": b["o_custkey"].astype("int64"),
+                "last_us": b["o_orderdate"].astype("datetime64[us]")
+                .to_numpy().view("int64"),
+                "f": np.int64(1),
+                "m": np.floor(
+                    b["o_totalprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return df.groupby("c", as_index=False).agg(
+            last_us=("last_us", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    partials = orders.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("c", as_index=False).agg(
+            last_us=("last_us", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+
+    cust = C.by_partition(partials, "c", fold).materialize()
+
+    def gmax(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mx": [int(b["last_us"].max())]})
+
+    max_us = int(
+        cust.map_batches(gmax, batch_format="pandas").to_pandas()["mx"].max()
+    )
+    _US_DAY = 86_400_000_000
+
+    def add_r(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["r"] = (max_us - b["last_us"].to_numpy(np.int64)) // _US_DAY
+        return b
+
+    scored = cust.map_batches(add_r, batch_format="pandas").materialize()
+    n = scored.count()
+    k1, k2 = int(np.floor((n - 1) / 3)), int(np.floor(2 * (n - 1) / 3))
+    edges = {
+        col: (_kth_smallest(scored, col, k1), _kth_smallest(scored, col, k2))
+        for col in ("r", "f", "m")
+    }
+    eref = C.broadcast(edges)
+
+    def seg(b: pd.DataFrame) -> pd.DataFrame:
+        ed = _ray.get(eref)
+        out = pd.DataFrame({"n_customers": np.ones(len(b), np.int64)})
+        for col in ("r", "f", "m"):
+            v = b[col].to_numpy(np.int64)
+            e1, e2 = ed[col]
+            out[f"{col}_seg"] = np.where(
+                v <= e1, 0, np.where(v <= e2, 1, 2)
+            ).astype(np.int64)
+        return out.groupby(
+            ["r_seg", "f_seg", "m_seg"], as_index=False
+        )["n_customers"].sum()
+
+    parts = scored.map_batches(seg, batch_format="pandas").to_pandas()
+    out = parts.groupby(
+        ["r_seg", "f_seg", "m_seg"], as_index=False
+    )["n_customers"].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["r_seg", "f_seg", "m_seg"], kind="stable"
+    ).reset_index(drop=True)
+
+
+RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(((SELECT epoch_us(max(o_orderdate)) FROM orders)
+               - epoch_us(max(o_orderdate))) // 86400000000 AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS m
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT *, count(*) OVER () AS n FROM cust
+), e AS (
+  SELECT
+    max(CASE WHEN rr = CAST(floor((n - 1) / 3) AS BIGINT) THEN r END) AS r1,
+    max(CASE WHEN rr = CAST(floor(2 * (n - 1) / 3) AS BIGINT) THEN r END) AS r2,
+    max(CASE WHEN fr = CAST(floor((n - 1) / 3) AS BIGINT) THEN f END) AS f1,
+    max(CASE WHEN fr = CAST(floor(2 * (n - 1) / 3) AS BIGINT) THEN f END) AS f2,
+    max(CASE WHEN mr = CAST(floor((n - 1) / 3) AS BIGINT) THEN m END) AS m1,
+    max(CASE WHEN mr = CAST(floor(2 * (n - 1) / 3) AS BIGINT) THEN m END) AS m2
+  FROM (SELECT n, r, f, m,
+               row_number() OVER (ORDER BY r) - 1 AS rr,
+               row_number() OVER (ORDER BY f) - 1 AS fr,
+               row_number() OVER (ORDER BY m) - 1 AS mr
+        FROM ranked)
+)
+SELECT CASE WHEN r <= e.r1 THEN 0 WHEN r <= e.r2 THEN 1 ELSE 2 END AS r_seg,
+       CASE WHEN f <= e.f1 THEN 0 WHEN f <= e.f2 THEN 1 ELSE 2 END AS f_seg,
+       CASE WHEN m <= e.m1 THEN 0 WHEN m <= e.m2 THEN 1 ELSE 2 END AS m_seg,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cust, e
+GROUP BY r_seg, f_seg, m_seg
+ORDER BY r_seg, f_seg, m_seg
+"""
+
+
 # -- Q21: sole-failed-supplier wait counts -------------------------------------
 
 
@@ -1207,6 +1337,7 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q21_sole_failed_supplier": q21_sole_failed_supplier,
     "q11_value_concentration": q11_value_concentration,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -1222,4 +1353,5 @@ ORACLE_SQL = {
     "q16_supplier_part_counts": Q16_SQL,
     "q21_sole_failed_supplier": Q21_SQL,
     "q11_value_concentration": Q11_SQL,
+    "customer_rfm_segments": RFM_SQL,
 }
