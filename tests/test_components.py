@@ -1030,3 +1030,51 @@ def test_ntile_edge_ties_and_tiny_groups(ray_session, tmp_path):
     )
     want = con.execute(NTILE_SQL).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel3_strict_order_ties(ray_session, tmp_path):
+    """events_funnel3 on crafted timelines: equal timestamps must NOT
+    satisfy the strict view < click < purchase chain; a later purchase
+    after an early click still qualifies — against DuckDB on the same
+    parquet."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycdc.queries.events import FUNNEL3_SQL, events_funnel3
+
+    T = pd.Timestamp
+    rows = [
+        # user 1: clean chain -> qualifies
+        (1, "view", T("2026-01-01 00:00:00")),
+        (1, "click", T("2026-01-01 01:00:00")),
+        (1, "purchase", T("2026-01-01 02:00:00")),
+        # user 2: click ties the view exactly -> strict > fails
+        (2, "view", T("2026-01-01 00:00:00")),
+        (2, "click", T("2026-01-01 00:00:00")),
+        (2, "purchase", T("2026-01-01 02:00:00")),
+        # user 3: purchase BEFORE click -> fails
+        (3, "view", T("2026-01-01 00:00:00")),
+        (3, "purchase", T("2026-01-01 00:30:00")),
+        (3, "click", T("2026-01-01 01:00:00")),
+        # user 4: greedy must skip the pre-view click and use the later one
+        (4, "click", T("2026-01-01 00:00:00")),
+        (4, "view", T("2026-01-01 01:00:00")),
+        (4, "click", T("2026-01-01 02:00:00")),
+        (4, "purchase", T("2026-01-01 03:00:00")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    got = events_funnel3(str(tmp_path))
+    assert sorted(got["user_id"]) == [1, 4]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.execute(FUNNEL3_SQL).df()
+    for c in got.columns:
+        want[c] = want[c].astype(got[c].dtype)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
