@@ -1766,6 +1766,62 @@ FROM r GROUP BY day ORDER BY day
 """
 
 
+# -- daily type-mix diversity (Gini impurity) ------------------------------------
+
+def events_daily_gini(sf_dir: str):
+    """Per-day Gini impurity of the event-type mix — the diversity /
+    concentration screen (a day dominated by one type scores near 0).
+    Integer basis points end-to-end: ``gini_bp = (n² − Σcᵢ²)·10⁴ // n²``
+    from exact int64 cell counts over the bounded (day × type) grain —
+    the float ratio form lands on dyadic half-ties (the share_of_day
+    lesson). One distributed partial-count pass; the driver fold is
+    O(days × types)."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": b["event_type"],
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby(["day", "event_type"], as_index=False)["n"].sum()
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["day", "event_type"], as_index=False)["n"]
+        .sum()
+    )
+    # unbounded-width Python ints over the bounded grain: n²·10⁴ would
+    # overflow int64 once a day carries >~10⁹ events (SQL side: HUGEINT)
+    rows = []
+    for d, sub in cells.groupby("day"):
+        n = int(sub["n"].sum())
+        s2 = sum(int(c) ** 2 for c in sub["n"])
+        rows.append(
+            {"day": d, "n": n, "gini_bp": (n * n - s2) * 10_000 // (n * n)}
+        )
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["gini_bp"] = out["gini_bp"].astype("int64")
+    return out.sort_values("day", kind="stable").reset_index(drop=True)
+
+
+DAILY_GINI_SQL = """
+WITH cell AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS c
+  FROM events GROUP BY day, event_type
+), d AS (
+  SELECT day, sum(c) AS n, sum(c * c) AS s2 FROM cell GROUP BY day
+)
+SELECT day, CAST(n AS BIGINT) AS n,
+       CAST((n * n - s2) * 10000 // (n * n) AS BIGINT) AS gini_bp
+FROM d ORDER BY day
+"""
+
+
 # -- contingency-table independence (chi-square cells) --------------------------
 
 def events_type_hour_indep(sf_dir: str):
@@ -2407,6 +2463,7 @@ QUERIES = {
     "events_daily_type_unpivot": events_daily_type_unpivot,
     "events_type_hour_indep": events_type_hour_indep,
     "events_daily_p50_p95": events_daily_p50_p95,
+    "events_daily_gini": events_daily_gini,
     "events_group_sample": events_group_sample,
     "events_session_concurrency": events_session_concurrency,
     "events_value_mad_outliers": events_value_mad_outliers,
@@ -2443,6 +2500,7 @@ ORACLE_SQL = {
     "events_daily_type_unpivot": UNPIVOT_SQL.format(pivot=PIVOT_SQL),
     "events_type_hour_indep": TYPE_HOUR_INDEP_SQL,
     "events_daily_p50_p95": DAILY_P50_P95_SQL,
+    "events_daily_gini": DAILY_GINI_SQL,
     "events_group_sample": _group_sample_sql(),
     "events_session_concurrency": SESSION_CONCURRENCY_SQL.format(
         gap=SESSION_GAP_MIN

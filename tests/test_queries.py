@@ -108,7 +108,7 @@ def _sql_backed():
         "trace_depth_stats", "events_conversion_lag",
         "events_daily_type_unpivot", "events_type_hour_indep",
         "events_daily_p50_p95", "events_funnel3",
-        "customer_rfm_segments",
+        "customer_rfm_segments", "events_daily_gini",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
