@@ -1998,6 +1998,81 @@ class Engine:
             change_batch, batch_format="pandas", batch_size=1
         )
 
+    def reshard(self, new_nparts: int) -> dict:
+        """Online reshard N→M partitions — the operational answer when a
+        lake outgrows (or over-shards) its partition count (Kafka
+        repartition / Hudi clustering analog; the reference re-runs whole
+        block ranges to re-layout,
+        ``indexer/controller/reorg_controller.py``). Two-stage direct
+        exchange in raw Ray tasks (maintenance work the Dataset API has no
+        reason to express): stage 1 folds each OLD partition's fragment
+        chain once — TOMBSTONES PRESERVED, so guarded-LWW protection
+        against late stale updates survives the move — and slices it by
+        the new hash; slices travel as object-store refs (spillable,
+        never driver-held). Stage 2 writes one sorted base per NEW
+        partition (keys are disjoint across old partitions, so concat
+        needs no re-fold). The manifest then swaps atomically via
+        :meth:`raycdc.lake.Lake.commit_reshard`: a zero-event barrier
+        round — resumable replay fencing is untouched, but rollback and
+        time travel cannot cross it (the old layout's files are gone).
+        Merger pool and rebalance state reset (they are sized/keyed to
+        the old layout)."""
+        self.lake.ensure_writer_lock()
+        if len(self.tables) > 1:
+            raise NotImplementedError(
+                "reshard currently supports primary-only lakes"
+            )
+        rounds = self.lake.manifest["committed_rounds"]
+        if not rounds:
+            raise ValueError("reshard needs at least one committed round")
+        new_nparts = int(new_nparts)
+        schema = self._table_schema(0)
+        if schema is None:
+            raise ValueError("reshard needs a non-empty lake schema")
+        round_id = f"reshard-{len(rounds):06d}"
+        key_cols = list(self.tables[0].key_cols)
+        schema_str = L._schema_to_str(schema)
+        state = self.lake.live_state_map((0, self.lake.num_partitions))
+        shard_refs = [
+            _reshard_partition.remote(
+                ([ent["base"]] if ent["base"] else []) + list(ent["deltas"]),
+                schema_str,
+                key_cols,
+                new_nparts,
+                self.lake.hash_version,
+            )
+            for _, ent in sorted(state.items())
+        ]
+        by_new: dict[int, list] = {}
+        for slices in ray.get(shard_refs):
+            for p, ref in slices.items():
+                by_new.setdefault(int(p), []).append(ref)
+        writers = [
+            _write_reshard_partition.remote(
+                refs,
+                schema_str,
+                key_cols,
+                self.lake.fragment_abspath(p, round_id, "base"),
+            )
+            for p, refs in sorted(by_new.items())
+        ]
+        rows = ray.get(writers)
+        self.lake.commit_reshard(new_nparts, sorted(by_new), round_id)
+        self._teardown_pool()
+        self._part_assign = None
+        self._part_cost = None
+        # the broadcast push context carries the OLD-width assignment —
+        # bump the revision so the next round re-broadcasts (same cache-key
+        # discipline as rebalance moves)
+        self._assign_rev += 1
+        self._push_ctx_ref = None
+        return {
+            "round_id": round_id,
+            "new_partitions": len(by_new),
+            "num_partitions": new_nparts,
+            "rows_moved": int(sum(rows)),
+        }
+
     def compact(self) -> dict:
         """Force-fold every partition's outstanding delta chain into a
         fresh base fragment — the maintenance OPTIMIZE (the scheduled
@@ -2048,6 +2123,48 @@ class Engine:
         if self.exchange == "direct":
             ray.get([h.drop_cache.remote() for h in self._ensure_pool()])
         return {"compacted": len(todo), "round_id": round_id}
+
+
+@ray.remote(num_cpus=1)
+def _reshard_partition(
+    files: list, schema_str: str, key_cols: list, new_nparts: int,
+    hash_version: int,
+) -> dict:
+    """Fold one OLD partition (tombstones kept) and slice by the new hash.
+    Returns {new_part: ObjectRef(slice table)} — data stays in the object
+    store, only refs reach the driver."""
+    _limit_arrow_threads()
+    sch = L._schema_from_str(schema_str)
+    fs = M.fragment_schema_for(sch, key_cols=key_cols)
+    pay = M.payload_columns([f.name for f in sch], key_cols=key_cols)
+    frames = [S.conform(pq.read_table(p), fs) for p in files]
+    st = M.fold_fragments_table(frames, pay, key_cols=key_cols)
+    if st is None or not st.num_rows:
+        return {}
+    part = P.assign_part(st.column("conv_id"), new_nparts, hash_version)
+    return {
+        int(p): ray.put(st.filter(pa.array(part == p)))
+        for p in np.unique(part)
+    }
+
+
+@ray.remote(num_cpus=1)
+def _write_reshard_partition(
+    refs: list, schema_str: str, key_cols: list, dst: str
+) -> int:
+    """Concatenate one NEW partition's slices (disjoint keys — no fold
+    needed), sort by key, atomically install the base fragment."""
+    _limit_arrow_threads()
+    sch = L._schema_from_str(schema_str)
+    fs = M.fragment_schema_for(sch, key_cols=key_cols)
+    tbls = [S.conform(t, fs) for t in ray.get(list(refs))]
+    st = pa.concat_tables(tbls, promote_options="permissive")
+    st = S.conform(st, fs).sort_by([(k, "ascending") for k in key_cols])
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + f".tmp{os.getpid()}"
+    pq.write_table(st, tmp)
+    os.replace(tmp, dst)
+    return st.num_rows
 
 
 @ray.remote(num_cpus=1)

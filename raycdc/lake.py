@@ -204,6 +204,12 @@ class Lake:
                 f"snapshot at {round_id} is {len(rounds) - 1 - idx} rounds "
                 f"old — outside undo_window={self.manifest['undo_window']}"
             )
+        if idx < self.manifest.get("reshard_floor", -1):
+            raise ValueError(
+                f"snapshot at {round_id} predates the reshard barrier "
+                f"(round index {self.manifest['reshard_floor']}) — the "
+                f"pre-reshard layout no longer exists"
+            )
         allowed = {r["round_id"] for r in rounds[: idx + 1]}
         out = {}
         for p, versions in self.manifest["partitions"].items():
@@ -412,6 +418,58 @@ class Lake:
             if os.path.exists(path):
                 os.remove(path)
 
+    def commit_reshard(
+        self, new_nparts: int, touched_parts: list, round_id: str
+    ) -> None:
+        """Atomically swap in a RESHARDED layout: the manifest's partition
+        map is REPLACED by one fresh base per new partition (written by
+        the caller under ``round_id``), ``num_partitions`` changes, and a
+        zero-event maintenance round is appended to the ledger so resume
+        fencing sees the barrier. Reshard is a HISTORY BARRIER: rollbacks
+        and time-travel snapshots cannot cross it (the pre-reshard layout
+        is deleted), enforced via ``reshard_floor``. Crash ordering is the
+        house contract — manifest first, then delete the old layout's
+        files; a crash in between leaves harmless orphans for vacuum."""
+        self.ensure_writer_lock()
+        rounds = self.manifest["committed_rounds"]
+        if not rounds:
+            raise ValueError("reshard needs at least one committed round")
+        if round_id in self.committed_round_ids():
+            return  # idempotent replay
+        last = rounds[-1]
+        old_files = [
+            os.path.join(self.root, v["file"])
+            for versions in self.manifest["partitions"].values()
+            for v in versions
+        ]
+        self.manifest["partitions"] = {
+            str(int(p)): [
+                {
+                    "round": round_id,
+                    "kind": "base",
+                    "file": self.fragment_relpath(int(p), round_id, "base"),
+                }
+            ]
+            for p in touched_parts
+        }
+        self.manifest["num_partitions"] = int(new_nparts)
+        rounds.append(
+            {
+                "round_id": round_id,
+                "epochs": [],
+                "cursor_lo": int(last["cursor_hi"]),
+                "cursor_hi": int(last["cursor_hi"]),
+                "touched_parts": [int(p) for p in touched_parts],
+                "committed_at": time.time(),
+                "metrics": {"reshard_to": int(new_nparts)},
+            }
+        )
+        self.manifest["reshard_floor"] = len(rounds) - 1
+        self._write_manifest()
+        for path in old_files:
+            if os.path.exists(path):
+                os.remove(path)
+
     # -- rollback (reorg analog) ------------------------------------------
 
     def rollback(self, to_cursor: int, rollback_epoch: int | None = None) -> None:
@@ -442,6 +500,12 @@ class Lake:
             raise ValueError(
                 f"rollback of {len(undone)} rounds exceeds undo_window="
                 f"{self.manifest['undo_window']}"
+            )
+        if idx < self.manifest.get("reshard_floor", -1):
+            raise ValueError(
+                f"rollback to round index {idx} crosses the reshard barrier "
+                f"at index {self.manifest['reshard_floor']} — the pre-reshard "
+                f"layout no longer exists"
             )
         undone_ids = {r["round_id"] for r in undone}
         doomed = []

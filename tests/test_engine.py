@@ -1302,3 +1302,49 @@ def test_time_travel_across_schema_evolution(ray_session, tmp_path, make_lake):
     live = eng.read_lake().to_pandas()
     assert live["tool_meta"].notna().any()
     eng.close()
+
+
+def test_reshard_preserves_state_and_stream_continues(ray_session, tmp_path):
+    """Online reshard N→M mid-stream: content is identical across the
+    barrier, later rounds apply on the new layout, the final state still
+    matches the single-threaded oracle, resume fencing survives, and
+    rollback/time-travel refuse to cross the barrier."""
+    spec = gen.GenSpec(
+        seed=21, n_convs=200, mean_turns=6, n_epochs=6, rollback_epochs=(1,)
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    from raycdc.engine import discover_epoch_files
+
+    files = discover_epoch_files(log)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=8)
+    eng.apply_log_files(files[:3])
+    before = eng.read_lake_pandas()
+    pre_rounds = list(eng.lake.manifest["committed_rounds"])
+
+    res = eng.reshard(13)
+    assert res["num_partitions"] == 13
+    assert eng.lake.num_partitions == 13
+    # every live partition sits in the new namespace
+    assert all(0 <= int(p) < 13 for p in eng.lake.manifest["partitions"])
+    after = eng.read_lake_pandas()
+    pd.testing.assert_frame_equal(after, before)
+
+    # the stream continues on the new layout; final state == oracle
+    eng.apply_log_files(files[3:])
+    assert_matches_oracle(eng, log)
+
+    # resume fencing: a fresh engine over the resharded lake skips all
+    eng2 = Engine(str(tmp_path / "lake"))
+    assert eng2.lake.num_partitions == 13
+    metrics = eng2.apply_log(log)
+    assert all(m.get("skipped") for m in metrics)
+    assert_matches_oracle(eng2, log)
+
+    # the barrier: rollback / time travel cannot cross the reshard
+    with pytest.raises(ValueError, match="reshard barrier"):
+        eng2.lake.rollback(int(pre_rounds[0]["cursor_hi"]))
+    with pytest.raises(ValueError, match="reshard"):
+        eng2.lake.state_map_as_of(pre_rounds[0]["round_id"])
+    eng.close()
+    eng2.close()
