@@ -239,6 +239,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_reshard(args) -> int:
+    """Online reshard the lake to a new partition count (atomic barrier
+    commit; rollback/time-travel cannot cross it)."""
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    out = eng.reshard(args.to_partitions)
+    print(json.dumps(out))
+    eng.close()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     # driver-side file walk — no Ray needed
     from raycdc.lake import Lake
@@ -360,6 +371,11 @@ def main(argv: list[str] | None = None) -> int:
     _common(p)
     p.add_argument("--with-conv-latest", action="store_true")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("reshard", help="online reshard to a new partition count")
+    _common(p)
+    p.add_argument("--to-partitions", type=int, required=True)
+    p.set_defaults(fn=cmd_reshard)
 
     p = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     p.add_argument("--lake", required=True)
