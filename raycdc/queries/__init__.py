@@ -25,11 +25,12 @@ from raycdc.queries import (
     sketches,
     tpch,
     tpch2,
+    tpch3,
     traces,
 )
 
 _MODULES = [
-    tpch, tpch2, events, docs, neardup, ann, multimodal, cdc, aggregates,
+    tpch, tpch2, tpch3, events, docs, neardup, ann, multimodal, cdc, aggregates,
     traces, sketches, analytics, scrub, graph,
 ]
 

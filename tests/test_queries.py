@@ -109,6 +109,8 @@ def _sql_backed():
         "events_daily_type_unpivot", "events_type_hour_indep",
         "events_daily_p50_p95", "events_funnel3",
         "customer_rfm_segments", "events_daily_gini",
+        "q2_min_cost_supplier", "q9_product_profit", "q12_late_shipments",
+        "q20_window_concentrated_suppliers",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
