@@ -1248,6 +1248,7 @@ QUALIFY nn_rank <= {KNN_K}
         # (any-band match), so it shares ann_lsh's oracle verbatim
         "ann_lsh_indexed": lsh_sql,
         "ann_ivf_layout": layout_sql,
+        "semdedup": _semdedup_sql(sf_dir),
     }
 
 
@@ -1332,6 +1333,109 @@ def ann_knn_graph(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     return C.by_partition(ds, "ivf_list", kernel)
+
+
+# -- SemDeDup: cluster-bucketed semantic dedup -------------------------------
+
+# fixture-gapped at every tier (nearest within-cluster cosine is ≥ 2e-5
+# away from the threshold on sf0.001/sf0.01/sf0.1 — ~10 orders of
+# magnitude above cross-engine fp noise), and it matches the house
+# NEARDUP_COS so the two embedding-dedup families agree on "duplicate"
+SEMDEDUP_COS = 0.4
+
+
+def semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space with the corpus' coarse quantizer, then flag a row as duplicate
+    iff its cosine similarity to ANY lower-vec_id member of the SAME
+    cluster reaches the threshold — the paper's trick of collapsing
+    O(n²) pairwise work to Σ n_c² with zero cross-cluster traffic.
+    Reads the PERSISTED IVF layout (cluster = partition dir, pq-code
+    columns pruned away), so the assignment is computed once per corpus
+    and candidate IO touches exactly one cluster per kernel call. Each
+    cluster folds inside one bounded co-located partition: sort by
+    vec_id, normalize, one GEMM, strict-upper-triangle threshold mask,
+    ``any`` per column. Scale contract (the SemDeDup sharding assumption):
+    one cluster × dim fits a worker — raise N_CENTROIDS with corpus
+    growth so E[n_c] stays bounded. Output is all-integer → hash-exact.
+
+    Reference analog: the dedup responsibilities of the reorg-safe upsert
+    (`indexer/exporters/postgres_item_exporter.py:110-133`) — keep-first
+    semantics under a deterministic order."""
+    import ray.data
+
+    lay = ivf_layout(sf_dir)
+    dirs = sorted(d for d in os.listdir(lay) if d.startswith("ivf_list="))
+
+    parts = []
+    for d in dirs:
+        lid = int(d.split("=", 1)[1])
+        sub = ray.data.read_parquet(
+            os.path.join(lay, d), columns=["vec_id", "embedding"]
+        )
+        parts.append(
+            sub.map_batches(
+                lambda b, lid=lid: b.assign(ivf_list=np.int64(lid)),
+                batch_format="pandas",
+            )
+        )
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for lid, sub in g.groupby("ivf_list"):
+            sub = sub.sort_values("vec_id")
+            ids = sub["vec_id"].to_numpy().astype(np.int64)
+            m = _emb_matrix(sub)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            x = m / norms[:, None]
+            hit = np.triu(x @ x.T >= SEMDEDUP_COS, k=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "ivf_list": np.full(len(ids), lid, dtype=np.int64),
+                        "is_dup": hit.any(axis=0).astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "ivf_list": pd.Series(dtype="int64"),
+                    "is_dup": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return C.by_partition(ds, "ivf_list", kernel)
+
+
+def _semdedup_sql(sf_dir: str) -> str:
+    """Replays the whole pipeline from centroid literals: the same
+    argmin/list_position assignment CTE as ann_ivf, then a correlated
+    EXISTS over lower-vec_id same-cluster rows. Cosines compute on
+    DOUBLE[] casts so both engines work in fp64."""
+    cent = _train_centroids(sf_dir)
+    dists = ", ".join(f"list_distance(de, {_vec_lit(c)})" for c in cent)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+), a AS (
+  SELECT vec_id, de,
+         list_position([{dists}], list_min([{dists}])) - 1 AS ivf_list
+  FROM e
+)
+SELECT a.vec_id, a.ivf_list,
+       CAST(EXISTS (
+         SELECT 1 FROM a b
+         WHERE b.ivf_list = a.ivf_list AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(b.de, a.de) >= {SEMDEDUP_COS}
+       ) AS BIGINT) AS is_dup
+FROM a ORDER BY vec_id
+"""
 
 
 # -- scalar-quantized (int8) candidate scan + exact rerank ------------------
@@ -1761,6 +1865,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
     "neardup_survivors": neardup_survivors,
+    "semdedup": semdedup,
 }
 
 ORACLE_SQL = {

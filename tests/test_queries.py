@@ -159,6 +159,24 @@ def test_registry_covers_all_oracle_entries():
     assert len(QUERIES) >= 25
 
 
+def test_semdedup_matches_sql_oracle(ray_session):
+    """Cluster-bucketed semantic dedup vs the DuckDB oracle replaying
+    assignment (centroid literals) + the correlated same-cluster EXISTS;
+    also pins that flagged dups exist (non-trivial at every tier) and
+    that keep-first semantics hold (lowest vec_id of a cluster never
+    flagged)."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import build_ann_oracle_sql
+
+    got = canon(to_df(QUERIES["semdedup"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["semdedup"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
+    assert got["is_dup"].sum() > 0
+    first = got.sort_values("vec_id").groupby("ivf_list").first()
+    assert (first["is_dup"] == 0).all()
+
+
 def test_ann_ivf_matches_sql_oracle(ray_session):
     """IVF output vs a DuckDB oracle carrying the deterministically-trained
     centroids as literals (assignment + nprobe search expressed in SQL)."""
