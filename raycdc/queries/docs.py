@@ -1556,6 +1556,165 @@ ORDER BY source, doc_id
 """
 
 
+# -- DSIR importance weights --------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_SCALE = 10_000  # LUT quantum: 1e-4 nats per unit
+
+
+def _dsir_bigrams(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bucket ids, per-doc cumulative bounds) for a batch — word
+    bigrams under the shared tokenization law, hashed into the bounded
+    feature space with the portable poly hash."""
+    from raycdc import phash as H
+
+    grams: list = []
+    bounds = [0]
+    for t in texts:
+        toks = T.py_tokens(t)
+        grams.extend(toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1))
+        bounds.append(len(grams))
+    bk = (H.poly_hash(grams) % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+    return bk, np.asarray(bounds, dtype=np.int64)
+
+
+def _dsir_stats(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pass 1: (target bucket counts, corpus bucket counts). Target = the
+    'val' bucket of the portable-hash split law (docs_split_assign), so
+    the target distribution needs no side data. Per-batch partials are
+    two bounded DSIR_BUCKETS-sized histograms — the driver fold moves
+    O(blocks × buckets) ints, never a gram."""
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bk, bounds = _dsir_bigrams(b["text"].to_numpy(dtype=object))
+        h = H.poly_hash(
+            b["doc_id"].astype("string").to_numpy(dtype=object)
+        ) % np.uint64(_SPLIT_MOD)
+        tgt = (h >= _SPLIT_TRAIN) & (h < _SPLIT_VAL)
+        gm = np.repeat(tgt, np.diff(bounds))
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(DSIR_BUCKETS, dtype=np.int64),
+                "t_n": np.bincount(bk[gm], minlength=DSIR_BUCKETS).astype(np.int64),
+                "c_n": np.bincount(bk, minlength=DSIR_BUCKETS).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket")
+        .sum()
+        .reindex(range(DSIR_BUCKETS), fill_value=0)
+    )
+    return (
+        agg["t_n"].to_numpy(dtype=np.int64),
+        agg["c_n"].to_numpy(dtype=np.int64),
+    )
+
+
+def _dsir_lut_from_counts(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Integer log-ratio LUT (add-one smoothed), in 1e-4-nat units. The
+    single float log runs ONCE here on exact integer inputs and the
+    result is literal-shared into both engines (the BM25 idf discipline),
+    so every per-doc fold downstream is integer-exact."""
+    tot_t, tot_c = int(t.sum()), int(c.sum())
+    lp = np.log((t + 1.0) / (tot_t + DSIR_BUCKETS))
+    lq = np.log((c + 1.0) / (tot_c + DSIR_BUCKETS))
+    return np.round(DSIR_SCALE * (lp - lq)).astype(np.int64)
+
+
+def docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al., arXiv:2302.03169): score each
+    document by how much more likely its hashed-bigram features are under
+    the target distribution than under the raw corpus — the standard
+    pretraining-data selection signal. Pass 1 estimates both unigram-of-
+    bucket distributions from bounded per-batch histograms; the log-ratio
+    LUT (the only float op) is computed once driver-side and broadcast;
+    pass 2 scores every doc with one gather + segment-sum per batch. All
+    per-doc arithmetic is integer — cross-engine hash-exact. The oracle
+    recomputes the bucket statistics INDEPENDENTLY in SQL, so a drift in
+    tokenization, hashing, or the split law surfaces as a LUT mismatch."""
+    import ray
+
+    lut = _dsir_lut_from_counts(*_dsir_stats(sf_dir))
+    ref = C.broadcast(lut)
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lut_ = ray.get(ref)
+        bk, bounds = _dsir_bigrams(b["text"].to_numpy(dtype=object))
+        s = C.segment_sum(lut_[bk], bounds)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bigrams": np.diff(bounds).astype("int64"),
+                "dsir_score": s.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+_DSIR_BG_CTE = f"""
+toks AS (
+  SELECT doc_id, {T.toks_sql('text')} AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE [t[i] || ' ' || t[i+1]
+                    for i in generate_series(1, len(t) - 1)]
+         END AS g
+  FROM toks
+)"""
+
+
+def _dsir_sql(sf_dir: str) -> str:
+    """The DuckDB side derives the bucket statistics itself (unnested
+    bigrams → poly hash → grouped counts, target = the split law on
+    doc_id), then shares the identical literal LUT."""
+    import duckdb
+
+    from raycdc import phash as H
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    stats = con.execute(f"""
+WITH {_DSIR_BG_CTE},
+fl AS (SELECT doc_id, unnest(g) AS gram FROM bg),
+hb AS (SELECT doc_id, {H.sql_poly('gram')} % {DSIR_BUCKETS} AS bucket FROM fl)
+SELECT bucket, count(*) AS c_n,
+       sum(CASE WHEN ({H.sql_poly("CAST(doc_id AS VARCHAR)")} % {_SPLIT_MOD})
+                 BETWEEN {_SPLIT_TRAIN} AND {_SPLIT_VAL - 1}
+                THEN 1 ELSE 0 END) AS t_n
+FROM hb GROUP BY bucket
+""").df()
+    t = np.zeros(DSIR_BUCKETS, np.int64)
+    c = np.zeros(DSIR_BUCKETS, np.int64)
+    bidx = stats["bucket"].to_numpy(dtype=np.int64)
+    t[bidx] = stats["t_n"].to_numpy(dtype=np.int64)
+    c[bidx] = stats["c_n"].to_numpy(dtype=np.int64)
+    lut_lit = "[" + ",".join(str(int(v)) for v in _dsir_lut_from_counts(t, c)) + "]"
+    return f"""
+WITH {_DSIR_BG_CTE},
+h AS (
+  SELECT doc_id,
+         list_transform(g, x -> {H.sql_poly('x')} % {DSIR_BUCKETS}) AS bs
+  FROM bg
+)
+SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(list_sum(list_transform(bs, b -> ({lut_lit})[b + 1])), 0)
+            AS BIGINT) AS dsir_score
+FROM h ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
@@ -1577,6 +1736,7 @@ QUERIES = {
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_dsir_weights": docs_dsir_weights,
 }
 
 
@@ -1584,7 +1744,10 @@ def build_docs_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Tier-bound oracles: BM25 embeds idf/avgdl literals derived from
     ``sf_dir``'s corpus statistics (same pattern as the ANN oracles'
     trained-centroid literals)."""
-    return {"docs_bm25_topk": _bm25_sql(sf_dir)}
+    return {
+        "docs_bm25_topk": _bm25_sql(sf_dir),
+        "docs_dsir_weights": _dsir_sql(sf_dir),
+    }
 
 ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,

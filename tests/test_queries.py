@@ -666,6 +666,20 @@ def test_scd2_delta_prunes_input(ray_session):
     assert dirty < all_convs, (dirty, all_convs)
 
 
+def test_dsir_weights_match_sql_oracle(ray_session):
+    """DSIR importance weights vs the DuckDB oracle that derives bucket
+    statistics independently in SQL (tokenization/hash/split drift would
+    surface as a LUT mismatch); pins that scores are non-constant."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.docs import build_docs_oracle_sql
+
+    got = canon(to_df(QUERIES["docs_dsir_weights"](SF_DIR)))
+    want = canon(duck(build_docs_oracle_sql(SF_DIR)["docs_dsir_weights"]))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
+    assert got["dsir_score"].nunique() > 1
+
+
 def test_bm25_matches_sql_oracle(ray_session):
     """BM25 top-k vs a DuckDB oracle carrying the driver-computed
     idf/avgdl double literals — unrounded scores are bit-identical, so
