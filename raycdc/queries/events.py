@@ -186,8 +186,9 @@ def events_sessionize(sf_dir: str):
     return C.by_partition(ds, "user_id", sessionize)
 
 
-SESSIONIZE_SQL = f"""
-WITH flagged AS (
+# shared by SESSIONIZE_SQL and SESSION_OVERLAP_SQL so the session law can
+# never diverge between the two oracles
+_SESSIONS_CTES = f"""flagged AS (
     SELECT user_id, event_id, ts, value,
            CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                 THEN 1 ELSE 0 END AS new_session
@@ -197,10 +198,125 @@ WITH flagged AS (
            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) + 1 AS session_id
     FROM flagged
-)
+)"""
+
+SESSIONIZE_SQL = f"""
+WITH {_SESSIONS_CTES}
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value), 4) AS sum_value
 FROM sessions GROUP BY 1, 2
+"""
+
+
+# -- interval-overlap join (grid-bucket replication) ------------------------
+
+# 1-hour grid cells: replication factor = mean session span / cell + 1
+OVERLAP_CELL_US = 3_600_000_000
+
+
+def events_session_overlap(sf_dir: str):
+    """For every session, how many OTHER sessions (any user) overlap it in
+    time (closed intervals) — the interval-interval join class, which
+    neither equi-join nor as-of/range join expresses. Ray shape is the
+    canonical distributed interval join: each interval is replicated to
+    every grid cell it spans (bounded copies: span/cell + 1), cells
+    co-locate via ONE bounded-key shuffle, and inside a cell the counting
+    is two searchsorted passes against the cell's sorted endpoint arrays —
+    no pair is ever materialized (the output is session-grain, the work is
+    Σ per-cell n·log n). Double-count-free by the standard ownership rule:
+    pair (i, j) is counted at i exactly once — in bucket(start_i) when
+    start_j <= start_i (j covers i's start point, which replication
+    guarantees is present there), else in bucket(start_j) (j starts inside
+    i, counted where j is native). The DuckDB oracle states the same
+    predicate declaratively (its IEJoin materializes the pairs — the
+    non-scalable formulation this operator replaces). All-integer output."""
+    sess = events_sessionize(sf_dir)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["start_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        e = b["end_ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        b0, b1 = s // OVERLAP_CELL_US, e // OVERLAP_CELL_US
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b)), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        bucket = b0[idx] + off
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "user_id": b["user_id"].to_numpy()[idx].astype(np.int64),
+                "session_id": b["session_id"].to_numpy()[idx].astype(np.int64),
+                "s": s[idx],
+                "e": e[idx],
+                "native": (bucket == b0[idx]).astype(np.int8),
+            }
+        )
+
+    copies = sess.map_batches(explode, batch_format="pandas")
+
+    def count_cell(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, gb in g.groupby("bucket"):
+            s = gb["s"].to_numpy()
+            e = gb["e"].to_numpy()
+            nat = gb["native"].to_numpy().astype(bool)
+            order_s, order_e = np.sort(s), np.sort(e)
+            nat_starts = np.sort(s[nat])
+            cnt = np.zeros(len(gb), np.int64)
+            # ownership case 1 (native copies only): js covering my start
+            cnt[nat] = (
+                np.searchsorted(order_s, s[nat], "right")
+                - np.searchsorted(order_e, s[nat], "left")
+                - 1  # self
+            )
+            # ownership case 2 (every copy): js STARTING inside me, native here
+            cnt += np.searchsorted(nat_starts, e, "right") - np.searchsorted(
+                nat_starts, s, "right"
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": gb["user_id"].to_numpy(),
+                        "session_id": gb["session_id"].to_numpy(),
+                        "n": cnt,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "session_id": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    per_cell = C.by_partition(copies, "bucket", count_cell)
+    out = (
+        per_cell.groupby(["user_id", "session_id"])
+        .aggregate(Sum("n", alias_name="n_overlap"))
+        .to_pandas()
+    )
+    out["n_overlap"] = out["n_overlap"].astype("int64")
+    return out.sort_values(["user_id", "session_id"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+SESSION_OVERLAP_SQL = f"""
+WITH {_SESSIONS_CTES},
+sess AS (
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS start_ts, max(ts) AS end_ts
+    FROM sessions GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_id, CAST(count(*) - 1 AS BIGINT) AS n_overlap
+FROM sess a JOIN sess b
+  ON b.start_ts <= a.end_ts AND b.end_ts >= a.start_ts
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 
@@ -2476,6 +2592,7 @@ QUERIES = {
     "events_user_daily": events_user_daily,
     "events_type_stats": events_type_stats,
     "events_sessionize": events_sessionize,
+    "events_session_overlap": events_session_overlap,
     "events_props_extract": events_props_extract,
     "events_rolling_window": events_rolling_window,
     "events_range_join_orders": events_range_join_orders,
@@ -2515,6 +2632,7 @@ ORACLE_SQL = {
     "events_user_daily": USER_DAILY_SQL,
     "events_type_stats": TYPE_STATS_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_session_overlap": SESSION_OVERLAP_SQL,
     "events_props_extract": PROPS_EXTRACT_SQL,
     "events_rolling_window": ROLLING_SQL,
     "events_range_join_orders": RANGE_JOIN_SQL,

@@ -110,7 +110,7 @@ def _sql_backed():
         "events_daily_p50_p95", "events_funnel3",
         "customer_rfm_segments", "events_daily_gini",
         "q2_min_cost_supplier", "q9_product_profit", "q12_late_shipments",
-        "q20_window_concentrated_suppliers",
+        "q20_window_concentrated_suppliers", "events_session_overlap",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
