@@ -31,6 +31,10 @@ def _write(tbl: pa.Table, path: str, fmt: str) -> None:
         )
     elif fmt == "parquet":
         pq.write_table(tbl, path)
+    elif fmt == "orc":
+        from pyarrow import orc as _orc
+
+        _orc.write_table(tbl, path)
     else:
         raise ValueError(f"unknown export format {fmt!r}")
 
@@ -239,6 +243,60 @@ def read_ranged_json(
     return ds
 
 
+def read_ranged_orc(paths_or_dir, lo: int | None = None, hi: int | None = None):
+    """ORC source with the family's filename range pruning. Ray Data ships
+    no ORC reader, so this uses the DOCUMENTED extension point — a
+    ``FileBasedDatasource`` subclass whose ``_read_stream`` hands each
+    file's Arrow table straight off ``pyarrow.orc`` (zero-copy into the
+    block store, one task per file like the built-in readers) — rather
+    than a driver-side loop."""
+    import glob as _glob
+    import re
+
+    import ray.data
+    from ray.data.datasource import FileBasedDatasource
+
+    if isinstance(paths_or_dir, str) and os.path.isdir(paths_or_dir):
+        paths = sorted(_glob.glob(os.path.join(paths_or_dir, "*.orc")))
+    else:
+        paths = list(paths_or_dir)
+    rng = re.compile(r"-(\d+)-(\d+)(?:-[pf]\d+)?\.orc$")
+    kept = []
+    for p in paths:
+        m = rng.search(p)
+        if m and lo is not None and int(m.group(2)) < lo:
+            continue
+        if m and hi is not None and int(m.group(1)) > hi:
+            continue
+        kept.append(p)
+
+    class _ORCSource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["orc"]
+
+        def _read_stream(self, f, path):
+            from pyarrow import orc as _orc
+
+            # the datasource hands a STREAMING file; ORC needs random
+            # access (footer-directed) — buffer one file (files are
+            # rows_per_file-bounded by construction) and read zero-copy
+            yield _orc.ORCFile(pa.BufferReader(f.read())).read()
+
+    ds = ray.data.read_datasource(_ORCSource(kept))
+    if lo is not None or hi is not None:
+        import pyarrow.compute as pc
+
+        def rowfilter(t: pa.Table) -> pa.Table:
+            m = pa.array([True] * t.num_rows)
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(t.column("cursor"), lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less_equal(t.column("cursor"), hi))
+            return t.filter(m)
+
+        ds = ds.map_batches(rowfilter, batch_format="pyarrow")
+    return ds
+
+
 def export_console(ds, limit: int = 20) -> int:
     """Console exporter (``console_item_exporter`` analog)."""
     rows = ds.take(limit)
@@ -262,9 +320,9 @@ def create_item_exporter(output: str, **config):
 
     - ``console`` (or empty) → print a head sample
     - ``void`` → consume and drop
-    - ``jsonfile://DIR`` / ``csvfile://DIR`` / ``parquetfile://DIR`` →
-      ranged file export into DIR (``table``/``range_key``/
-      ``rows_per_file`` from ``config``)
+    - ``jsonfile://DIR`` / ``csvfile://DIR`` / ``parquetfile://DIR`` /
+      ``orcfile://DIR`` → ranged file export into DIR (``table``/
+      ``range_key``/``rows_per_file`` from ``config``)
     - ``lake://DIR`` → CDC-apply into the Parquet lake at DIR (the
       ``postgres`` sink analog): the Dataset is staged as one epoch of
       insert events and merged through :class:`raycdc.engine.Engine`
@@ -278,6 +336,7 @@ def create_item_exporter(output: str, **config):
         ("jsonfile://", "json"),
         ("csvfile://", "csv"),
         ("parquetfile://", "parquet"),
+        ("orcfile://", "orc"),
     ):
         if out.startswith(scheme):
             target = out[len(scheme):]

@@ -1446,6 +1446,89 @@ GROUP BY event_type ORDER BY event_type
 
 # -- exact grouped NTILE without a per-group sort -----------------------------
 
+def events_percent_rank(sf_dir: str):
+    """Per-row relative standing — ``PERCENT_RANK()`` and ``CUME_DIST()``
+    OVER (PARTITION BY event_type ORDER BY value) — the window class that
+    decorates EVERY row with a rank-derived statistic (NTILE buckets
+    aggregates; this keeps row grain). No per-group sort of the fact
+    table: pass 1 folds per-batch (type, value-cents) histograms — the
+    grain is bounded (types × distinct 2-decimal cents), the classic
+    broadcast-CDF trick — and pass 2 decorates each row with two
+    ``searchsorted`` gathers against its type's broadcast cumulative
+    histogram. ranks/counts are exact ints; the one division per output
+    column is the same int-ratio in both engines, so the doubles are
+    bit-identical (no rounding needed). Single-row groups define
+    percent_rank = 0 (the SQL law)."""
+    import ray as _ray
+
+    ds = C.read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def phist(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(object),
+                "v": np.floor(b["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "v"], as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(phist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "v"], as_index=False)["n"]
+        .sum()
+    )
+    cdf: dict = {}
+    for t, sub in hist.groupby("event_type"):
+        sub = sub.sort_values("v")
+        counts = sub["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        # n_lt(uniq[i]) = cum[i-1]; n_le(uniq[i]) = cum[i]
+        cdf[t] = (
+            sub["v"].to_numpy(dtype=np.int64),
+            np.concatenate([[0], cum[:-1]]),
+            cum,
+            int(cum[-1]),
+        )
+    ref = C.broadcast(cdf)
+
+    def decorate(b: pd.DataFrame) -> pd.DataFrame:
+        cdf_ = _ray.get(ref)
+        v = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        types = b["event_type"].to_numpy(dtype=object)
+        pr = np.zeros(len(b), np.float64)
+        cd = np.zeros(len(b), np.float64)
+        for t in pd.unique(types):
+            uniq, n_lt, n_le, n = cdf_[t]
+            m = types == t
+            pos = np.searchsorted(uniq, v[m])
+            pr[m] = n_lt[pos] / (n - 1) if n > 1 else 0.0
+            cd[m] = n_le[pos] / n
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": types,
+                "pct_rank": pr,
+                "cume_dist": cd,
+            }
+        )
+
+    return ds.map_batches(decorate, batch_format="pandas")
+
+
+PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume_dist
+FROM (SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY v)
+ORDER BY event_id
+"""
+
+
 NTILE_K = 4
 
 
@@ -2567,6 +2650,7 @@ QUERIES = {
     "events_new_users_hourly": events_new_users_hourly,
     "events_trimmed_stats": events_trimmed_stats,
     "events_value_ntile": events_value_ntile,
+    "events_percent_rank": events_percent_rank,
     "events_share_of_day": events_share_of_day,
     "events_value_time_corr": events_value_time_corr,
     "users_pareto_frontier": users_pareto_frontier,
@@ -2605,6 +2689,7 @@ ORACLE_SQL = {
     "events_new_users_hourly": NEW_USERS_SQL,
     "events_trimmed_stats": TRIMMED_STATS_SQL,
     "events_value_ntile": NTILE_SQL,
+    "events_percent_rank": PERCENT_RANK_SQL,
     "events_share_of_day": SHARE_OF_DAY_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "users_pareto_frontier": PARETO_SQL,
