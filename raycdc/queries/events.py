@@ -467,6 +467,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+ROLL_MEDIAN_W = 5
+
+
+def events_rolling_median(sf_dir: str):
+    """Sliding-window ORDER STATISTIC per user — ``median(v) OVER
+    (PARTITION BY user ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW)`` — the rank-inside-a-moving-frame window class (the
+    RANGE-frame op above is sum/count decomposable; a rolling median is
+    not, which is exactly why it gets its own kernel). Bounded partitions
+    co-locate each user; inside, pandas' C rolling-median engine runs once
+    per partition over the (user, ts, event_id)-sorted frame with
+    ``min_periods=1`` (SQL frames truncate at the partition head the same
+    way). Values fold in integer cents; a window's median is either an
+    int or an int + 0.5 — exact in fp64 on both engines, no rounding."""
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        v = pd.Series(
+            np.floor(g["value"].to_numpy() * 100.0).astype(np.int64),
+            index=g.index,
+        )
+        med = (
+            v.groupby(g["user_id"].to_numpy(), sort=False)
+            .rolling(ROLL_MEDIAN_W, min_periods=1)
+            .median()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "roll_median_cents": med.to_numpy(dtype=np.float64),
+            }
+        )
+
+    return C.by_partition(ds, "user_id", kernel)
+
+
+ROLL_MEDIAN_SQL = f"""
+SELECT event_id, user_id,
+       median(CAST(floor(value * 100) AS BIGINT)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN {ROLL_MEDIAN_W - 1} PRECEDING AND CURRENT ROW)
+         AS roll_median_cents
+FROM events
+"""
+
+
 # -- range join (interval containment, custom operator) ---------------------
 
 RANGE_JOIN_DAYS = 7
@@ -2679,6 +2728,7 @@ QUERIES = {
     "events_session_overlap": events_session_overlap,
     "events_props_extract": events_props_extract,
     "events_rolling_window": events_rolling_window,
+    "events_rolling_median": events_rolling_median,
     "events_range_join_orders": events_range_join_orders,
     "events_top_per_user": events_top_per_user,
     "events_value_quantiles": events_value_quantiles,
@@ -2720,6 +2770,7 @@ ORACLE_SQL = {
     "events_session_overlap": SESSION_OVERLAP_SQL,
     "events_props_extract": PROPS_EXTRACT_SQL,
     "events_rolling_window": ROLLING_SQL,
+    "events_rolling_median": ROLL_MEDIAN_SQL,
     "events_range_join_orders": RANGE_JOIN_SQL,
     "events_top_per_user": TOP_PER_USER_SQL,
     "events_value_quantiles": QUANTILES_SQL,

@@ -111,7 +111,7 @@ def _sql_backed():
         "customer_rfm_segments", "events_daily_gini",
         "q2_min_cost_supplier", "q9_product_profit", "q12_late_shipments",
         "q20_window_concentrated_suppliers", "events_session_overlap",
-        "events_percent_rank",
+        "events_percent_rank", "events_rolling_median",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
