@@ -467,6 +467,56 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def events_user_modal_type(sf_dir: str):
+    """Grouped MODE — each user's most frequent event type, with the
+    deterministic tie-break SQL's unspecified ``mode()`` lacks (max count,
+    then lexicographically smallest type; the oracle states the same law
+    via ``row_number``). The argmax-of-count aggregate class: per-batch
+    (user, type) count partials collapse the fact table to the bounded
+    users × types grain; the bounded partition on user folds partials and
+    takes one vectorized sort + drop_duplicates per partition — no
+    per-group Python on the near-unique user key."""
+    ds = C.read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "event_type"], as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return g.rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("user_id")
+        return pd.DataFrame(
+            {
+                "user_id": c["user_id"].astype("int64"),
+                "modal_type": c["event_type"].astype(object),
+                "n_events": c["n"].astype("int64"),
+            }
+        )
+
+    return C.by_partition(parts, "user_id", argmax)
+
+
+MODAL_TYPE_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+    SELECT user_id, event_type, n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, event_type) AS rn
+    FROM c
+)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 ROLL_MEDIAN_W = 5
 
 
@@ -2729,6 +2779,7 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     "events_rolling_window": events_rolling_window,
     "events_rolling_median": events_rolling_median,
+    "events_user_modal_type": events_user_modal_type,
     "events_range_join_orders": events_range_join_orders,
     "events_top_per_user": events_top_per_user,
     "events_value_quantiles": events_value_quantiles,
@@ -2771,6 +2822,7 @@ ORACLE_SQL = {
     "events_props_extract": PROPS_EXTRACT_SQL,
     "events_rolling_window": ROLLING_SQL,
     "events_rolling_median": ROLL_MEDIAN_SQL,
+    "events_user_modal_type": MODAL_TYPE_SQL,
     "events_range_join_orders": RANGE_JOIN_SQL,
     "events_top_per_user": TOP_PER_USER_SQL,
     "events_value_quantiles": QUANTILES_SQL,

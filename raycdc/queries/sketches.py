@@ -149,6 +149,80 @@ FROM r GROUP BY day, bucket
 """
 
 
+# -- HLL set algebra: segment registers + lossless union merge ---------------
+
+HLL_SPLIT_DAY = 16  # segment A = days 1-15, segment B = the rest
+
+
+def hll_user_overlap(sf_dir: str):
+    """Sketch ALGEBRA, not just sketching: per-segment HLL register tables
+    for two user populations (first vs second half of the month) plus
+    their union merged by elementwise register max — the property that
+    makes HLL mergeable across shards/segments with NO rescan, which is
+    the whole reason to store registers in a lake (the reference keeps
+    daily aggregate tables and re-joins them,
+    ``indexer/aggr_jobs/order_jobs/period_wallet_addresses_aggregates.sql``;
+    register tables compose by max instead). Output is all-integer
+    (segment, bucket, max_rho) rows; the intersection ESTIMATE
+    |A| + |B| − |A∪B| is derived from these rows by
+    :func:`hll_estimate` (pinned against the exact overlap in pytest —
+    the float estimate stays out of the hash contract)."""
+    ds = C.read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bucket, rho = _bucket_rho(
+            b["user_id"].astype("string").to_numpy(dtype=object)
+        )
+        seg = np.where(b["ts"].dt.day.to_numpy() < HLL_SPLIT_DAY, "a", "b")
+        df = pd.DataFrame({"segment": seg, "bucket": bucket, "max_rho": rho})
+        return df.groupby(["segment", "bucket"], as_index=False)["max_rho"].max()
+
+    regs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["segment", "bucket"])
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+        .to_pandas()
+    )
+    regs["max_rho"] = regs["max_rho"].astype("int64")
+    # union = elementwise max over the two segments' registers — pure
+    # bounded-table algebra, no rescan of the fact table
+    union = (
+        regs.groupby("bucket", as_index=False)["max_rho"]
+        .max()
+        .assign(segment="union")
+    )
+    out = pd.concat(
+        [regs[["segment", "bucket", "max_rho"]], union[["segment", "bucket", "max_rho"]]],
+        ignore_index=True,
+    )
+    return out.sort_values(["segment", "bucket"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+HLL_OVERLAP_SQL = f"""
+WITH h AS (
+    SELECT CASE WHEN EXTRACT(day FROM ts) < {HLL_SPLIT_DAY}
+                THEN 'a' ELSE 'b' END AS segment,
+           {H.sql_poly("CAST(user_id AS VARCHAR)")} AS h
+    FROM events
+), r AS (
+    SELECT segment, h % {HLL_M} AS bucket, h // {HLL_M} AS rem FROM h
+), segs AS (
+    SELECT segment, bucket,
+           CAST(max({_REM_BITS + 1} -
+                CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) AS BIGINT)
+               AS max_rho
+    FROM r GROUP BY segment, bucket
+)
+SELECT segment, bucket, max_rho FROM segs
+UNION ALL
+SELECT 'union' AS segment, bucket, max(max_rho) AS max_rho
+FROM segs GROUP BY bucket
+ORDER BY segment, bucket
+"""
+
+
 # -- exact heavy hitters (Misra-Gries candidates + exact verify) -------------
 
 HH_PHI_INV = 128   # report keys with count ≥ ceil(n / 128)
@@ -538,6 +612,7 @@ QUERIES = {
     "hll_registers": hll_registers,
     "events_range_layout": events_range_layout,
     "hll_daily_users": hll_daily_users,
+    "hll_user_overlap": hll_user_overlap,
     "heavy_hitter_users": heavy_hitter_users,
     "cms_registers": cms_registers,
     "value_quantile_sketch": value_quantile_sketch,
@@ -548,6 +623,7 @@ ORACLE_SQL = {
     "events_range_layout": RANGE_LAYOUT_SQL,
     "hll_registers": HLL_SQL,
     "hll_daily_users": HLL_DAILY_SQL,
+    "hll_user_overlap": HLL_OVERLAP_SQL,
     "heavy_hitter_users": HH_SQL,
     "cms_registers": CMS_SQL,
 }

@@ -112,6 +112,7 @@ def _sql_backed():
         "q2_min_cost_supplier", "q9_product_profit", "q12_late_shipments",
         "q20_window_concentrated_suppliers", "events_session_overlap",
         "events_percent_rank", "events_rolling_median",
+        "events_user_modal_type", "hll_user_overlap",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -158,6 +159,28 @@ def test_registry_covers_all_oracle_entries():
 
     assert set(ORACLE_SQL) <= set(QUERIES)
     assert len(QUERIES) >= 25
+
+
+def test_hll_overlap_estimate_tracks_exact(ray_session):
+    """The register algebra's payoff: |A| + |B| − |A∪B| from the three
+    register tables tracks the EXACT segment intersection (small-range
+    linear-counting regime at test scale → tight)."""
+    from raycdc.queries import QUERIES
+    from raycdc.queries.sketches import HLL_SPLIT_DAY, hll_estimate
+
+    regs = to_df(QUERIES["hll_user_overlap"](SF_DIR))
+    est = {
+        s: hll_estimate(regs[regs["segment"] == s])
+        for s in ("a", "b", "union")
+    }
+    inter_est = est["a"] + est["b"] - est["union"]
+    exact = duck(f"""
+        SELECT count(*) AS n FROM (
+          SELECT user_id FROM events WHERE EXTRACT(day FROM ts) < {HLL_SPLIT_DAY}
+          INTERSECT
+          SELECT user_id FROM events WHERE EXTRACT(day FROM ts) >= {HLL_SPLIT_DAY})
+    """)["n"].iloc[0]
+    assert abs(inter_est - exact) <= max(5.0, 0.3 * float(exact))
 
 
 def test_semdedup_matches_sql_oracle(ray_session):
