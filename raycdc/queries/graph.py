@@ -178,6 +178,104 @@ def graph_pagerank(sf_dir: str):
     return ranks.map_batches(out_rows, batch_format="pyarrow")
 
 
+# -- BFS hop distance (frontier iteration with per-level distinct) ----------
+
+BFS_SRC = 1          # source node: customer 1 (present at every tier)
+BFS_MAX_HOPS = 4
+
+
+def graph_bfs_hops(sf_dir: str):
+    """Hop distance from one source over the symmetric purchase graph —
+    the traversal class (PageRank is fixed-point numeric, components is
+    label convergence; BFS is LEVEL-SET expansion). The distributed shape
+    is frontier iteration: edges hash-partition ONCE; each level
+    co-shuffles only the frontier (node-sized) to the edge partitions,
+    expands to neighbor sets with a partition-local distinct, then
+    dedupes globally inside bounded partitions so the frontier never
+    exceeds the node count (no path multiplicity — the explosion a naive
+    recursive expansion suffers). ``hops = min level`` folds at the end,
+    so re-visits at later levels are harmless. The oracle unrolls the
+    same level sets as DISTINCT-joined CTEs. All-integer output."""
+    import ray
+
+    nparts = C.join_partitions()
+    edges = _edge_dataset(sf_dir).materialize()
+
+    def to_tagged(b: pd.DataFrame) -> pa.Table:
+        n = b["node"].to_numpy().astype(np.int64)
+        z = np.zeros(len(n), np.int64)
+        return _tagged(n, z, z, 1)
+
+    _NODE = pa.schema([("node", pa.int64())])
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array([BFS_SRC], pa.int64())}, schema=_NODE)
+    )
+    levels = [frontier.map_batches(
+        lambda b, _l=0: b.assign(hops=np.int64(_l)), batch_format="pandas"
+    )]
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.loc[g["side"] == 1, "key"]
+        if not len(f):
+            return pd.DataFrame({"node": pd.Series(dtype="int64")})
+        e = g[g["side"] == 0]
+        hit = e[e["key"].isin(set(f))]
+        return pd.DataFrame(
+            {"node": pd.unique(hit["a"].to_numpy().astype(np.int64))}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node")
+
+    for lvl in range(1, BFS_MAX_HOPS + 1):
+        tagged = frontier.map_batches(to_tagged, batch_format="pandas")
+        nxt = C.by_partition(edges.union(tagged), "key", expand, nparts=nparts)
+        frontier = C.by_partition(nxt, "node", dedup, nparts=nparts).materialize()
+        levels.append(frontier.map_batches(
+            lambda b, _l=lvl: b.assign(hops=np.int64(_l)), batch_format="pandas"
+        ))
+
+    allv = levels[0].union(*levels[1:])
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["hops"].min()
+        m["node"] = m["node"].astype("int64")
+        m["hops"] = m["hops"].astype("int64")
+        return m
+
+    out = C.by_partition(allv, "node", min_fold).to_pandas()
+    return out.sort_values(["hops", "node"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def _bfs_sql() -> str:
+    head = f"""
+WITH pair AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s + {SUPP_OFF} AS dst FROM pair
+  UNION ALL
+  SELECT s + {SUPP_OFF} AS src, c AS dst FROM pair
+), h0 AS (SELECT CAST({BFS_SRC} AS BIGINT) AS node)"""
+    steps = "".join(
+        f""", h{i} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN h{i - 1} f ON e.src = f.node
+)"""
+        for i in range(1, BFS_MAX_HOPS + 1)
+    )
+    lvl = ", lvl AS (" + " UNION ALL ".join(
+        f"SELECT node, {i} AS hops FROM h{i}"
+        for i in range(BFS_MAX_HOPS + 1)
+    ) + ")"
+    return (
+        head + steps + lvl
+        + "\nSELECT node, CAST(min(hops) AS BIGINT) AS hops FROM lvl "
+          "GROUP BY node ORDER BY hops, node"
+    )
+
+
 WEDGE_DEG_CAP = 64  # parts hotter than this are excluded BY RULE (both sides)
 PAIR_MOD = SUPP_OFF  # packed pair key: s1 * PAIR_MOD + s2 (suppkey < 1e7)
 
@@ -521,10 +619,12 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_cosupply_pairs": graph_cosupply_pairs,
     "graph_triangles": graph_triangles,
+    "graph_bfs_hops": graph_bfs_hops,
 }
 
 ORACLE_SQL = {
     "graph_pagerank": _pagerank_sql(),
     "graph_cosupply_pairs": COSUPPLY_SQL,
     "graph_triangles": TRIANGLES_SQL,
+    "graph_bfs_hops": _bfs_sql(),
 }

@@ -112,7 +112,7 @@ def _sql_backed():
         "q2_min_cost_supplier", "q9_product_profit", "q12_late_shipments",
         "q20_window_concentrated_suppliers", "events_session_overlap",
         "events_percent_rank", "events_rolling_median",
-        "events_user_modal_type", "hll_user_overlap",
+        "events_user_modal_type", "hll_user_overlap", "graph_bfs_hops",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
