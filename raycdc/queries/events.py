@@ -467,6 +467,95 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def events_type_assoc(sf_dir: str):
+    """Market-basket association over per-user type sets: for every
+    unordered event-type pair, the users exhibiting both, support,
+    both directional confidences, and lift — the co-occurrence-mining
+    class (Apriori's counting core; baskets here are each user's DISTINCT
+    type set). Scale shape: partition-local distinct inside bounded
+    user-keyed partitions (the basket is tiny — ≤ types per user), pair
+    expansion per basket via one merge on the co-located frame, then
+    bounded (types²)-grain count partials to the driver. Ratios are
+    single divisions of exact int64 products (< 2⁵³) — bit-identical in
+    both engines, no rounding."""
+    ds = C.read(sf_dir, "events", ["user_id", "event_type"])
+
+    def baskets(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["user_id", "event_type"])
+        p = u.merge(u, on="user_id")
+        p = p[p["event_type_x"] < p["event_type_y"]]
+        pairs = (
+            p.groupby(["event_type_x", "event_type_y"], as_index=False)
+            .size()
+            .rename(columns={"event_type_x": "t1", "event_type_y": "t2",
+                             "size": "n_both"})
+        )
+        deg = (
+            u.groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"event_type": "t1", "size": "n_t"})
+        )
+        deg["t2"] = ""
+        nu = pd.DataFrame(
+            {"t1": [""], "t2": [""], "n_both": [u["user_id"].nunique()]}
+        )
+        pairs["n_t"] = 0
+        deg["n_both"] = 0
+        nu["n_t"] = 0
+        cols = ["t1", "t2", "n_both", "n_t"]
+        return pd.concat([pairs[cols], deg[cols], nu[cols]], ignore_index=True)
+
+    parts = C.by_partition(ds, "user_id", baskets).to_pandas()
+    agg = parts.groupby(["t1", "t2"], as_index=False).sum()
+    n_users = int(agg.loc[(agg["t1"] == "") & (agg["t2"] == ""), "n_both"].sum())
+    deg = {
+        r["t1"]: int(r["n_t"])
+        for _, r in agg[(agg["t2"] == "") & (agg["t1"] != "")].iterrows()
+    }
+    pairs = agg[(agg["t1"] != "") & (agg["t2"] != "")].copy()
+    n_both = pairs["n_both"].to_numpy(dtype=np.int64)
+    d1 = pairs["t1"].map(deg).to_numpy(dtype=np.int64)
+    d2 = pairs["t2"].map(deg).to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "t1": pairs["t1"].astype(object),
+            "t2": pairs["t2"].astype(object),
+            "n_both": n_both,
+            "support": n_both / np.float64(n_users),
+            "conf_1_2": n_both / d1.astype(np.float64),
+            "conf_2_1": n_both / d2.astype(np.float64),
+            "lift": (n_both * np.int64(n_users)).astype(np.float64)
+            / (d1 * d2).astype(np.float64),
+        }
+    )
+    return out.sort_values(["t1", "t2"], kind="stable").reset_index(drop=True)
+
+
+TYPE_ASSOC_SQL = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), deg AS (
+    SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+), total AS (
+    SELECT count(DISTINCT user_id) AS n FROM ut
+), pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+       n_both / CAST(total.n AS DOUBLE)                    AS support,
+       n_both / CAST(d1.n AS DOUBLE)                       AS conf_1_2,
+       n_both / CAST(d2.n AS DOUBLE)                       AS conf_2_1,
+       (n_both * total.n) / CAST(d1.n * d2.n AS DOUBLE)    AS lift
+FROM pairs, total
+JOIN deg d1 ON d1.event_type = t1
+JOIN deg d2 ON d2.event_type = t2
+ORDER BY t1, t2
+"""
+
+
 def events_user_modal_type(sf_dir: str):
     """Grouped MODE — each user's most frequent event type, with the
     deterministic tie-break SQL's unspecified ``mode()`` lacks (max count,
@@ -2780,6 +2869,7 @@ QUERIES = {
     "events_rolling_window": events_rolling_window,
     "events_rolling_median": events_rolling_median,
     "events_user_modal_type": events_user_modal_type,
+    "events_type_assoc": events_type_assoc,
     "events_range_join_orders": events_range_join_orders,
     "events_top_per_user": events_top_per_user,
     "events_value_quantiles": events_value_quantiles,
@@ -2823,6 +2913,7 @@ ORACLE_SQL = {
     "events_rolling_window": ROLLING_SQL,
     "events_rolling_median": ROLL_MEDIAN_SQL,
     "events_user_modal_type": MODAL_TYPE_SQL,
+    "events_type_assoc": TYPE_ASSOC_SQL,
     "events_range_join_orders": RANGE_JOIN_SQL,
     "events_top_per_user": TOP_PER_USER_SQL,
     "events_value_quantiles": QUANTILES_SQL,
