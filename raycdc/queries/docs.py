@@ -87,6 +87,60 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer, constrained to constructs RE2 and Python
+# `re` agree on exactly: ordered alternation (both engines are
+# leftmost-first), greedy classes, NO lookahead (RE2 has none), and the
+# explicit ASCII whitespace class everywhere `\s` would diverge
+# (textkit's RE2-vs-unicode lesson)
+BPE_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^\t\n\f\r A-Za-z0-9]+"
+    r"|[\t\n\f\r ]+"
+)
+
+
+def token_counts_bpe(sf_dir: str):
+    """BPE-ish token counting — the GPT-2 pre-tokenizer split (contractions,
+    space-prefixed letter/digit runs, punctuation runs, whitespace runs)
+    beside the whitespace counter above; the pair gives the
+    tokens-per-word fill-rate signal packing and budget planning use.
+    Pure projection map — embarrassingly parallel, one compiled-regex
+    ``Series.str.count`` per batch. The ratio is the one division of two
+    exact ints (bit-identical cross-engine); token-less docs ratio 0."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        bpe = b["text"].str.count(BPE_PAT).astype("int64")
+        ws = T.token_counts(b["text"]).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bpe_tokens": bpe,
+                "tokens_per_word": np.where(
+                    ws > 0, bpe / ws.astype("float64"), 0.0
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+# single quotes in the pattern must double inside the SQL literal
+_BPE_SQL_PAT = BPE_PAT.replace("'", "''")
+
+TOKEN_COUNTS_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CASE WHEN len({T.toks_sql('text')}) = 0 THEN 0.0
+            ELSE len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))
+                 / CAST(len({T.toks_sql('text')}) AS DOUBLE)
+       END AS tokens_per_word
+FROM documents
+"""
+
+
 # -- token-window chunking (training-data 1→N explode) ---------------------
 
 CHUNK_TOKENS = 32
@@ -1737,6 +1791,7 @@ QUERIES = {
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_dsir_weights": docs_dsir_weights,
+    "token_counts_bpe": token_counts_bpe,
 }
 
 
@@ -1752,6 +1807,7 @@ def build_docs_oracle_sql(sf_dir: str) -> dict[str, str]:
 ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
+    "token_counts_bpe": TOKEN_COUNTS_BPE_SQL,
     "lang_stats": LANG_STATS_SQL,
     "quality_scores": QUALITY_SQL,
     "lang_id": LANG_ID_SQL,

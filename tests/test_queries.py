@@ -113,7 +113,7 @@ def _sql_backed():
         "q20_window_concentrated_suppliers", "events_session_overlap",
         "events_percent_rank", "events_rolling_median",
         "events_user_modal_type", "hll_user_overlap", "graph_bfs_hops",
-        "events_type_assoc",
+        "events_type_assoc", "token_counts_bpe",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):

@@ -49,3 +49,28 @@ def test_nbsp_is_a_token_char_on_both_sides():
     t = "alpha beta gamma"
     assert T.py_tokens(t) == ["alpha beta", "gamma"]
     assert _duck_tokens([t]) == [["alpha beta", "gamma"]]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_TEXTS, min_size=1, max_size=8))
+def test_bpe_pretokenizer_matches_duckdb(texts):
+    """The BPE-ish pre-tokenizer (token_counts_bpe) must count identically
+    in Python `re` and RE2 on arbitrary strings — the pattern is
+    constrained to constructs both engines implement with the same
+    semantics (ordered alternation, greedy classes, no lookahead,
+    explicit ASCII whitespace class)."""
+    import re
+
+    from raycdc.queries.docs import _BPE_SQL_PAT, BPE_PAT
+
+    py = [len(re.findall(BPE_PAT, t)) for t in texts]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(texts)), "text": texts}))
+    sql = [
+        r[0]
+        for r in con.execute(
+            f"SELECT len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) "
+            f"FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert py == sql
