@@ -442,8 +442,10 @@ def q20_window_concentrated_suppliers(sf_dir: str):
     pred = pads.field("l_partkey").isin(pa.array(pkeys)) & pads.field(
         "l_suppkey"
     ).isin(pa.array(skeys))
-    lo_us = np.int64(int(Q20_FROM.timestamp()) * 1_000_000)
-    hi_us = np.int64(int(Q20_TO.timestamp()) * 1_000_000)
+    # tz-free epoch math (datetime.timestamp() would bind to the host TZ;
+    # the lake's timestamps are naive µs)
+    lo_us = np.datetime64(Q20_FROM, "us").astype(np.int64)
+    hi_us = np.datetime64(Q20_TO, "us").astype(np.int64)
 
     def pair_partial(t: pa.Table) -> pd.DataFrame:
         qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
