@@ -236,6 +236,17 @@ def cmd_consume(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    """Retention as change events: deletions ride the normal round path
+    (changefeed-visible, LWW-guarded, rollback-able)."""
+    _init_ray(args.num_cpus)
+    eng = _engine(args)
+    res = eng.expire(args.before_ts)
+    print(json.dumps(res, default=str))
+    eng.close()
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup of one entity key — driver-side only (the lake's hash
     layout is the index; no Ray session needed)."""
@@ -423,6 +434,14 @@ def main(argv: list[str] | None = None) -> int:
     _common(p)
     p.add_argument("--to-partitions", type=int, required=True)
     p.set_defaults(fn=cmd_reshard)
+
+    p = sub.add_parser(
+        "expire", help="TTL retention: tombstone rows older than a timestamp"
+    )
+    _common(p)
+    p.add_argument("--before-ts", required=True,
+                   help="ISO timestamp; live rows with ts earlier are deleted")
+    p.set_defaults(fn=cmd_expire)
 
     p = sub.add_parser("vacuum", help="delete unreferenced fragment files")
     p.add_argument("--lake", required=True)

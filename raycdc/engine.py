@@ -1999,6 +1999,58 @@ class Engine:
             change_batch, batch_format="pandas", batch_size=1
         )
 
+    def expire(self, before_ts) -> dict:
+        """TTL retention: tombstone every live primary-table row whose
+        ``ts`` is older than ``before_ts`` — THROUGH the normal CDC path
+        (one synthetic delete epoch at a fresh cursor), not a rewrite.
+        That buys every engine invariant for free: the deletions surface
+        in changefeeds/consumer groups as ordinary ``delete`` rows,
+        guarded LWW makes them win over any stored watermark (the fresh
+        cursor is > every committed one) while later real updates still
+        beat them, derived tables refresh through their normal
+        derivation, and a retention run applied in error ROLLS BACK like
+        any round within the undo window. Victims are found with the
+        ts predicate PUSHED into the fragment scan; the delete batch is
+        O(victims), written by parallel tasks (apply_dataset), never the
+        driver. Storage is reclaimed by the usual compact/vacuum cadence
+        (tombstones fold into bases and age out of the undo window).
+
+        Reference analog: ExportReorgJob's ranged delete+rewrite
+        (``indexer/exporters/postgres_item_exporter.py:110-133``) — here
+        expressed as first-class change events."""
+        import pyarrow.dataset as pads
+
+        from raycdc import schema as S
+
+        bound = pd.Timestamp(before_ts).as_unit("us").to_datetime64()
+        cur = int(self.lake.last_cursor()) + 1
+        epoch = max(self.lake.processed_epochs(), default=0) + 1
+        victims = self.read_lake(
+            columns=["conv_id", "turn_idx", "ts"],
+            predicate=pads.field("ts") < pa.scalar(bound, pa.timestamp("us")),
+        )
+
+        def to_deletes(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            ev = pa.table(
+                {
+                    "cursor": pa.array(np.full(n, cur, np.int64)),
+                    "seq": pa.array(np.zeros(n, np.int64)),
+                    "epoch": pa.array(np.full(n, epoch, np.int64)),
+                    "op": pa.array(np.full(n, "delete", dtype=object)),
+                    "conv_id": t.column("conv_id"),
+                    "turn_idx": t.column("turn_idx"),
+                }
+            )
+            return S.conform(ev, S.CHANGE_SCHEMA)
+
+        res = self.apply_dataset(
+            victims.map_batches(to_deletes, batch_format="pyarrow"),
+            epoch=epoch,
+        )
+        res["expired_before"] = str(pd.Timestamp(before_ts))
+        return res
+
     # -- changefeed consumer groups (named durable offsets) ----------------
 
     def _consumer_path(self, name: str) -> str:

@@ -893,6 +893,58 @@ def test_read_changes_composes_with_snapshot(ray_session, tmp_path, make_lake):
     eng.close()
 
 
+def test_expire_ttl_composes_with_cdc(ray_session, tmp_path, make_lake):
+    """TTL retention through the CDC path: rows older than the bound are
+    gone; younger rows untouched; the deletions surface in the changefeed
+    as ordinary delete rows; the retention round rolls back like any
+    round; an expire with no victims is a skipped no-op."""
+    spec = gen.GenSpec(seed=93, n_convs=100, mean_turns=6, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8)
+    eng.apply_log(log, epochs_per_round=2)
+    pre = eng.read_lake_pandas()
+    pre_boundary = eng.lake.last_cursor()
+    anchor_round = eng.lake.manifest["committed_rounds"][-1]["round_id"]
+    bound = pre["ts"].quantile(0.4)
+
+    res = eng.expire(bound)
+    assert not res.get("skipped")
+    post = eng.read_lake_pandas()
+    want = (
+        pre[pre["ts"] >= bound]
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        post[want.columns.tolist()].reset_index(drop=True), want,
+        check_dtype=False,
+    )
+
+    # changefeed since the pre-expire anchor: pure deletes, exactly the victims
+    feed = eng.read_changes(since_round=anchor_round).to_pandas()
+    assert set(feed["change_op"]) == {"delete"}
+    assert len(feed) == (pre["ts"] < bound).sum()
+
+    # retention applied in error rolls back like any round
+    eng.lake.rollback(pre_boundary)
+    eng2 = make_lake(num_partitions=8)
+    restored = eng2.read_lake_pandas()
+    pd.testing.assert_frame_equal(
+        restored.reset_index(drop=True),
+        pre.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+            drop=True
+        )[restored.columns.tolist()],
+        check_dtype=False,
+    )
+
+    # no victims → skipped no-op
+    res2 = eng2.expire(pd.Timestamp("1970-01-01"))
+    assert res2.get("skipped")
+    eng2.close()
+    eng.close()
+
+
 def test_consumer_groups_exactly_once(ray_session, tmp_path, make_lake):
     """Named changefeed consumers: bootstrap window = full state; ack
     advances durably; caught-up polls return None; un-acked windows
