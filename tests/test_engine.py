@@ -1475,5 +1475,27 @@ def test_reshard_preserves_state_and_stream_continues(ray_session, tmp_path):
         eng2.lake.rollback(int(pre_rounds[0]["cursor_hi"]))
     with pytest.raises(ValueError, match="reshard"):
         eng2.lake.state_map_as_of(pre_rounds[0]["round_id"])
+
+    # consumer-group interplay: an offset from BEFORE the barrier still
+    # serves a CORRECT window — the changefeed derives from current-state
+    # watermarks (cursor > anchor), which the reshard preserves, so a
+    # consumer does NOT lose its place when the lake reshards under it
+    anchor_cursor = int(pre_rounds[0]["cursor_hi"])
+    eng2.consumer_ack("behind", pre_rounds[0]["round_id"])
+    win = eng2.consumer_poll("behind")
+    feed = win["dataset"].to_pandas()
+    assert (feed["cursor"] > anchor_cursor).all()
+    live = eng2.read_lake_pandas()
+    key = ["conv_id", "turn_idx"]
+    ups = feed[feed["change_op"] == "upsert"]
+    # every live row newer than the anchor is in the feed, and every
+    # upsert in the feed is a live row (value-identical)
+    newer = live[live["cursor"] > anchor_cursor]
+    got = ups[newer.columns.tolist()].sort_values(key, kind="stable")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        newer.sort_values(key, kind="stable").reset_index(drop=True),
+        check_dtype=False,
+    )
     eng.close()
     eng2.close()
