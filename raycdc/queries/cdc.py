@@ -687,6 +687,111 @@ def _conv_stats_ds_filtered(eng: Engine, conv_ids: list):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+# -- incrementally maintained join view ---------------------------------------
+
+_JOIN_VIEW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("role", pa.string()),
+        ("conv_n_turns", pa.int64()),
+        ("conv_last_ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _join_view_ds(eng: Engine, as_of_round: str | None = None, predicate=None):
+    """Turn-grain enrichment view: each live turn joined to its
+    conversation's current aggregate (turn count, last activity). The
+    fact side and the dim side derive from the SAME bounded partition —
+    one co-location shuffle on conv_id, a vectorized grouped transform,
+    no ``Dataset.join`` (q7's rationale: sparse sides at small scale make
+    empty hash-join partitions near-certain). The trailing conform pins
+    the Arrow schema so an EMPTY refresh side survives ``union`` (the
+    r03 neardup failure class)."""
+
+    ds = eng.read_lake(
+        columns=["conv_id", "turn_idx", "role", "ts"],
+        as_of_round=as_of_round,
+        predicate=predicate,
+    )
+
+    def enrich(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("conv_id", sort=False)
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].astype(object),
+                "turn_idx": g["turn_idx"].astype("int64"),
+                "role": g["role"].astype(object),
+                "conv_n_turns": grp["turn_idx"].transform("size").astype("int64"),
+                "conv_last_ts": grp["ts"].transform("max"),
+            }
+        )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return t.select(_JOIN_VIEW_SCHEMA.names).cast(_JOIN_VIEW_SCHEMA)
+
+    return C.by_partition(ds, "conv_id", enrich).map_batches(
+        conform, batch_format="pyarrow"
+    )
+
+
+def cdc_join_view(sf_dir: str):
+    """Incrementally maintained JOIN VIEW at turn grain: every live turn
+    enriched with its conversation's CURRENT aggregate (n_turns, last ts)
+    — the fact × derived-dim join a serving layer keeps fresh next to the
+    base table (reference analog: the per-entity index/detail rows its
+    custom modules commit alongside ``current_*`` aggregates in one
+    transaction, ``indexer/modules/custom/address_index/``).
+
+    Delta rule: both join sides key on conv_id, so EITHER side changing
+    dirties exactly that conversation — the general bilinear delta
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) collapses to ONE key-pruned recompute pass
+    because the sides are co-partitioned on the join key. Untouched view
+    rows carry over from the anchor materialization; the refresh reads
+    only dirty conversations via read-level predicate pushdown, and a
+    conversation going fully dead (all turns deleted) vanishes because
+    carry-over drops its rows and the recompute returns none. Must
+    hash-match the full recompute (the oracle joins over the complete
+    replay)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    import ray as _ray
+
+    round_id, _ = _snapshot_round_cursor(sf_dir)
+    eng = _replayed_engine(sf_dir, salted=False)
+    base = _join_view_ds(eng, as_of_round=round_id)
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": pc.unique(t.column("conv_id"))})
+
+    dirty = sorted(
+        {
+            r["conv_id"]
+            for r in eng.read_changes(since_round=round_id)
+            .map_batches(_uniq, batch_format="pyarrow")
+            .take_all()
+        }
+    )
+    if not dirty:
+        return base
+    dirty_ref = _ray.put(pa.array(dirty, pa.string()))
+
+    def drop_dirty(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(
+                pc.is_in(t.column("conv_id"), value_set=_ray.get(dirty_ref))
+            )
+        )
+
+    kept = base.map_batches(drop_dirty, batch_format="pyarrow")
+    refreshed = _join_view_ds(
+        eng, predicate=pads.field("conv_id").isin(dirty)
+    )
+    return kept.union(refreshed)
+
+
 def _snapshot_round_epoch(sf_dir: str) -> tuple[str, int]:
     """The deterministic mid-replay snapshot anchor shared by the Ray query
     and its SQL oracle: the second-to-last committed round of the tier's
@@ -1683,6 +1788,20 @@ FROM sig
     )
 
 
+# join view: full-recompute formulation — the incremental path must match
+CDC_JOIN_VIEW_SQL_TEMPLATE = """
+WITH replay AS ({replay}),
+agg AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS conv_n_turns,
+           max(ts) AS conv_last_ts
+    FROM replay GROUP BY conv_id
+)
+SELECT r.conv_id, CAST(r.turn_idx AS BIGINT) AS turn_idx, r.role,
+       a.conv_n_turns, a.conv_last_ts
+FROM replay r JOIN agg a USING (conv_id)
+"""
+
+
 CDC_CONV_STATS_SQL_TEMPLATE = """
 WITH replay AS ({replay})
 SELECT conv_id,
@@ -1845,6 +1964,8 @@ WHERE valid_from // {_WM} > {anchor_cursor}
         "cdc_incremental_stats": CDC_CONV_STATS_SQL_TEMPLATE.format(
             replay=replay
         ),
+        # incremental refresh must equal the full-join recompute bit-for-bit
+        "cdc_join_view": CDC_JOIN_VIEW_SQL_TEMPLATE.format(replay=replay),
         # dead letter: the bad set is a pure function of the log, so the
         # oracle selects every malformed DATA row from the dead-letter
         # spec's own log files (rollback markers excluded — they are a
@@ -1980,6 +2101,7 @@ QUERIES = {
     "cdc_changefeed_window": cdc_changefeed_window,
     "cdc_changefeed_latest": cdc_changefeed_latest,
     "cdc_incremental_stats": cdc_incremental_stats,
+    "cdc_join_view": cdc_join_view,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_conv_text": cdc_conv_text,
     "cdc_turn_pairs": cdc_turn_pairs,

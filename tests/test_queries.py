@@ -506,7 +506,8 @@ def test_ann_quantized_recall_vs_bruteforce(ray_session):
      "conv_daily_stats", "conv_cumulative_stats", "cdc_time_travel",
      "cdc_read_key", "cdc_changefeed", "cdc_changefeed_window",
      "cdc_changefeed_latest",
-     "cdc_incremental_stats", "cdc_snapshot_diff", "cdc_history_scd2",
+     "cdc_incremental_stats", "cdc_join_view", "cdc_snapshot_diff",
+     "cdc_history_scd2",
      "cdc_history_scd2_delta", "cdc_round_ledger", "cdc_fingerprint_index",
      "cdc_neardup_candidates", "cdc_neardup_delta", "cdc_window_dedup",
      "cdc_scd2_asof", "cdc_conv_text", "cdc_turn_pairs",
