@@ -1249,6 +1249,7 @@ QUALIFY nn_rank <= {KNN_K}
         "ann_lsh_indexed": lsh_sql,
         "ann_ivf_layout": layout_sql,
         "semdedup": _semdedup_sql(sf_dir),
+        "kmeans_refine": _kmeans_refine_sql(sf_dir),
     }
 
 
@@ -1435,6 +1436,88 @@ SELECT a.vec_id, a.ivf_list,
            AND list_cosine_similarity(b.de, a.de) >= {SEMDEDUP_COS}
        ) AS BIGINT) AS is_dup
 FROM a ORDER BY vec_id
+"""
+
+
+# -- distributed k-means: one full-corpus Lloyd refinement step --------------
+
+KM_SUM_DIMS = 8  # leading dims whose exact update numerators are reported
+
+
+def kmeans_refine(sf_dir: str):
+    """ONE distributed Lloyd refinement step over the FULL corpus — the
+    cluster-update primitive every embedding-space pipeline (IVF training,
+    SemDeDup sharding, DoReMi-style domain balancing) runs at scale. The
+    sample-trained coarse quantizer (:func:`_train_centroids`) is the
+    incumbent; this pass re-assigns EVERY row (broadcast centroid matrix,
+    per-batch vectorized argmin, first-index tie-break = the IVF
+    assignment law) and computes the refined centroids' update statistics
+    as a map-side-combined aggregate: each batch emits ≤ N_CENTROIDS
+    partial rows (count + per-dim sums), the final fold moves
+    O(N_CENTROIDS × blocks) rows — assignment is the only corpus-sized
+    pass and it never shuffles.
+
+    Exactness contract (house rule): the reported numerators accumulate in
+    the shared int8 quantization law (:func:`_quant8`, the ann_quantized
+    contract) so integer sums are bit-stable across engines and summation
+    orders; ``n_members`` and the quantized sums determine the refined
+    centroid exactly (mean = sq/n in post-processing). At real scale the
+    fp64 sums ride the same partial rows; the integer copy exists for the
+    cross-engine value hash."""
+    import ray
+
+    cent = _train_centroids(sf_dir)
+    ref = ray.put(cent)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        cent_ = _r.get(ref)
+        m = _emb_matrix(b)
+        d = ((m[:, None, :] - cent_[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1).astype(np.int64)
+        q = _quant8(m[:, :KM_SUM_DIMS])
+        df = pd.DataFrame(
+            {"cluster_id": a, "n_members": np.ones(len(b), np.int64)}
+        )
+        for j in range(KM_SUM_DIMS):
+            df[f"sq{j}"] = q[:, j]
+        return df.groupby("cluster_id", as_index=False).sum()
+
+    parts = (
+        C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("cluster_id", as_index=False).sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster_id", kind="stable").reset_index(drop=True)
+
+
+def _kmeans_refine_sql(sf_dir: str) -> str:
+    """Assignment replayed from centroid literals (the semdedup CTE), the
+    update numerators as the identical int8-law sums (1-indexed list
+    elements in DuckDB)."""
+    cent = _train_centroids(sf_dir)
+    dists = ", ".join(f"list_distance(de, {_vec_lit(c)})" for c in cent)
+    sums = ",\n       ".join(
+        f"CAST(sum(CAST(least(greatest(floor(de[{j + 1}] * {QSCALE} + 0.5),"
+        f" -127), 127) AS BIGINT)) AS BIGINT) AS sq{j}"
+        for j in range(KM_SUM_DIMS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+), a AS (
+  SELECT vec_id, de,
+         list_position([{dists}], list_min([{dists}])) - 1 AS cluster_id
+  FROM e
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       {sums}
+FROM a GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
@@ -1866,6 +1949,7 @@ QUERIES = {
     "neardup_clusters": neardup_clusters,
     "neardup_survivors": neardup_survivors,
     "semdedup": semdedup,
+    "kmeans_refine": kmeans_refine,
 }
 
 ORACLE_SQL = {

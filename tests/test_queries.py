@@ -184,6 +184,39 @@ def test_hll_overlap_estimate_tracks_exact(ray_session):
     assert abs(inter_est - exact) <= max(5.0, 0.3 * float(exact))
 
 
+def test_kmeans_refine_matches_sql_oracle(ray_session):
+    """One distributed Lloyd step vs the DuckDB oracle (assignment from
+    centroid literals + int8-law update numerators); also pins that every
+    corpus row is accounted for and that the refined numerators actually
+    move at least one centroid (the step does work)."""
+    import numpy as np
+
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import (
+        KM_SUM_DIMS,
+        QSCALE,
+        _train_centroids,
+        build_ann_oracle_sql,
+    )
+
+    got = canon(to_df(QUERIES["kmeans_refine"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["kmeans_refine"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{SF_DIR}/embeddings.parquet").metadata.num_rows
+    assert got["n_members"].sum() == n
+    cent = _train_centroids(SF_DIR)
+    old_q = np.clip(
+        np.floor(cent[:, :KM_SUM_DIMS] * QSCALE + 0.5), -127, 127
+    )
+    new_mean = (
+        got[[f"sq{j}" for j in range(KM_SUM_DIMS)]].to_numpy()
+        / got["n_members"].to_numpy()[:, None]
+    )
+    assert np.abs(new_mean - old_q[got["cluster_id"].to_numpy()]).max() > 0
+
+
 def test_semdedup_matches_sql_oracle(ray_session):
     """Cluster-bucketed semantic dedup vs the DuckDB oracle replaying
     assignment (centroid literals) + the correlated same-cluster EXISTS;
