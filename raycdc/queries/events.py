@@ -2834,7 +2834,91 @@ WHERE rn <= {GROUP_SAMPLE_K}
 """
 
 
+def events_hourly_locf(sf_dir: str):
+    """Per-user HOURLY RESAMPLE with last-observation-carried-forward gap
+    fill — the time-series regularization step every metrics/feature
+    pipeline runs before windowed models (irregular event times → a dense
+    hourly grid, missing hours inheriting the last observed value). Grid
+    span is per user (first observed hour → last), so output is bounded by
+    Σ user spans, never |users| × |corpus span|.
+
+    Shape: ONE bounded-partition shuffle on user_id; inside the partition
+    everything is C-speed pandas — hour floor, last-event-per-hour
+    dedup (order law: (ts, event_id), the house tie-break), vectorized
+    repeat/arange grid synthesis, and a single ``merge_asof`` backward
+    join (the LOCF itself). The carried value is an exact COPY of an
+    observed double (no arithmetic) → hash-exact cross-engine. The SQL
+    oracle is DuckDB's ASOF JOIN — the non-distributed formulation this
+    operator replaces at scale."""
+    ds = C.read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        d = d.assign(hour=d["ts"].dt.floor("h"))
+        obs = d.drop_duplicates(["user_id", "hour"], keep="last")[
+            ["user_id", "hour", "value"]
+        ]
+        spans = obs.groupby("user_id", sort=True)["hour"].agg(["min", "max"])
+        h0 = spans["min"].to_numpy()
+        h1 = spans["max"].to_numpy()
+        counts = (
+            (h1 - h0) // np.timedelta64(1, "h")
+        ).astype(np.int64) + 1
+        total = int(counts.sum())
+        uids = np.repeat(spans.index.to_numpy().astype(np.int64), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        offs = np.arange(total) - np.repeat(cum[:-1], counts)
+        hours = np.repeat(h0, counts) + offs * np.timedelta64(1, "h")
+        grid = pd.DataFrame({"user_id": uids, "hour": hours}).sort_values(
+            ["hour", "user_id"], kind="stable"
+        )
+        obs_s = obs.sort_values(["hour", "user_id"], kind="stable")
+        m = pd.merge_asof(
+            grid, obs_s, on="hour", by="user_id", direction="backward"
+        )
+        m = m.merge(
+            obs[["user_id", "hour"]].assign(observed=np.int64(1)),
+            on=["user_id", "hour"],
+            how="left",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "hour": m["hour"].astype("datetime64[us]"),
+                "value": m["value"].astype("float64"),
+                "observed": m["observed"].fillna(0).astype("int64"),
+            }
+        )
+
+    return C.by_partition(ds, "user_id", kernel)
+
+
+HOURLY_LOCF_SQL = """
+WITH obs AS (
+  SELECT user_id, hour, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS hour, value,
+           row_number() OVER (
+             PARTITION BY user_id, date_trunc('hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+), span AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM span
+)
+SELECT g.user_id, g.hour, o.value,
+       CAST(e.user_id IS NOT NULL AS BIGINT) AS observed
+FROM grid g
+ASOF JOIN obs o ON o.user_id = g.user_id AND g.hour >= o.hour
+LEFT JOIN obs e ON e.user_id = g.user_id AND e.hour = g.hour
+"""
+
+
 QUERIES = {
+    "events_hourly_locf": events_hourly_locf,
     "events_new_users_hourly": events_new_users_hourly,
     "events_trimmed_stats": events_trimmed_stats,
     "events_value_ntile": events_value_ntile,
@@ -2877,6 +2961,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_hourly_locf": HOURLY_LOCF_SQL,
     "events_new_users_hourly": NEW_USERS_SQL,
     "events_trimmed_stats": TRIMMED_STATS_SQL,
     "events_value_ntile": NTILE_SQL,

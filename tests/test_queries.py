@@ -113,7 +113,7 @@ def _sql_backed():
         "q20_window_concentrated_suppliers", "events_session_overlap",
         "events_percent_rank", "events_rolling_median",
         "events_user_modal_type", "hll_user_overlap", "graph_bfs_hops",
-        "events_type_assoc", "token_counts_bpe",
+        "events_type_assoc", "token_counts_bpe", "events_hourly_locf",
     ],
 )
 def test_sql_backed_query_matches_oracle(ray_session, name):
@@ -182,6 +182,26 @@ def test_hll_overlap_estimate_tracks_exact(ray_session):
           SELECT user_id FROM events WHERE EXTRACT(day FROM ts) >= {HLL_SPLIT_DAY})
     """)["n"].iloc[0]
     assert abs(inter_est - exact) <= max(5.0, 0.3 * float(exact))
+
+
+def test_ann_mmr_matches_sql_oracle(ray_session):
+    """MMR greedy vs the unrolled-CTE SQL oracle; also pins that diversity
+    actually re-ranks (the MMR order differs from pure relevance order
+    past rank 1) while rank 1 IS the relevance winner."""
+    from raycdc.queries import ORACLE_SQL, QUERIES
+    from raycdc.queries.ann import MMR_K
+
+    got = to_df(QUERIES["ann_mmr"](SF_DIR)).reset_index(drop=True)
+    want = duck(ORACLE_SQL["ann_mmr"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        canon(got), canon(want), check_dtype=False, rtol=0, atol=0
+    )
+    assert len(got) == MMR_K
+    by_rel = got.sort_values(
+        ["iscore", "vec_id"], ascending=[False, True], kind="stable"
+    )["vec_id"].tolist()
+    assert got["vec_id"].iloc[0] == by_rel[0]
+    assert got["vec_id"].tolist() != by_rel  # diversity re-ranked something
 
 
 def test_kmeans_refine_matches_sql_oracle(ray_session):
