@@ -1626,6 +1626,143 @@ LIMIT {TOP_K}
 """
 
 
+# -- MMR: diversity-aware top-k (maximal marginal relevance) -----------------
+
+MMR_CAND = 30  # relevance-ranked candidate pool the greedy selects from
+MMR_K = 10     # diverse results returned
+
+
+def _mmr_greedy(
+    ids: np.ndarray, iscore: np.ndarray, P: np.ndarray
+) -> list[int]:
+    """The shared greedy law (λ = 0.5 up to scale): seed with the most
+    relevant candidate, then repeatedly take argmax of
+    ``iscore − max_sim_to_selected`` — ALL-INTEGER scores, ties broken by
+    lowest vec_id. Returns positions into ``ids``."""
+    order = np.lexsort((ids, -iscore))
+    sel = [int(order[0])]
+    remaining = set(range(len(ids))) - set(sel)
+    for _ in range(min(MMR_K, len(ids)) - 1):
+        rem = np.array(sorted(remaining))
+        mmr = iscore[rem] - P[np.ix_(rem, sel)].max(axis=1)
+        best = rem[np.lexsort((ids[rem], -mmr))[0]]
+        sel.append(int(best))
+        remaining.discard(int(best))
+    return sel
+
+
+def ann_mmr(sf_dir: str):
+    """Diversity-aware retrieval: MAXIMAL MARGINAL RELEVANCE (Carbonell &
+    Goldstein, SIGIR'98) over the relevance top-MMR_CAND — the re-ranking
+    step RAG pipelines run so the k retrieved contexts aren't k copies of
+    the same passage. Distributed shape: the candidate scan is the
+    ann_quantized pass (broadcast int8 query, block-local top-C, driver
+    reduce of ≤ C×blocks rows); the greedy itself runs driver-side over a
+    C×C integer similarity matrix — O(MMR_CAND²) work on 30 rows, with
+    candidate IO O(C) via vec_id predicate pushdown. Exactness contract:
+    relevance AND pairwise similarity are int8-law dot products
+    (:func:`_quant8`) so every greedy comparison is integer-exact
+    cross-engine; the oracle unrolls the K greedy steps as SQL CTEs."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    q8 = _quant8(_query_vec(sf_dir))
+    ref = ray.put(q8)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        sc = _quant8(_emb_matrix(b)) @ _r.get(ref)
+        ids = b["vec_id"].to_numpy()
+        order = np.lexsort((ids, -sc))[:MMR_CAND]
+        return pd.DataFrame({"vec_id": ids[order], "iscore": sc[order]})
+
+    ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["iscore", "vec_id"], ascending=[False, True], kind="stable"
+    ).head(MMR_CAND)
+    ids = sorted(int(v) for v in cand["vec_id"])
+
+    sub = (
+        C.read(
+            sf_dir,
+            "embeddings",
+            ["vec_id", "embedding"],
+            filter=pads.field("vec_id").isin(ids),
+        )
+        .to_pandas()
+        .sort_values("vec_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    Q = _quant8(_emb_matrix(sub))
+    vid = sub["vec_id"].to_numpy().astype(np.int64)
+    iscore = Q @ q8
+    P = Q @ Q.T
+    sel = _mmr_greedy(vid, iscore, P)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            "vec_id": vid[sel],
+            "iscore": iscore[sel].astype(np.int64),
+        }
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy: candidate pool + integer pairwise sims as CTEs,
+    then MMR_K selection levels, each an argmax (ORDER BY ... LIMIT 1)
+    over candidates not yet selected, penalized by the max pairwise sim
+    to the union of prior levels."""
+    parts = [
+        f"""
+WITH q8 AS (
+  SELECT {_Q8_EXPR.format(col='embedding')} AS v
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), e8 AS (
+  SELECT vec_id, {_Q8_EXPR.format(col='embedding')} AS v FROM embeddings
+), c AS MATERIALIZED (
+  SELECT e8.vec_id, e8.v,
+         CAST(list_dot_product(e8.v, q8.v) AS BIGINT) AS iscore
+  FROM e8, q8
+  ORDER BY iscore DESC, vec_id
+  LIMIT {MMR_CAND}
+), p AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS ps
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+), s1 AS MATERIALIZED (
+  SELECT vec_id, iscore FROM c ORDER BY iscore DESC, vec_id LIMIT 1
+)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, k)
+        )
+        parts.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.iscore FROM c
+  WHERE c.vec_id NOT IN ({prior})
+  ORDER BY c.iscore - (SELECT max(ps) FROM p
+                       WHERE va = c.vec_id AND vb IN ({prior})) DESC,
+           c.vec_id
+  LIMIT 1
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, vec_id, iscore FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       iscore
+FROM ({sel}) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
 # -- product quantization (IVF-PQ's compression half) ------------------------
 
 PQ_M, PQ_K = 8, 16   # 8 subspaces × 16 codewords → 8 bytes per vector
@@ -1950,9 +2087,11 @@ QUERIES = {
     "neardup_survivors": neardup_survivors,
     "semdedup": semdedup,
     "kmeans_refine": kmeans_refine,
+    "ann_mmr": ann_mmr,
 }
 
 ORACLE_SQL = {
+    "ann_mmr": _mmr_sql(),
     "ann_bruteforce": ANN_BRUTE_SQL,
     "ann_quantized": ANN_QUANTIZED_SQL,
     "label_doc_stats": LABEL_DOC_STATS_SQL,
