@@ -276,6 +276,143 @@ WITH pair AS (
     )
 
 
+# -- label propagation (community detection) ---------------------------------
+
+LPA_ITERS = 2
+
+
+def graph_label_prop(sf_dir: str):
+    """Synchronous LABEL-PROPAGATION community detection over the purchase
+    graph — the third iterative-graph class next to PageRank (numeric
+    fixed point) and BFS (level sets): here the per-node fold is a grouped
+    MODE. Law (deterministic, shared with the oracle): label₀(v) = v;
+    labelₜ(v) = the most frequent label among v's neighbors at t−1, ties
+    broken by the SMALLEST label; LPA_ITERS synchronous rounds.
+
+    Distributed shape = the PageRank loop: edges hash-partition ONCE;
+    each round co-shuffles only node-sized label state to the edge
+    partitions (tagged union — never ``Dataset.join`` on iterative
+    sides), messages PRE-COUNT per (node, label) inside the partition
+    (the combiner), and the global mode folds inside bounded partitions
+    keyed by node. All-integer, hash-exact."""
+    nparts = C.join_partitions()
+    edges = _edge_dataset(sf_dir).materialize()
+
+    _MSG = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("c", pa.int64())]
+    )
+
+    def make_step(first: bool):
+        def step(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["side"] == 0]
+            if first:
+                out = pd.DataFrame(
+                    {
+                        "node": e["a"].to_numpy().astype(np.int64),
+                        "label": e["key"].to_numpy().astype(np.int64),
+                    }
+                )
+            else:
+                lab = g.loc[g["side"] == 1, ["key", "a"]].rename(
+                    columns={"a": "label"}
+                )
+                m = e.merge(lab, on="key", how="inner")
+                out = pd.DataFrame(
+                    {
+                        "node": m["a"].to_numpy().astype(np.int64),
+                        "label": m["label"].to_numpy().astype(np.int64),
+                    }
+                )
+            cnt = (
+                out.groupby(["node", "label"], as_index=False)
+                .size()
+                .rename(columns={"size": "c"})
+            )
+            cnt["c"] = cnt["c"].astype("int64")
+            return cnt
+
+        return step
+
+    def conform_msgs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("node").cast(pa.int64()),
+                t.column("label").cast(pa.int64()),
+                t.column("c").cast(pa.int64()),
+            ],
+            schema=_MSG,
+        )
+
+    def mode_fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["node", "label"], as_index=False)["c"].sum()
+        cnt = cnt.sort_values(
+            ["node", "c", "label"], ascending=[True, False, True], kind="stable"
+        )
+        win = cnt.drop_duplicates("node")
+        return pd.DataFrame(
+            {
+                "node": win["node"].astype("int64"),
+                "label": win["label"].astype("int64"),
+            }
+        )
+
+    def to_state(b: pd.DataFrame) -> pa.Table:
+        return _tagged(
+            b["node"].to_numpy().astype(np.int64),
+            b["label"].to_numpy().astype(np.int64),
+            np.zeros(len(b), np.int64),
+            1,
+        )
+
+    labels = None
+    for i in range(LPA_ITERS):
+        src = edges if i == 0 else edges.union(labels)
+        msgs = C.by_partition(
+            src, "key", make_step(i == 0), nparts=nparts
+        ).map_batches(conform_msgs, batch_format="pyarrow")
+        folded = C.by_partition(msgs, "node", mode_fold, nparts=nparts)
+        labels = folded.map_batches(
+            to_state, batch_format="pandas"
+        ).materialize()
+
+    def out_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("key").cast(pa.int64()), t.column("a").cast(pa.int64())],
+            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        )
+
+    return labels.map_batches(out_rows, batch_format="pyarrow")
+
+
+def _lpa_sql() -> str:
+    head = f"""
+WITH pair AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s + {SUPP_OFF} AS dst FROM pair
+  UNION ALL
+  SELECT s + {SUPP_OFF} AS src, c AS dst FROM pair
+), l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    steps = "".join(
+        f""", m{i} AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM edges e JOIN l{i - 1} l ON l.node = e.src GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, label) AS rn FROM m{i})
+  WHERE rn = 1
+)"""
+        for i in range(1, LPA_ITERS + 1)
+    )
+    return (
+        head + steps
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+          f" CAST(label AS BIGINT) AS label FROM l{LPA_ITERS} ORDER BY node"
+    )
+
+
 WEDGE_DEG_CAP = 64  # parts hotter than this are excluded BY RULE (both sides)
 PAIR_MOD = SUPP_OFF  # packed pair key: s1 * PAIR_MOD + s2 (suppkey < 1e7)
 
@@ -620,6 +757,7 @@ QUERIES = {
     "graph_cosupply_pairs": graph_cosupply_pairs,
     "graph_triangles": graph_triangles,
     "graph_bfs_hops": graph_bfs_hops,
+    "graph_label_prop": graph_label_prop,
 }
 
 ORACLE_SQL = {
@@ -627,4 +765,5 @@ ORACLE_SQL = {
     "graph_cosupply_pairs": COSUPPLY_SQL,
     "graph_triangles": TRIANGLES_SQL,
     "graph_bfs_hops": _bfs_sql(),
+    "graph_label_prop": _lpa_sql(),
 }
