@@ -325,15 +325,189 @@ GROUP BY CUBE (event_type, day)
 """
 
 
+# -- trailing-24h sliding-window distinct users --------------------------------
+
+_WINDOW_H = 24
+
+
+def events_sliding_distinct(sf_dir: str):
+    """Trailing-24-hour DISTINCT active users per active hour — the
+    sliding-window COUNT(DISTINCT) class (DAU-style health metrics) that
+    naive plans answer with a per-anchor distinct over a re-scanned window
+    (24× re-read) or a giant `COUNT(DISTINCT) OVER RANGE` single-node sort.
+
+    Scale shape: distinct-ness first collapses to (user, hour) PAIRS inside
+    each batch (≤ one row per pair per block); ``by_partition(user_id)``
+    co-locates each user's pairs so the window expansion is per-user-exact
+    with NO cross-partition distinct needed — each pair fans out to the ≤24
+    ACTIVE anchor hours it covers (anchors are the globally-observed active
+    hours, O(corpus span), gathered in one tiny pre-pass and shipped in the
+    task closure), pairs are deduped per (user, anchor) inside the
+    partition, and the partition emits O(anchors) partial counts. Users are
+    disjoint across partitions → the driver fold of O(anchors × partitions)
+    tiny rows sums to exact distinct counts. Hour arithmetic is integer
+    microseconds // 3.6e9 on both sides — no timezone/convention drift."""
+    _US_H = 3_600_000_000
+    ds = C.read(sf_dir, "events", ["user_id", "ts"])
+
+    def hours_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].astype("datetime64[us]").to_numpy().view("int64") // _US_H
+        return pd.DataFrame({"h": np.unique(h)})
+
+    anchors = np.sort(
+        ds.map_batches(hours_partial, batch_format="pandas")
+        .to_pandas()["h"]
+        .unique()
+    )  # O(active hours) — bounded by corpus span, not corpus size
+
+    def pairs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].astype("datetime64[us]").to_numpy().view("int64") // _US_H
+        df = pd.DataFrame({"user_id": b["user_id"].astype("int64"), "h": h})
+        return df.drop_duplicates()
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "h"])
+        u = d["user_id"].to_numpy()
+        h = d["h"].to_numpy()
+        lo = np.searchsorted(anchors, h, side="left")
+        hi = np.searchsorted(anchors, h + _WINDOW_H - 1, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"hour_idx": pd.Series(dtype="int64"),
+                 "n_users": pd.Series(dtype="int64")}
+            )
+        # concatenated per-row aranges: anchor indices covered by each pair
+        off = np.cumsum(counts)
+        aidx = np.arange(total) - np.repeat(off - counts, counts) + np.repeat(
+            lo, counts
+        )
+        ur = np.repeat(u, counts)
+        # dedup (user, anchor): a user active in several hours of one
+        # window must count once
+        order = np.lexsort((aidx, ur))
+        ur, aidx = ur[order], aidx[order]
+        first = np.ones(total, bool)
+        first[1:] = (ur[1:] != ur[:-1]) | (aidx[1:] != aidx[:-1])
+        cnt = np.bincount(aidx[first], minlength=len(anchors))
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {"hour_idx": anchors[nz], "n_users": cnt[nz].astype("int64")}
+        )
+
+    parts = C.by_partition(
+        ds.map_batches(pairs_partial, batch_format="pandas"), "user_id", kernel
+    ).to_pandas()
+    out = parts.groupby("hour_idx", as_index=False)["n_users"].sum()
+    out["hour_idx"] = out["hour_idx"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("hour_idx").reset_index(drop=True)
+
+
+SLIDING_DISTINCT_SQL = f"""
+WITH p AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events
+), a AS (
+    SELECT DISTINCT h AS anchor FROM p
+), w AS (
+    SELECT DISTINCT a.anchor, p.user_id
+    FROM a JOIN p ON p.h BETWEEN a.anchor - {_WINDOW_H - 1} AND a.anchor
+)
+SELECT anchor AS hour_idx, count(*) AS n_users
+FROM w GROUP BY anchor ORDER BY anchor
+"""
+
+
+# -- geometric-decay weighted value features (16-lag EWMA numerator) -----------
+
+_DECAY_LAGS = 16
+
+
+def events_value_decay(sf_dir: str):
+    """Per-event geometric-decay feature over the user's trailing 16 events
+    (the recency-weighted spend signal feature pipelines feed to models —
+    an exact, windowed stand-in for the inherently sequential EWMA
+    recurrence). For event i of a user (ordered by ts, event_id):
+
+        decay_num = Σ_{{j=0..15}} cents[i−j] · 2^(15−j)   (existing lags)
+        decay_den = Σ_{{j=0..15}} 2^(15−j)                 (existing lags)
+
+    so decay_num/decay_den is the weight-halving average, but BOTH are
+    exact int64 (cents ≤ ~1e7 × 2^15 × 16 ≪ 2^63) → hash-stable with no
+    float law. The fixed window makes it vectorizable where the infinite
+    EWMA recurrence is not: the kernel is 16 SHIFTED-ARRAY adds per
+    bounded user partition (a loop over LAGS, never over rows), with the
+    user boundary masked by the shifted user array."""
+    ds = C.read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy()
+        c = np.round(d["value"].to_numpy() * 100).astype(np.int64)
+        n = len(d)
+        num = np.zeros(n, np.int64)
+        den = np.zeros(n, np.int64)
+        for j in range(_DECAY_LAGS):
+            w = np.int64(1) << (_DECAY_LAGS - 1 - j)
+            if j == 0:
+                num += c * w
+                den += w
+                continue
+            if j >= n:
+                break
+            valid = u[j:] == u[:-j]  # lag stays inside the user's run
+            num[j:] += np.where(valid, c[:-j], 0) * w
+            den[j:] += np.where(valid, w, 0)
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].astype("int64").to_numpy(),
+                "user_id": u.astype("int64"),
+                "decay_num": num,
+                "decay_den": den,
+            }
+        )
+
+    out = C.by_partition(ds, "user_id", kernel).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _decay_sql() -> str:
+    terms_num, terms_den = [], []
+    for j in range(_DECAY_LAGS):
+        w = 1 << (_DECAY_LAGS - 1 - j)
+        lag = "c" if j == 0 else f"lag(c, {j}) OVER w"
+        terms_num.append(f"COALESCE({lag}, 0) * {w}")
+        terms_den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END")
+    return f"""
+WITH o AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT)  AS user_id,
+       CAST({' + '.join(terms_num)} AS BIGINT) AS decay_num,
+       CAST({' + '.join(terms_den)} AS BIGINT) AS decay_den
+FROM o
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_rollup": events_rollup,
     "events_cube": events_cube,
     "events_value_histogram": events_value_histogram,
     "user_retention_cohorts": user_retention_cohorts,
+    "events_sliding_distinct": events_sliding_distinct,
+    "events_value_decay": events_value_decay,
 }
 
 ORACLE_SQL = {
+    "events_sliding_distinct": SLIDING_DISTINCT_SQL,
+    "events_value_decay": _decay_sql(),
     "events_funnel": FUNNEL_SQL,
     "events_rollup": ROLLUP_SQL,
     "events_cube": CUBE_SQL,
