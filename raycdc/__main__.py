@@ -272,6 +272,23 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    # pure manifest surgery — no Ray needed (named snapshot refs)
+    from raycdc.lake import Lake
+
+    lake = Lake(args.lake)
+    if args.list or args.name is None:
+        print(json.dumps(lake.tags))
+        return 0
+    if args.drop:
+        lake.drop_tag(args.name)
+        print(json.dumps({"dropped": args.name}))
+        return 0
+    rid = lake.tag(args.name, cursor=args.cursor)
+    print(json.dumps({"tag": args.name, "round_id": rid}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Force-fold all outstanding delta chains into fresh bases (the
     maintenance OPTIMIZE), then vacuum crash orphans."""
@@ -424,6 +441,15 @@ def main(argv: list[str] | None = None) -> int:
     _common(p)
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_aggregate)
+
+    p = sub.add_parser("tag", help="manage named snapshot tags")
+    p.add_argument("--lake", required=True, help="lake directory")
+    p.add_argument("name", nargs="?", help="tag name (omit with --list)")
+    p.add_argument("--cursor", type=int, default=None,
+                   help="pin at this committed cursor boundary (default: head)")
+    p.add_argument("--drop", action="store_true", help="remove the tag")
+    p.add_argument("--list", action="store_true", help="print all tags")
+    p.set_defaults(fn=cmd_tag)
 
     p = sub.add_parser("compact", help="fold all delta chains into bases")
     _common(p)

@@ -1661,12 +1661,14 @@ class Engine:
     def read_lake(self, columns=None, include_system: bool = False,
                   table: str | None = None, predicate=None,
                   as_of_cursor: int | None = None,
-                  as_of_round: str | None = None):
+                  as_of_round: str | None = None,
+                  as_of_tag: str | None = None):
         """A lake table as a Dataset of live rows (tombstones and system
         columns dropped unless requested). ``table`` selects a logical
         table (default: the primary).
 
-        ``as_of_cursor`` / ``as_of_round`` select a TIME-TRAVEL snapshot:
+        ``as_of_cursor`` / ``as_of_round`` / ``as_of_tag`` select a
+        TIME-TRAVEL snapshot:
         the table state as of a committed round boundary (cursor = the
         round's high watermark — the same boundary resolution rollback
         uses). Snapshots are served from the manifest's per-partition
@@ -1692,6 +1694,8 @@ class Engine:
         t_idx = self._table_index(table)
         nparts = self.lake.num_partitions
         prange = (t_idx * nparts, (t_idx + 1) * nparts)
+        if as_of_tag is not None:
+            as_of_round = self.lake.round_for_tag(as_of_tag)
         if as_of_cursor is not None:
             as_of_round = self.lake.round_id_at_cursor(as_of_cursor)
         if as_of_round is not None:
@@ -1776,6 +1780,15 @@ class Engine:
         if columns:
             ds = ds.select_columns(columns)
         return ds
+
+    def tag(self, name: str, cursor: int | None = None) -> str:
+        """Pin a named snapshot tag at a committed cursor boundary
+        (default: the current head). Read it back with
+        ``read_lake(as_of_tag=name)``. See :meth:`raycdc.lake.Lake.tag`."""
+        return self.lake.tag(name, cursor=cursor)
+
+    def drop_tag(self, name: str) -> None:
+        self.lake.drop_tag(name)
 
     def read_lake_pandas(self) -> pd.DataFrame:
         """Driver-side full materialization — tests/small lakes only."""

@@ -187,6 +187,82 @@ class Lake:
             f"{[r['cursor_hi'] for r in self.manifest['committed_rounds']]})"
         )
 
+    # -- snapshot tags (named refs on committed round boundaries) ----------
+
+    @property
+    def tags(self) -> dict:
+        """name -> round_id of every snapshot tag (copy)."""
+        return dict(self.manifest.get("tags", {}))
+
+    def round_for_tag(self, name: str) -> str:
+        try:
+            return self.manifest.get("tags", {})[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown tag {name!r} (tags: "
+                f"{sorted(self.manifest.get('tags', {}))})"
+            ) from None
+
+    def tag(self, name: str, round_id: str | None = None,
+            cursor: int | None = None) -> str:
+        """Pin a NAMED SNAPSHOT REF to a committed round boundary (default:
+        the latest). Tagged rounds are RETAINED: GC keeps every fragment
+        version needed to reconstruct them (so ``state_map_as_of`` serves
+        them even outside the undo window), and ``rollback`` refuses to
+        undo a pinned round until the tag is dropped. The Iceberg-tag
+        analog of the reference's named sync checkpoints
+        (``indexer/controller/scheduler/job_scheduler.py`` keeps a durable
+        named position per pipeline). Returns the pinned round_id."""
+        self.ensure_writer_lock()
+        rounds = self.manifest["committed_rounds"]
+        if not rounds:
+            raise ValueError("cannot tag an empty lake (no committed rounds)")
+        if cursor is not None:
+            round_id = self.round_id_at_cursor(cursor)
+        if round_id is None:
+            round_id = rounds[-1]["round_id"]
+        idx = self.round_position(round_id)  # KeyError if unknown
+        if idx < self.manifest.get("reshard_floor", -1):
+            raise ValueError(
+                f"round {round_id!r} predates the reshard barrier — its "
+                "layout no longer exists"
+            )
+        age = len(rounds) - 1 - idx
+        if age >= self.manifest["undo_window"] and round_id not in set(
+            self.manifest.get("tags", {}).values()
+        ):
+            # GC has (or may have) already trimmed what this snapshot
+            # needs — tags pin LIVE history, they can't resurrect it
+            raise ValueError(
+                f"round {round_id!r} is {age} rounds old — outside "
+                f"undo_window={self.manifest['undo_window']}; tags must be "
+                "created while the snapshot is still in-window"
+            )
+        tags = self.manifest.setdefault("tags", {})
+        existing = tags.get(name)
+        if existing is not None and existing != round_id:
+            raise ValueError(
+                f"tag {name!r} already pins round {existing!r}; drop it first"
+            )
+        tags[name] = round_id
+        self._write_manifest()
+        return round_id
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a snapshot tag. History the tag alone was retaining
+        becomes GC-eligible immediately (manifest-swap-before-delete, as
+        everywhere)."""
+        self.ensure_writer_lock()
+        tags = self.manifest.setdefault("tags", {})
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r}")
+        del tags[name]
+        doomed = self._gc()
+        self._write_manifest()
+        for path in doomed:
+            if os.path.exists(path):
+                os.remove(path)
+
     def state_map_as_of(
         self, round_id: str, part_range: tuple | None = None
     ) -> dict:
@@ -195,11 +271,17 @@ class Lake:
         the same ``undo_window`` that bounds rollback: the GC keeps, per
         partition, every in-window version plus the newest pre-window base
         and its following deltas, which is exactly what reconstructing any
-        in-window snapshot needs. Versions committed after ``round_id`` are
-        skipped; a partition first touched later is absent (empty then)."""
+        in-window snapshot needs. TAGGED rounds are exempt from the window
+        bound — the GC retains whatever a tag needs (:meth:`tag`).
+        Versions committed after ``round_id`` are skipped; a partition
+        first touched later is absent (empty then)."""
         idx = self.round_position(round_id)
         rounds = self.manifest["committed_rounds"]
-        if len(rounds) - 1 - idx >= self.manifest["undo_window"]:
+        tagged = set(self.manifest.get("tags", {}).values())
+        if (
+            round_id not in tagged
+            and len(rounds) - 1 - idx >= self.manifest["undo_window"]
+        ):
             raise ValueError(
                 f"snapshot at {round_id} is {len(rounds) - 1 - idx} rounds "
                 f"old — outside undo_window={self.manifest['undo_window']}"
@@ -342,21 +424,32 @@ class Lake:
 
     def _gc(self) -> list:
         """Trim per-partition history to versions from the last
-        ``undo_window`` committed rounds. Returns the now-unreferenced
-        fragment paths — the caller deletes them AFTER the manifest swap."""
+        ``undo_window`` committed rounds, PLUS whatever any snapshot tag
+        needs. Returns the now-unreferenced fragment paths — the caller
+        deletes them AFTER the manifest swap."""
         rounds = self.manifest["committed_rounds"]
-        keep_rounds = {r["round_id"] for r in rounds[-self.manifest["undo_window"] :]}
+        pos = {r["round_id"]: i for i, r in enumerate(rounds)}
+        # ANCHORS: every round whose state must stay reconstructible — the
+        # oldest in-window round and every tagged round. Keeping, per
+        # partition, everything from the newest base at-or-before the
+        # OLDEST anchor reconstructs state at every anchor (a base is a
+        # restore point; every later version is retained).
+        min_anchor = max(0, len(rounds) - self.manifest["undo_window"])
+        for rid in self.manifest.get("tags", {}).values():
+            if rid in pos:
+                min_anchor = min(min_anchor, pos[rid])
         doomed = []
         for p, versions in self.manifest["partitions"].items():
             if len(versions) <= 1:
                 continue
-            # keep all in-window versions PLUS the newest pre-window BASE
-            # and every delta after it: together they reconstruct state at
-            # any rollback boundary inside the undo window (a delta alone
-            # is not a restore point).
             first_keep = 0
             for i, v in enumerate(versions):
-                if v["round"] not in keep_rounds and v.get("kind", "base") == "base":
+                vpos = pos.get(v["round"])
+                if (
+                    vpos is not None
+                    and vpos <= min_anchor
+                    and v.get("kind", "base") == "base"
+                ):
                     first_keep = i
             kept = versions[first_keep:]
             doomed.extend(
@@ -436,6 +529,14 @@ class Lake:
             raise ValueError("reshard needs at least one committed round")
         if round_id in self.committed_round_ids():
             return  # idempotent replay
+        if self.manifest.get("tags"):
+            # reshard replaces the whole layout — every tag's snapshot
+            # would become unreadable; force an explicit drop instead of
+            # silently breaking named refs
+            raise ValueError(
+                f"snapshot tag(s) {sorted(self.manifest['tags'])} pin "
+                "pre-reshard history; drop them before resharding"
+            )
         last = rounds[-1]
         old_files = [
             os.path.join(self.root, v["file"])
@@ -508,6 +609,15 @@ class Lake:
                 f"layout no longer exists"
             )
         undone_ids = {r["round_id"] for r in undone}
+        pinned = sorted(
+            n for n, rid in self.manifest.get("tags", {}).items()
+            if rid in undone_ids
+        )
+        if pinned:
+            raise ValueError(
+                f"rollback would undo round(s) pinned by tag(s) {pinned}; "
+                "drop the tag(s) first"
+            )
         doomed = []
         for p, versions in list(self.manifest["partitions"].items()):
             kept = [v for v in versions if v["round"] not in undone_ids]

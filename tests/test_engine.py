@@ -1499,3 +1499,64 @@ def test_reshard_preserves_state_and_stream_continues(ray_session, tmp_path):
     )
     eng.close()
     eng2.close()
+
+
+def test_snapshot_tags_retain_and_guard(ray_session, tmp_path, make_lake):
+    """Named snapshot tags: a tag pins a committed round past the undo
+    window (GC retains its fragments), serves time-travel reads by name,
+    blocks rollback of the pinned round until dropped, and refuses to be
+    created on already-trimmed history."""
+    spec = gen.GenSpec(seed=43, n_convs=120, mean_turns=6, n_epochs=8)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    # phase 1: first 3 epochs only (same files — round ids line up)
+    import shutil
+
+    part = str(tmp_path / "log3")
+    os.makedirs(part)
+    for p in sorted(glob.glob(os.path.join(log, "changes-*.parquet")))[:3]:
+        shutil.copy(p, part)
+
+    eng = make_lake(num_partitions=8, undo_window=2)
+    eng.apply_log(part)
+    expect = eng.read_lake_pandas()
+    rid = eng.tag("v1")
+    assert eng.lake.tags == {"v1": rid}
+
+    # phase 2: the remaining 5 epochs push v1 far outside undo_window=2
+    eng.apply_log(log)
+    got = (
+        eng.read_lake(as_of_tag="v1", include_system=True)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[expect.columns.tolist()], expect, check_dtype=False
+    )
+
+    # an UNTAGGED round that old is not readable (window bound still real)
+    rounds = eng.lake.manifest["committed_rounds"]
+    with pytest.raises(ValueError, match="outside undo_window"):
+        eng.lake.state_map_as_of(rounds[3]["round_id"])
+    # and can no longer be tagged (tags pin live history only)
+    with pytest.raises(ValueError, match="still in-window"):
+        eng.lake.tag("late", round_id=rounds[3]["round_id"])
+
+    # rollback guard: pin the head, rollback of it must be refused
+    eng.tag("head")
+    with pytest.raises(ValueError, match="drop the tag"):
+        eng.lake.rollback(int(rounds[-2]["cursor_hi"]))
+    # reshard guard: tags pin pre-reshard history
+    with pytest.raises(ValueError, match="drop them before resharding"):
+        eng.lake.commit_reshard(16, [], "rs-guard")
+    eng.drop_tag("head")
+    eng.lake.rollback(int(rounds[-2]["cursor_hi"]))  # now fine
+
+    # dropping v1 releases its retained history: the old snapshot is gone
+    eng.drop_tag("v1")
+    with pytest.raises(ValueError, match="outside undo_window"):
+        eng.lake.state_map_as_of(rid)
+    with pytest.raises(KeyError):
+        eng.lake.round_for_tag("v1")
+    eng.close()
