@@ -49,10 +49,27 @@ def _engine(args):
     )
 
 
+def _load_audit(spec: str | None):
+    """Resolve a ``module:function`` dotted path to the WAP audit callable
+    (the CLI face of ``Engine.apply_log(audit=...)``)."""
+    if not spec:
+        return None
+    import importlib
+
+    mod, _, fn = spec.partition(":")
+    if not fn:
+        raise SystemExit(f"--audit wants module:function, got {spec!r}")
+    return getattr(importlib.import_module(mod), fn)
+
+
 def cmd_replay(args) -> int:
     _init_ray(args.num_cpus)
     eng = _engine(args)
-    results = eng.apply_log(args.log_dir, epochs_per_round=args.epochs_per_round)
+    results = eng.apply_log(
+        args.log_dir,
+        epochs_per_round=args.epochs_per_round,
+        audit=_load_audit(getattr(args, "audit", None)),
+    )
     for r in results:
         print(json.dumps({k: v for k, v in r.items() if k != "touched_parts"},
                          default=str))
@@ -361,6 +378,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salted", action="store_true", help="skew pre-fold path")
     p.add_argument("--with-conv-latest", action="store_true",
                    help="also maintain the derived conv_latest table")
+    p.add_argument("--audit", default=None, metavar="MODULE:FUNCTION",
+                   help="write-audit-publish gate run before each commit")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("stream", help="tail a change-log dir (follow loop)")

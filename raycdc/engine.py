@@ -59,6 +59,80 @@ from raycdc import schema as S
 _FILE_RE = re.compile(r"changes-(\d+)-(\d+)-(\d+)(?:-s(\d+))?\.parquet$")
 
 
+class AuditRejectedError(RuntimeError):
+    """A write-audit-publish audit rejected a staged round. Nothing was
+    committed: the staged fragment files were deleted and merger caches
+    dropped, so a later replay of the same round starts clean."""
+
+
+class AuditContext:
+    """What a write-audit-publish ``audit`` callback sees for one staged
+    round. The round's fragments are ON DISK but the manifest does not
+    reference them yet — the natural stage/publish gap of the
+    manifest-swap commit (the reference's two-phase export-then-checkpoint,
+    ``indexer/controller/stream_controller.py:96-120`` in /root/reference;
+    Iceberg's WAP pattern). ``metrics`` carries the round's counters
+    (n_events, n_rows, n_live, touched_parts, wall_sec);
+    :meth:`staged_read` returns the WOULD-BE published table state,
+    :meth:`committed_read` the still-live one — audits diff the two.
+
+    Contract: the audit runs on the DRIVER between fragment write and
+    manifest commit; return False or raise to reject (the engine raises
+    :class:`AuditRejectedError` and discards the staged fragments), any
+    other return publishes."""
+
+    def __init__(self, engine, round_id, files, schema, staged_parts, metrics):
+        self._engine = engine
+        self.round_id = round_id
+        self.files = files
+        self._schema = schema
+        self._staged_parts = staged_parts  # [(part, kind)] as written
+        self.metrics = metrics
+
+    def fragment_paths(self) -> list:
+        """Absolute paths of this round's staged fragment files."""
+        return [
+            self._engine.lake.fragment_abspath(p, self.round_id, k)
+            for p, k in self._staged_parts
+        ]
+
+    def committed_read(self, **kw):
+        """The live (pre-publish) table state — ``Engine.read_lake``."""
+        return self._engine.read_lake(**kw)
+
+    def staged_read(self, table=None, columns=None, include_system=False):
+        """The table state AS IF this round were published: the committed
+        partition map overlaid with the round's staged fragments, served
+        through the same per-partition fold as any delta-bearing read."""
+        eng = self._engine
+        t_idx = eng._table_index(table)
+        nparts = eng.lake.num_partitions
+        prange = (t_idx * nparts, (t_idx + 1) * nparts)
+        sm = eng.lake.live_state_map(prange)
+        staged_in_range = []
+        for p, kind in self._staged_parts:
+            if not (prange[0] <= int(p) < prange[1]):
+                continue
+            frag = eng.lake.fragment_abspath(int(p), self.round_id, kind)
+            staged_in_range.append(frag)
+            if kind == "base":
+                sm[int(p)] = {"base": frag, "deltas": []}
+            else:
+                ent = sm.get(int(p)) or {"base": None, "deltas": []}
+                sm[int(p)] = {
+                    "base": ent["base"],
+                    "deltas": list(ent["deltas"]) + [frag],
+                }
+        schema = self._schema if t_idx == 0 else eng._table_schema(t_idx)
+        if schema is None and staged_in_range:
+            # first-ever round of a derived table: no manifest schema yet
+            schema = pa.schema(
+                [f for f in pq.read_schema(staged_in_range[0]) if f.name != "part"]
+            )
+        key_cols = list(eng.tables[t_idx].key_cols)
+        return eng._read_lake_folded(sm, schema, columns, include_system, key_cols)
+
+
 def _limit_arrow_threads(n: int = 2) -> None:
     """Cap Arrow's per-process thread pools inside Ray workers/actors.
     Every Ray worker process otherwise spawns an arrow pool sized to ALL
@@ -963,7 +1037,7 @@ class Engine:
 
     # -- one commit round --------------------------------------------------
 
-    def apply_round(self, files: list[dict], round_id: str) -> dict:
+    def apply_round(self, files: list[dict], round_id: str, audit=None) -> dict:
         orphans = self.lake.orphaned_epochs()
         if round_id in self.lake.committed_round_ids() or (
             orphans and all(f["epoch"] in orphans for f in files)
@@ -979,7 +1053,7 @@ class Engine:
         if self.exchange == "direct":
             lo = min(f["cursor_lo"] for f in files)
             stats = self._run_direct(paths, schema_str, nparts, round_id, lo)
-            return self._commit(files, round_id, schema, stats, t0)
+            return self._commit(files, round_id, schema, stats, t0, audit=audit)
 
         ds = ray.data.read_parquet(paths)
         ds = ds.map_batches(
@@ -1018,7 +1092,7 @@ class Engine:
         stats = stats_ds.to_pandas()  # ≤ P rows
         if os.environ.get("RAYCDC_STATS"):
             print(stats_ds.stats())
-        return self._commit(files, round_id, schema, stats, t0)
+        return self._commit(files, round_id, schema, stats, t0, audit=audit)
 
     def _run_direct(
         self, paths: list, schema_str: str, nparts: int, round_id: str, cursor_lo: int
@@ -1396,7 +1470,7 @@ class Engine:
             for i, h in enumerate(self._ensure_pool())
         ]
 
-    def _commit(self, files, round_id, schema, stats, t0) -> dict:
+    def _commit(self, files, round_id, schema, stats, t0, audit=None) -> dict:
         wall = time.perf_counter() - t0
         if os.environ.get("RAYCDC_STATS") and len(stats):
             print("merge_sec per part: total",
@@ -1434,37 +1508,81 @@ class Engine:
             "wall_sec": wall,
             "events_per_sec": n_events / wall if wall > 0 else 0.0,
         }
+        touched = (
+            sorted(
+                (int(p), str(k))
+                for p, k in zip(
+                    stats["part"], stats.get("kind", ["base"] * len(stats))
+                )
+            )
+            if len(stats)
+            else []
+        )
+        if audit is not None:
+            # write-audit-publish: fragments are staged on disk, manifest
+            # untouched — the audit gates the publish (commit_round)
+            ctx = AuditContext(self, round_id, files, schema, touched, metrics)
+            try:
+                verdict = audit(ctx)
+            except Exception as exc:
+                self._abort_staged(round_id, touched)
+                raise AuditRejectedError(
+                    f"audit of round {round_id} raised: {exc}"
+                ) from exc
+            if verdict is False:
+                self._abort_staged(round_id, touched)
+                raise AuditRejectedError(
+                    f"audit of round {round_id} returned False"
+                )
         self.lake.commit_round(
             round_id=round_id,
             epochs=[f["epoch"] for f in files],
             cursor_lo=min(f["cursor_lo"] for f in files),
             cursor_hi=max(f["cursor_hi"] for f in files),
-            touched_parts=(
-                sorted(
-                    (int(p), str(k))
-                    for p, k in zip(stats["part"], stats.get("kind", ["base"] * len(stats)))
-                )
-                if len(stats)
-                else []
-            ),
+            touched_parts=touched,
             schema=schema,
             metrics=metrics,
         )
         return {"round_id": round_id, "skipped": False, **metrics}
 
+    def _abort_staged(self, round_id: str, touched: list) -> None:
+        """Discard a staged (audit-rejected) round: delete its fragment
+        files and drop merger caches that may mirror them. Exactly-once is
+        preserved — nothing reached the manifest, and fragment names are
+        deterministic, so a later replay of the same round rewrites
+        identical files from scratch."""
+        for p, kind in touched:
+            path = self.lake.fragment_abspath(int(p), round_id, kind)
+            if os.path.exists(path):
+                os.remove(path)
+        if self.exchange == "direct":
+            ray.get([h.drop_cache.remote() for h in self._ensure_pool()])
+
     # -- full log replay ---------------------------------------------------
 
-    def apply_log(self, log_dir: str, epochs_per_round: int = 1) -> list[dict]:
+    def apply_log(
+        self, log_dir: str, epochs_per_round: int = 1, audit=None
+    ) -> list[dict]:
         """Replay every epoch file under ``log_dir`` in commit rounds.
         Already-committed rounds are skipped (resume); rollback epochs are
         barriers applied via the undo buffer. Resume contract: use the same
         ``epochs_per_round`` across restarts (round ids derive from epoch
-        groups)."""
+        groups).
+
+        ``audit`` (optional) enables WRITE-AUDIT-PUBLISH: after each
+        round's fragments are staged and before its manifest commit, the
+        callback runs with an :class:`AuditContext`; returning False or
+        raising rejects the round (fragments discarded, replay stops with
+        :class:`AuditRejectedError`). Auditing forces the sequential
+        executor — round N+1 must not be merged speculatively on top of a
+        round the audit may still reject."""
         return self.apply_log_files(
-            discover_epoch_files(log_dir), epochs_per_round=epochs_per_round
+            discover_epoch_files(log_dir),
+            epochs_per_round=epochs_per_round,
+            audit=audit,
         )
 
-    def apply_dataset(self, ds, epoch: int | None = None) -> dict:
+    def apply_dataset(self, ds, epoch: int | None = None, audit=None) -> dict:
         """CDC-apply an in-flight change-event Dataset (columns: op,
         conv_id, turn_idx, cursor, seq + payload) as ONE epoch — the
         ``lake://`` sink of the exporter factory (the reference's
@@ -1511,10 +1629,10 @@ class Engine:
         files = [
             {"epoch": epoch, "paths": paths, "cursor_lo": lo, "cursor_hi": hi}
         ]
-        return self.apply_round(files, f"r{epoch:06d}-{epoch:06d}")
+        return self.apply_round(files, f"r{epoch:06d}-{epoch:06d}", audit=audit)
 
     def apply_log_files(
-        self, files: list[dict], epochs_per_round: int = 1
+        self, files: list[dict], epochs_per_round: int = 1, audit=None
     ) -> list[dict]:
         """Replay an explicit (ordered) list of discovered epoch entries —
         the unit the stream controller feeds (raycdc.stream.follow)."""
@@ -1525,9 +1643,9 @@ class Engine:
             last_cursor=self.lake.last_cursor(),
         )
 
-        if self.exchange == "direct":
+        if self.exchange == "direct" and audit is None:
             return self._execute_plan_pipelined(plan)
-        return self._execute_plan_sequential(plan)
+        return self._execute_plan_sequential(plan, audit=audit)
 
     def _rollback(self, to_cursor: int, epoch: int) -> dict:
         if epoch in self.lake.applied_rollback_epochs():
@@ -1549,13 +1667,13 @@ class Engine:
             ray.get([h.drop_cache.remote() for h in self._ensure_pool()])
         return {"round_id": f"rollback@{epoch}", "rollback_to": to_cursor}
 
-    def _execute_plan_sequential(self, plan: list) -> list[dict]:
+    def _execute_plan_sequential(self, plan: list, audit=None) -> list[dict]:
         results = []
         for item in plan:
             if item[0] == "rollback":
                 results.append(self._rollback(item[1], item[2]))
             else:
-                results.append(self.apply_round(item[1], item[2]))
+                results.append(self.apply_round(item[1], item[2], audit=audit))
         return results
 
     def _execute_plan_pipelined(self, plan: list) -> list[dict]:

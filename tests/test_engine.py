@@ -1560,3 +1560,96 @@ def test_snapshot_tags_retain_and_guard(ray_session, tmp_path, make_lake):
     with pytest.raises(KeyError):
         eng.lake.round_for_tag("v1")
     eng.close()
+
+
+def test_write_audit_publish(ray_session, tmp_path, make_lake):
+    """Write-audit-publish: the audit callback runs between fragment
+    staging and manifest commit, sees the would-be state, and can reject
+    the round — leaving the lake exactly as before (no manifest entry, no
+    stray fragments) so a later replay resumes cleanly."""
+    from raycdc.engine import AuditRejectedError
+
+    spec = gen.GenSpec(seed=47, n_convs=100, mean_turns=6, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+
+    eng = make_lake(num_partitions=8)
+    staged_snaps = []
+
+    def audit(ctx):
+        assert ctx.metrics["n_events"] > 0
+        staged = (
+            ctx.staged_read(include_system=True)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+        committed = ctx.committed_read(include_system=True).to_pandas()
+        # the staged view is the committed view + this round's effects
+        assert len(staged) >= len(committed) - ctx.metrics["n_events"]
+        assert all(os.path.exists(p) for p in ctx.fragment_paths())
+        staged_snaps.append((ctx.round_id, staged))
+        return True
+
+    res = eng.apply_log(log, audit=audit)
+    assert [r["round_id"] for r in res] == [rid for rid, _ in staged_snaps]
+    assert_matches_oracle(eng, log)
+    # the LAST staged view the audit saw IS the published final state
+    final = eng.read_lake_pandas()
+    last = staged_snaps[-1][1]
+    pd.testing.assert_frame_equal(
+        last[final.columns.tolist()], final, check_dtype=False
+    )
+    eng.close()
+
+    # rejection: round 2's audit returns False → AuditRejectedError, only
+    # round 1 committed, rejected fragments deleted
+    eng2 = Engine(str(tmp_path / "lake2"), num_partitions=8)
+    calls = []
+
+    def reject_second(ctx):
+        calls.append(ctx.round_id)
+        return len(calls) != 2
+
+    with pytest.raises(AuditRejectedError, match="returned False"):
+        eng2.apply_log(log, audit=reject_second)
+    assert len(eng2.lake.manifest["committed_rounds"]) == 1
+    leftovers = [
+        p
+        for p in glob.glob(
+            os.path.join(str(tmp_path / "lake2"), "fragments", "*", "*")
+        )
+        if calls[1] in os.path.basename(p)
+    ]
+    assert leftovers == []
+
+    # an audit that RAISES is also a rejection (chained cause)
+    def explode(ctx):
+        raise RuntimeError("null rate too high")
+
+    with pytest.raises(AuditRejectedError, match="null rate too high"):
+        eng2.apply_log(log, audit=explode)
+    assert len(eng2.lake.manifest["committed_rounds"]) == 1
+
+    # resume without the audit publishes the remaining rounds; final state
+    # is byte-identical to the never-audited replay
+    eng2.apply_log(log)
+    assert_matches_oracle(eng2, log)
+    eng2.close()
+
+
+def test_write_audit_publish_groupby_exchange(ray_session, tmp_path):
+    """WAP through the groupby exchange path (audit forces sequential in
+    direct mode; groupby is sequential already)."""
+    from raycdc.engine import AuditRejectedError
+
+    spec = gen.GenSpec(seed=48, n_convs=80, mean_turns=5, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4, exchange="groupby")
+    with pytest.raises(AuditRejectedError):
+        eng.apply_log(log, audit=lambda ctx: False)
+    assert eng.lake.manifest["committed_rounds"] == []
+    eng.apply_log(log, audit=lambda ctx: True)
+    assert_matches_oracle(eng, log)
+    eng.close()
