@@ -289,6 +289,26 @@ def cmd_rollback(args) -> int:
     return 0
 
 
+def cmd_mirror(args) -> int:
+    """Replicate a lake into a second lake via the changefeed consumer
+    protocol (exactly-once effect; see exporters.replicate_lake)."""
+    _init_ray(args.num_cpus)
+    from raycdc.engine import Engine
+    from raycdc.exporters import replicate_lake
+
+    src = _engine(args)
+    dst = Engine(args.dest, num_partitions=args.dest_partitions)
+    out = replicate_lake(src, dst, consumer=args.name)
+    print(json.dumps({
+        "windows": out["windows"],
+        "dst_last_cursor": dst.lake.last_cursor(),
+        "dst_rounds": len(dst.lake.manifest["committed_rounds"]),
+    }))
+    src.close()
+    dst.close()
+    return 0
+
+
 def cmd_tag(args) -> int:
     # pure manifest surgery — no Ray needed (named snapshot refs)
     from raycdc.lake import Lake
@@ -460,6 +480,13 @@ def main(argv: list[str] | None = None) -> int:
     _common(p)
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_aggregate)
+
+    p = sub.add_parser("mirror", help="replicate this lake into another lake")
+    _common(p)
+    p.add_argument("--dest", required=True, help="destination lake directory")
+    p.add_argument("--dest-partitions", type=int, default=16)
+    p.add_argument("--name", default="mirror", help="consumer-group name")
+    p.set_defaults(fn=cmd_mirror)
 
     p = sub.add_parser("tag", help="manage named snapshot tags")
     p.add_argument("--lake", required=True, help="lake directory")

@@ -507,3 +507,75 @@ def export_incremental(
     os.replace(tmp, state_path)
     return {"exported_files": files, "window": (lo_idx + 1, hi_idx),
             "anchor": head}
+
+
+# -- lake→lake mirroring (changefeed-fed replica, exactly-once effect) --------
+
+
+def replicate_lake(
+    src, dst, consumer: str = "mirror", table: str | None = None
+) -> dict:
+    """Mirror one lake table into ANOTHER lake via the changefeed consumer
+    protocol — the full CDC composition: upstream change log → src lake →
+    net-delta changefeed → dst lake upsert apply (the reference's
+    multi-sink fan-out of synced block ranges,
+    ``indexer/controller/stream_controller.py`` in /root/reference, with a
+    second lake as the sink).
+
+    Each tick ships the consumer's next window as ONE dst epoch whose
+    number is the src head's ledger position + 1 — deterministic across
+    retries — so three independent fences stack into exactly-once EFFECT
+    under crash-anywhere:
+
+    - crash before dst commit → nothing changed; re-poll re-derives the
+      byte-identical window (both anchors are committed rounds);
+    - crash between dst commit and ack → re-delivery hits dst's epoch
+      fence (same window → same epoch → skipped) or, if src advanced
+      meanwhile, the wider window's overlap re-applies as guarded-LWW
+      no-ops (net-delta windows are idempotent);
+    - re-acking is a no-op.
+
+    A consumer whose anchor was rolled away raises (consumer_poll's
+    KeyError) — roll the replica back to the matching boundary or
+    re-bootstrap it; mirroring never silently re-feeds undone rows.
+    Schema evolution flows through: the feed carries the src table's
+    current schema and dst unifies Arrow-natively on apply.
+
+    Returns {"windows": n_applied, "results": [apply metrics...]}.
+    """
+    import pyarrow.compute as pc
+
+    applied = []
+    while True:
+        win = src.consumer_poll(consumer, table=table)
+        if win is None:
+            break
+        epoch = src.lake.round_position(win["ack_round"]) + 1
+        rid = f"r{epoch:06d}-{epoch:06d}"
+        if rid in dst.lake.committed_round_ids():
+            # crash-between-commit-and-ack replay: already applied
+            src.consumer_ack(consumer, win["ack_round"], table=table)
+            continue
+
+        def to_events(t):
+            import pyarrow as _pa
+
+            # Feed rows are FULL row images, so non-deletes must apply as
+            # "insert" (full-state replace — starts a new merge segment),
+            # NOT "update": update's null-means-unchanged patch semantics
+            # would resurrect stale replica values wherever the source's
+            # current value is genuinely null.
+            op = pc.if_else(
+                pc.equal(t.column("change_op"), _pa.scalar("delete")),
+                _pa.scalar("delete"),
+                _pa.scalar("insert"),
+            )
+            return t.drop_columns(["change_op"]).append_column("op", op)
+
+        res = dst.apply_dataset(
+            win["dataset"].map_batches(to_events, batch_format="pyarrow"),
+            epoch=epoch,
+        )
+        applied.append(res)
+        src.consumer_ack(consumer, win["ack_round"], table=table)
+    return {"windows": len(applied), "results": applied}

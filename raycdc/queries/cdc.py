@@ -272,6 +272,46 @@ def cdc_cascade(sf_dir: str):
     return eng_b.read_lake_pandas()
 
 
+def cdc_mirror(sf_dir: str):
+    """Lake→lake mirroring through the changefeed CONSUMER-GROUP protocol
+    (:func:`raycdc.exporters.replicate_lake`): a named durable consumer
+    polls the source's net-delta windows and applies each as ONE
+    deterministic epoch on the replica (epoch = src ledger position, so
+    re-delivery lands in the replica's epoch fence — exactly-once effect).
+    vs ``cdc_cascade`` (manual two-window feed re-ingest) this drives the
+    full production loop: poll → apply → ack, caught-up no-op, and the
+    replayed tick after a dropped ack. Feed rows are FULL folded rows with
+    their original (cursor, seq), applied as full-state inserts (null means
+    null — update's patch semantics would resurrect stale replica values),
+    so the replica must equal the source bit-for-bit: the oracle is the
+    SAME replay SQL as ``cdc_replay``. Reference analog: the stream
+    controller's per-sink synced block ranges
+    (``indexer/controller/stream_controller.py``)."""
+    from raycdc.exporters import replicate_lake
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    key = (gen.spec_fingerprint(spec), "mirror")
+    eng_b = _ENGINE_MEMO.get(key)
+    if eng_b is None:
+        eng_a = _replayed_engine(sf_dir, salted=False)
+        lake_b = _scratch_lake(spec, "mirror")
+        shutil.rmtree(lake_b, ignore_errors=True)
+        eng_b = Engine(lake_b, num_partitions=8)
+        out = replicate_lake(eng_a, eng_b, consumer="mirror-q")
+        assert out["windows"] == 1, out
+        # caught-up tick is a no-op (the consumer offset is durable)
+        assert replicate_lake(eng_a, eng_b, consumer="mirror-q")["windows"] == 0
+        # dropped-ack probe: rewind the consumer to the first committed
+        # round and tick again — the re-delivered overlap must be absorbed
+        # by the epoch fence / idempotent re-apply, leaving state unchanged
+        first = eng_a.lake.manifest["committed_rounds"][0]["round_id"]
+        eng_a.consumer_ack("mirror-q", first)
+        replicate_lake(eng_a, eng_b, consumer="mirror-q")
+        eng_b.close()
+        _ENGINE_MEMO[key] = eng_b
+    return eng_b.read_lake_pandas()
+
+
 def _derived_engine(sf_dir: str) -> Engine:
     """ONE four-table replay shared by every derived-index query
     (current-state, inverted index, fingerprint index): the reference
@@ -1869,6 +1909,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         ),
         "cdc_replay_salted": replay,  # salted path must be bit-identical
         "cdc_cascade": replay,  # feed-replicated copy must equal the source
+        "cdc_mirror": replay,  # consumer-protocol replica must equal the source
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
             path=ev_path, where=""
         ),
@@ -2084,6 +2125,7 @@ QUERIES = {
     "cdc_dead_letter": cdc_dead_letter,
     "cdc_partition_stats": cdc_partition_stats,
     "cdc_cascade": cdc_cascade,
+    "cdc_mirror": cdc_mirror,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,

@@ -128,6 +128,12 @@ def test_t2_schema_evolution(ray_session, tmp_path, make_lake):
     eng.apply_log(log, epochs_per_round=2)
     got = eng.read_lake_pandas()
     assert "tool_meta" in got.columns  # column add propagated to the lake
+    # type-widen propagated too: turn_idx int32 (pre-evolution epochs)
+    # unified to int64 across the whole lake (schema.unify's _widen)
+    import pyarrow as pa
+
+    sch = eng.read_lake(include_system=True).schema()
+    assert sch.types[sch.names.index("turn_idx")] == pa.int64()
     assert_matches_oracle(eng, log)
 
 
@@ -1653,3 +1659,79 @@ def test_write_audit_publish_groupby_exchange(ray_session, tmp_path):
     eng.apply_log(log, audit=lambda ctx: True)
     assert_matches_oracle(eng, log)
     eng.close()
+
+
+def test_lake_mirror_replication(ray_session, tmp_path, make_lake):
+    """Lake→lake mirroring over the changefeed consumer protocol:
+    bootstrap window, incremental window across schema evolution, caught-up
+    no-op, and crash-between-apply-and-ack re-delivery all leave the
+    replica value-identical to the source table."""
+    import shutil
+
+    from raycdc.exporters import replicate_lake
+
+    spec = gen.GenSpec(
+        seed=53, n_convs=120, mean_turns=6, n_epochs=6, evolve_at_epoch=4
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    part = str(tmp_path / "log3")
+    os.makedirs(part)
+    for p in sorted(glob.glob(os.path.join(log, "changes-*.parquet")))[:3]:
+        shutil.copy(p, part)
+
+    # merge_actors=1 each: three engines share the 4-CPU test session,
+    # and CPU-pinned pools must leave room for scan/push tasks
+    src = make_lake(num_partitions=8, merge_actors=1)
+    dst = Engine(str(tmp_path / "replica"), num_partitions=4, merge_actors=1)
+
+    def assert_mirrored():
+        want = src.read_lake_pandas().drop(columns=["seq"])
+        got = dst.read_lake_pandas().drop(columns=["seq"])
+        # seq is per-apply bookkeeping; the mirrored VALUES + cursors match
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+    # bootstrap window: full state as one epoch
+    src.apply_log(part)
+    out = replicate_lake(src, dst, consumer="m")
+    assert out["windows"] == 1
+    assert_mirrored()
+
+    # caught up → no-op
+    assert replicate_lake(src, dst, consumer="m")["windows"] == 0
+
+    # incremental window across schema evolution (tool_meta arrives)
+    src.apply_log(log)
+    out = replicate_lake(src, dst, consumer="m")
+    assert out["windows"] == 1
+    assert "tool_meta" in dst.read_lake_pandas().columns
+    assert_mirrored()
+
+    # crash between dst apply and ack: manually deliver without acking,
+    # then the next tick must re-deliver into the epoch fence (no double
+    # apply) and still converge
+    src.consumer_ack("m", src.lake.manifest["committed_rounds"][2]["round_id"])
+    win = src.consumer_poll("m")
+    assert win is not None
+    from raycdc.exporters import replicate_lake as _rl  # same path
+
+    before_rounds = len(dst.lake.manifest["committed_rounds"])
+    out = replicate_lake(src, dst, consumer="m")  # re-delivers (un-acked)
+    assert_mirrored()
+    # the re-delivered overlap applied as guarded-LWW no-ops or was fenced:
+    # at most one new dst round for the single re-delivered window
+    assert len(dst.lake.manifest["committed_rounds"]) <= before_rounds + 1
+
+    # independent second replica from scratch converges too (bootstrap
+    # over the FINAL state, one window)
+    dst2 = Engine(str(tmp_path / "replica2"), num_partitions=4, merge_actors=1)
+    out = replicate_lake(src, dst2, consumer="m2")
+    assert out["windows"] == 1
+    want = src.read_lake_pandas().drop(columns=["seq"])
+    got = dst2.read_lake_pandas().drop(columns=["seq"])
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    src.close(); dst.close(); dst2.close()
