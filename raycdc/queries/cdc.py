@@ -312,6 +312,120 @@ def cdc_mirror(sf_dir: str):
     return eng_b.read_lake_pandas()
 
 
+# line-dedup pack key: conv number (< 2^20 at every tier) × 2^20 + turn_idx
+_LINE_PACK = 1 << 20
+
+
+def cdc_line_dedup(sf_dir: str):
+    """LINE-level corpus dedup over the assembled conversation corpus —
+    the CCNet preprocessing step (Wenzek et al., arXiv 1911.00359 §4.1;
+    also RefinedWeb, arXiv 2306.01116): every document line survives ONLY
+    at its first corpus occurrence; later identical lines (the generated
+    log plants ~10% mirrored-content conversations, plus short repeated
+    turns) are dropped, and each document is reassembled from its
+    surviving lines. Here document = live conversation, line =
+    ``role: text`` per turn, first = minimum (conv number, turn_idx)
+    pack — an int64, so the winner rule is identical in both engines.
+
+    Scale shape (100 TB): NO join and no driver gather — two bounded
+    shuffles of the corpus, each followed by one vectorized kernel:
+    (1) partition by H(line) (``phash`` — SQL-expressible, collisions
+    identical both sides), sort (h, pack), keep each hash's first row;
+    (2) partition by conv_id, lexsort, per-group C-speed ``str.join``
+    (the ``cdc_conv_text`` reassembly pattern). Reference analog: the
+    content-hash dedup scattered through the reference's custom modules
+    (``indexer/modules/custom/*`` fingerprint jobs), recast as the
+    LLM-corpus line dedup."""
+    from raycdc import phash as H
+
+    eng = _replayed_engine(sf_dir, salted=False)
+    ds = eng.read_lake(columns=["conv_id", "turn_idx", "role", "text"])
+
+    def line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        line = (
+            b["role"].fillna("").astype(str)
+            + ": "
+            + b["text"].fillna("").astype(str)
+        )
+        conv = b["conv_id"].astype(str)
+        num = conv.str.slice(5).astype("int64").to_numpy()
+        pack = num * _LINE_PACK + b["turn_idx"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": conv.to_numpy(dtype=object),
+                "turn_idx": b["turn_idx"].to_numpy().astype("int64"),
+                "line": line.to_numpy(dtype=object),
+                "h": H.poly_hash(line.to_numpy()).astype(np.int64),
+                "pack": pack,
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.drop(columns=["h", "pack"])
+        d = g.sort_values(["h", "pack"], kind="stable")
+        hh = d["h"].to_numpy()
+        first = np.ones(len(d), bool)
+        first[1:] = hh[1:] != hh[:-1]
+        return d[first].drop(columns=["h", "pack"])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "n_kept": pd.Series(dtype="int64"),
+                    "kept_chars": pd.Series(dtype="int64"),
+                    "doc": pd.Series(dtype=object),
+                }
+            )
+        d = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        key = d["conv_id"].to_numpy()
+        grp = d["line"].groupby(key)
+        doc = grp.agg("\n".join)
+        # per-line char counts vectorized BEFORE the group fold (only the
+        # join itself has no array kernel)
+        nch = d["line"].str.len().groupby(key).sum()
+        return pd.DataFrame(
+            {
+                "conv_id": doc.index.to_numpy(dtype=object),
+                "n_kept": grp.size().to_numpy().astype("int64"),
+                "kept_chars": nch.to_numpy().astype("int64"),
+                "doc": doc.to_numpy(dtype=object),
+            }
+        )
+
+    rows = ds.map_batches(line_rows, batch_format="pandas")
+    kept = C.by_partition(rows, "h", keep_first)
+    return C.by_partition(kept, "conv_id", assemble)
+
+
+def _line_dedup_sql(replay: str) -> str:
+    from raycdc import phash as H
+
+    h = H.sql_poly("line")
+    return f"""
+WITH replay AS ({replay}),
+lines AS (
+  SELECT conv_id, turn_idx,
+         coalesce(role, '') || ': ' || coalesce(text, '') AS line,
+         CAST(substr(conv_id, 6) AS BIGINT) * {_LINE_PACK} + turn_idx AS pack
+  FROM replay
+), hashed AS (
+  SELECT conv_id, turn_idx, line, pack, {h} AS h FROM lines
+), firsts AS (
+  SELECT h, min(pack) AS p0 FROM hashed GROUP BY h
+), kept AS (
+  SELECT hashed.conv_id, hashed.turn_idx, hashed.line
+  FROM hashed JOIN firsts ON hashed.h = firsts.h AND hashed.pack = firsts.p0
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(length(line)) AS BIGINT) AS kept_chars,
+       string_agg(line, chr(10) ORDER BY turn_idx) AS doc
+FROM kept GROUP BY conv_id
+"""
+
+
 def _derived_engine(sf_dir: str) -> Engine:
     """ONE four-table replay shared by every derived-index query
     (current-state, inverted index, fingerprint index): the reference
@@ -1910,6 +2024,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_replay_salted": replay,  # salted path must be bit-identical
         "cdc_cascade": replay,  # feed-replicated copy must equal the source
         "cdc_mirror": replay,  # consumer-protocol replica must equal the source
+        "cdc_line_dedup": _line_dedup_sql(replay),
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
             path=ev_path, where=""
         ),
@@ -2126,6 +2241,7 @@ QUERIES = {
     "cdc_partition_stats": cdc_partition_stats,
     "cdc_cascade": cdc_cascade,
     "cdc_mirror": cdc_mirror,
+    "cdc_line_dedup": cdc_line_dedup,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
