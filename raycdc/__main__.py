@@ -296,9 +296,13 @@ def cmd_mirror(args) -> int:
     from raycdc.engine import Engine
     from raycdc.exporters import replicate_lake
 
+    shard = None
+    if args.shard:
+        i, n = args.shard.split("/")
+        shard = (int(i), int(n))
     src = _engine(args)
     dst = Engine(args.dest, num_partitions=args.dest_partitions)
-    out = replicate_lake(src, dst, consumer=args.name)
+    out = replicate_lake(src, dst, consumer=args.name, shard=shard)
     print(json.dumps({
         "windows": out["windows"],
         "dst_last_cursor": dst.lake.last_cursor(),
@@ -306,6 +310,16 @@ def cmd_mirror(args) -> int:
     }))
     src.close()
     dst.close()
+    return 0
+
+
+def cmd_branch(args) -> int:
+    # pure manifest surgery + hardlinks — no Ray needed
+    from raycdc.lake import Lake
+
+    lake = Lake(args.lake)
+    out = lake.branch(args.dest, round_id=args.round, tag=args.tag)
+    print(json.dumps(out))
     return 0
 
 
@@ -486,7 +500,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dest", required=True, help="destination lake directory")
     p.add_argument("--dest-partitions", type=int, default=16)
     p.add_argument("--name", default="mirror", help="consumer-group name")
+    p.add_argument("--shard", help="I/N key-hash shard publication")
     p.set_defaults(fn=cmd_mirror)
+
+    p = sub.add_parser(
+        "branch", help="zero-copy writable branch at a round/tag"
+    )
+    p.add_argument("--lake", required=True, help="source lake directory")
+    p.add_argument("--dest", required=True, help="branch destination")
+    p.add_argument("--round", help="branch point round id (default: head)")
+    p.add_argument("--tag", help="branch at a named snapshot tag")
+    p.set_defaults(fn=cmd_branch)
 
     p = sub.add_parser("tag", help="manage named snapshot tags")
     p.add_argument("--lake", required=True, help="lake directory")

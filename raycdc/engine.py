@@ -1151,6 +1151,20 @@ class Engine:
                     )
                 else:
                     parts = ray.get(refs)
+                # drop actors that merged nothing this round (every
+                # partition empty — e.g. a key-sharded feed): their empty
+                # frames would poison concat's dtype inference (object
+                # "part" column → IndexError in _update_balance)
+                parts = [p for p in parts if p is not None and len(p)]
+                if not parts:
+                    return pd.DataFrame(
+                        {
+                            "part": pd.Series(dtype="int64"),
+                            "n_rows": pd.Series(dtype="int64"),
+                            "n_live": pd.Series(dtype="int64"),
+                            "merge_sec": pd.Series(dtype="float64"),
+                        }
+                    )
                 return pd.concat(parts, ignore_index=True)
             except Exception as e:
                 if attempt >= self.max_round_retries or not self._failure_is_retriable(e):

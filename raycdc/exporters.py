@@ -513,7 +513,11 @@ def export_incremental(
 
 
 def replicate_lake(
-    src, dst, consumer: str = "mirror", table: str | None = None
+    src,
+    dst,
+    consumer: str = "mirror",
+    table: str | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> dict:
     """Mirror one lake table into ANOTHER lake via the changefeed consumer
     protocol — the full CDC composition: upstream change log → src lake →
@@ -541,9 +545,23 @@ def replicate_lake(
     Schema evolution flows through: the feed carries the src table's
     current schema and dst unifies Arrow-natively on apply.
 
+    ``shard=(i, n)`` makes this a KEY-SHARDED publication: the replica
+    receives only rows whose key hash lands in shard ``i`` of ``n``
+    (Postgres logical-replication publication / Kafka topic-partition
+    fan-out). The predicate is on the KEY — never the payload — so
+    deletes (payload nulled) route to the same replica as the upserts
+    they tombstone, and the N shard replicas partition the source
+    exactly. The hash is the engine's v2 key hash, so shard routing is
+    SQL-checkable via :func:`raycdc.partition.sql_hash_v2_query`.
+
     Returns {"windows": n_applied, "results": [apply metrics...]}.
     """
+    import numpy as np
     import pyarrow.compute as pc
+
+    from raycdc import partition as _P
+
+    key_col = src.tables[src._table_index(table)].key_cols[0]
 
     applied = []
     while True:
@@ -570,7 +588,14 @@ def replicate_lake(
                 _pa.scalar("delete"),
                 _pa.scalar("insert"),
             )
-            return t.drop_columns(["change_op"]).append_column("op", op)
+            t = t.drop_columns(["change_op"]).append_column("op", op)
+            if shard is not None:
+                i, n = shard
+                keep = (
+                    _P.hash_conv(t.column(key_col), 2) % np.uint64(n)
+                ) == np.uint64(i)
+                t = t.filter(pa.array(keep))
+            return t
 
         res = dst.apply_dataset(
             win["dataset"].map_batches(to_events, batch_format="pyarrow"),

@@ -263,6 +263,107 @@ class Lake:
             if os.path.exists(path):
                 os.remove(path)
 
+    def branch(self, dest: str, round_id: str | None = None,
+               tag: str | None = None) -> dict:
+        """Create a ZERO-COPY WRITABLE BRANCH of this lake at a committed
+        round boundary (default: the live head) — the LakeFS/Nessie
+        branch / Delta shallow-clone analog. The branch is a fully
+        independent lake directory: its manifest is this lake's ledger
+        truncated at the branch point, and every fragment the snapshot
+        needs is HARDLINKED (inode-shared, no data copied; falls back to
+        a real copy across devices). Copy-on-write then holds by
+        construction: every fragment write in the engine is
+        tmp + ``os.replace`` and every delete is an unlink, so neither
+        side can ever mutate the shared inode under the other — the
+        branch diverges freely (new rounds, compaction, vacuum, even
+        reshard) without touching the source, and survives source vacuum
+        outright.
+
+        Same boundary guards as snapshots: the branch point must be
+        inside the undo window or pinned by a tag, and cannot predate a
+        reshard barrier. Tags at or before the branch point carry over;
+        consumer offsets do NOT (a branch is a new feed universe).
+        Returns {"round_id", "n_files", "linked", "copied"}."""
+        import shutil
+
+        if tag is not None:
+            round_id = self.round_for_tag(tag)
+        rounds = self.manifest["committed_rounds"]
+        if not rounds:
+            raise ValueError("cannot branch an empty lake")
+        if round_id is None:
+            round_id = rounds[-1]["round_id"]
+        idx = self.round_position(round_id)
+        # validation only (undo-window / reshard guards); the manifest walk
+        # below re-derives the same chains WITH their version metadata
+        self.state_map_as_of(round_id)
+        if os.path.exists(os.path.join(dest, MANIFEST)):
+            raise ValueError(f"branch destination {dest!r} is already a lake")
+        os.makedirs(os.path.join(dest, FRAGMENT_DIR), exist_ok=True)
+        allowed = {r["round_id"] for r in rounds[: idx + 1]}
+        new_parts: dict = {}
+        linked = copied = 0
+        for p, versions in self.manifest["partitions"].items():
+            chain: list = []
+            for v in versions:
+                if v["round"] not in allowed:
+                    continue
+                if v.get("kind", "base") == "base":
+                    chain = [dict(v)]
+                else:
+                    chain.append(dict(v))
+            if not chain:
+                continue
+            for v in chain:
+                src_abs = os.path.join(self.root, v["file"])
+                dst_abs = os.path.join(dest, v["file"])
+                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                try:
+                    os.link(src_abs, dst_abs)
+                    linked += 1
+                except OSError:
+                    shutil.copy2(src_abs, dst_abs)
+                    copied += 1
+            new_parts[p] = chain
+        man = {
+            "version": self.manifest["version"],
+            "num_partitions": self.manifest["num_partitions"],
+            "hash_version": self.manifest.get("hash_version", 1),
+            "undo_window": self.manifest["undo_window"],
+            "schema": self.manifest["schema"],
+            "committed_rounds": json.loads(
+                json.dumps(rounds[: idx + 1])
+            ),
+            "partitions": new_parts,
+            # keep rollback records whose rollback round is inside the
+            # prefix (stream replay fencing on the branch needs them)
+            "applied_rollbacks": json.loads(json.dumps([
+                rb
+                for rb in self.manifest.get("applied_rollbacks", [])
+                if rb.get("epoch") is None
+                or f"rollback@{rb['epoch']}" in allowed
+            ])),
+            "tags": {
+                n: rid
+                for n, rid in self.manifest.get("tags", {}).items()
+                if rid in allowed
+            },
+        }
+        if "reshard_floor" in self.manifest:
+            man["reshard_floor"] = self.manifest["reshard_floor"]
+        tmp = os.path.join(dest, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(dest, MANIFEST))
+        return {
+            "round_id": round_id,
+            "n_files": linked + copied,
+            "linked": linked,
+            "copied": copied,
+        }
+
     def state_map_as_of(
         self, round_id: str, part_range: tuple | None = None
     ) -> dict:

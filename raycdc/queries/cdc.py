@@ -312,6 +312,53 @@ def cdc_mirror(sf_dir: str):
     return eng_b.read_lake_pandas()
 
 
+_MIRROR_SHARDS = 2
+
+
+def cdc_mirror_sharded(sf_dir: str):
+    """Key-sharded replica FAN-OUT: :func:`raycdc.exporters.replicate_lake`
+    with ``shard=(i, N)`` feeds N independent replicas, each holding only
+    the keys whose v2 hash lands in its shard — the Postgres
+    logical-replication publication / Kafka partitioned-topic pattern, on
+    the same exactly-once consumer protocol as ``cdc_mirror``. The filter
+    is on the KEY (never the payload), so delete rows (payload nulled)
+    route with the upserts they tombstone and the shards partition the
+    source exactly. Result: the union of all replica reads tagged with the
+    shard id; the oracle recomputes the SAME v2 hash in SQL
+    (``partition.sql_hash_v2_query``) over the replay fold — checking both
+    completeness (union = source) and exact routing (shard = hash % N)."""
+    from raycdc.exporters import replicate_lake
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    eng_a = _replayed_engine(sf_dir, salted=False)
+    parts = []
+    for i in range(_MIRROR_SHARDS):
+        key = (gen.spec_fingerprint(spec), f"shard{i}")
+        eng_i = _ENGINE_MEMO.get(key)
+        if eng_i is None:
+            lake_i = _scratch_lake(spec, f"shard{i}")
+            shutil.rmtree(lake_i, ignore_errors=True)
+            eng_i = Engine(lake_i, num_partitions=4)
+            replicate_lake(
+                eng_a, eng_i, consumer=f"shard-q{i}",
+                shard=(i, _MIRROR_SHARDS),
+            )
+            eng_i.close()
+            _ENGINE_MEMO[key] = eng_i
+        df = eng_i.read_lake_pandas()
+        df["shard"] = np.int64(i)
+        parts.append(df)
+    return pd.concat(parts, ignore_index=True)
+
+
+def _mirror_sharded_sql(replay: str) -> str:
+    hashed = P.sql_hash_v2_query(f"SELECT * FROM ({replay})", "conv_id")
+    return (
+        f"SELECT * EXCLUDE (_h), CAST(_h % {_MIRROR_SHARDS} AS BIGINT)"
+        f" AS shard\nFROM ({hashed})"
+    )
+
+
 # line-dedup pack key: conv number (< 2^20 at every tier) × 2^20 + turn_idx
 _LINE_PACK = 1 << 20
 
@@ -997,6 +1044,34 @@ def cdc_time_travel(sf_dir: str):
     round_id, _ = _snapshot_round_epoch(sf_dir)
     eng = _replayed_engine(sf_dir, salted=False)
     df = eng.read_lake(include_system=True, as_of_round=round_id).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def cdc_branch(sf_dir: str):
+    """Zero-copy writable BRANCH (``Lake.branch`` — LakeFS/Nessie branch,
+    Delta shallow-clone): hardlink-clone the replayed lake at the same
+    historical round boundary ``cdc_time_travel`` reads, open the clone as
+    an independent lake, and return ITS live state — which must equal the
+    prefix replay (the time-travel oracle). No fragment data is copied
+    (inode-shared hardlinks); copy-on-write holds because every engine
+    fragment write is tmp + ``os.replace``. Divergence/COW isolation is
+    pinned in ``tests/test_engine.py::test_lake_branch_cow_divergence``."""
+    round_id, _ = _snapshot_round_epoch(sf_dir)
+    eng = _replayed_engine(sf_dir, salted=False)
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    key = (gen.spec_fingerprint(spec), "branch")
+    eng_b = _ENGINE_MEMO.get(key)
+    if eng_b is None:
+        dest = _scratch_lake(spec, "branch")
+        shutil.rmtree(dest, ignore_errors=True)
+        out = eng.lake.branch(dest, round_id=round_id)
+        assert out["copied"] == 0, out  # same fs → pure hardlinks
+        eng_b = Engine(dest)
+        eng_b.close()
+        _ENGINE_MEMO[key] = eng_b
+    df = eng_b.read_lake(include_system=True).to_pandas()
     return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
         drop=True
     )
@@ -2025,6 +2100,8 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_cascade": replay,  # feed-replicated copy must equal the source
         "cdc_mirror": replay,  # consumer-protocol replica must equal the source
         "cdc_line_dedup": _line_dedup_sql(replay),
+        "cdc_mirror_sharded": _mirror_sharded_sql(replay),
+        "cdc_branch": time_travel,
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
             path=ev_path, where=""
         ),
@@ -2242,6 +2319,7 @@ QUERIES = {
     "cdc_cascade": cdc_cascade,
     "cdc_mirror": cdc_mirror,
     "cdc_line_dedup": cdc_line_dedup,
+    "cdc_mirror_sharded": cdc_mirror_sharded,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
@@ -2254,6 +2332,7 @@ QUERIES = {
     "cdc_scd2_asof": cdc_scd2_asof,
     "cdc_round_ledger": cdc_round_ledger,
     "cdc_time_travel": cdc_time_travel,
+    "cdc_branch": cdc_branch,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_window": cdc_changefeed_window,

@@ -1735,3 +1735,62 @@ def test_lake_mirror_replication(ray_session, tmp_path, make_lake):
         got[want.columns.tolist()], want, check_dtype=False
     )
     src.close(); dst.close(); dst2.close()
+
+
+def test_lake_branch_cow_divergence(ray_session, tmp_path, make_lake):
+    """Zero-copy branch: hardlinked clone reads identically, then both
+    sides diverge freely — the branch catches up on the full log while the
+    source stays pinned at the branch point; compaction and vacuum on
+    either side never disturb the other (every write is replace-not-mutate,
+    so the shared inodes are immutable)."""
+    import shutil
+
+    spec = gen.GenSpec(seed=61, n_convs=100, mean_turns=6, n_epochs=6)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    part = str(tmp_path / "log3")
+    os.makedirs(part)
+    for p in sorted(glob.glob(os.path.join(log, "changes-*.parquet")))[:3]:
+        shutil.copy(p, part)
+
+    src = make_lake(num_partitions=8, merge_actors=1)
+    src.apply_log(part)
+    dest = str(tmp_path / "branch")
+    out = src.lake.branch(dest)
+    assert out["copied"] == 0 and out["linked"] > 0  # pure hardlinks
+
+    br = Engine(dest, merge_actors=1)
+    assert br.lake.num_partitions == 8  # layout inherited from manifest
+    pd.testing.assert_frame_equal(
+        br.read_lake_pandas(), src.read_lake_pandas(), check_dtype=False
+    )
+    # the clone really is inode-shared (no data copied)
+    frag = br.lake.live_fragment_paths()[0]
+    assert os.stat(frag).st_nlink >= 2
+
+    # diverge: the branch catches up on the FULL log (committed prefix
+    # rounds are fenced, the suffix applies); the source must not move
+    before = src.read_lake_pandas()
+    br.apply_log(log)
+    assert_matches_oracle(br, log)
+    pd.testing.assert_frame_equal(
+        src.read_lake_pandas(), before, check_dtype=False
+    )
+    assert_matches_oracle(src, part)
+
+    # maintenance on either side stays isolated: compact + vacuum the
+    # branch, then vacuum the source — both still read correctly
+    br.compact()
+    br.lake.vacuum()
+    assert_matches_oracle(br, log)
+    assert_matches_oracle(src, part)
+    src.lake.vacuum()
+    assert_matches_oracle(br, log)
+
+    # guards: a dest that is already a lake refuses; so does an
+    # out-of-window branch point
+    with pytest.raises(ValueError, match="already a lake"):
+        src.lake.branch(dest)
+    with pytest.raises((ValueError, KeyError)):
+        src.lake.branch(str(tmp_path / "b2"), round_id="r-nope")
+    src.close(); br.close()

@@ -565,7 +565,8 @@ def test_ann_quantized_recall_vs_bruteforce(ray_session):
      "cdc_history_scd2_delta", "cdc_round_ledger", "cdc_fingerprint_index",
      "cdc_neardup_candidates", "cdc_neardup_delta", "cdc_window_dedup",
      "cdc_scd2_asof", "cdc_conv_text", "cdc_turn_pairs",
-     "cdc_column_diff", "cdc_mirror", "cdc_line_dedup"],
+     "cdc_column_diff", "cdc_mirror", "cdc_line_dedup",
+     "cdc_mirror_sharded", "cdc_branch"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
     """The flagship CDC replay (and its derived aggregates) checked against
