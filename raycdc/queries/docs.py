@@ -1769,7 +1769,164 @@ FROM h ORDER BY doc_id
 """
 
 
+# -- quality-filter funnel (FineWeb/Gopher-style cascade) -------------------
+
+# (stage, name, ...) thresholds shared verbatim by the Ray kernel and the
+# SQL oracle. Every rule is INTEGER-EXACT (ratios cross-multiplied), so
+# there is no float to drift between engines.
+FUNNEL_MIN_CHARS = 120
+FUNNEL_MIN_WORDS = 25
+FUNNEL_MWL_LO, FUNNEL_MWL_HI = 4, 5  # mean word length in [4, 5]
+FUNNEL_STOP_PCT = 4  # stopword ratio >= 4%  (25*n_stop >= n_words)
+FUNNEL_DISTINCT_NUM, FUNNEL_DISTINCT_DEN = 2, 5  # distinct/total >= 2/5
+FUNNEL_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+)
+FUNNEL_STAGES = (
+    (1, "min_chars"), (2, "min_words"), (3, "mean_word_len"),
+    (4, "stopword_ratio"), (5, "word_repetition"),
+)
+
+
+class _FunnelScorer:
+    """Per-doc first-failing-filter stage (0 = passed every filter) →
+    per-batch stage COUNTS. Regex compiled once per actor; all per-word
+    stats run on ONE flat token series with segment folds (the
+    QualityScorer pattern) — no per-row Python."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z']+")
+        # explicit ASCII class — never \\w/\\s, whose unicode semantics
+        # differ between Python re and DuckDB RE2 (textkit's lesson)
+        self.punct = re.compile(r"[^A-Za-z0-9_ \t\n]")
+        self.stop = frozenset(FUNNEL_STOPWORDS)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        texts = b["text"]
+        n_chars = texts.str.len().to_numpy().astype("int64")
+        words = texts.str.findall(self.word)
+        counts = words.str.len().to_numpy().astype("int64")
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        flat = pd.Series(list(chain.from_iterable(words)), dtype="object")
+        sum_len = C.segment_sum(
+            flat.str.len().to_numpy().astype("int64"), bounds
+        )
+        n_stop = C.segment_sum(
+            flat.isin(self.stop).to_numpy().astype("int64"), bounds
+        )
+        # distinct words per doc without per-row set(): doc-tagged flat
+        # tokens → drop_duplicates → bincount
+        doc_ix = np.repeat(np.arange(len(b)), counts)
+        dd = pd.DataFrame({"d": doc_ix, "w": flat}).drop_duplicates()
+        n_distinct = np.bincount(
+            dd["d"].to_numpy(), minlength=len(b)
+        ).astype("int64")
+
+        stage = np.zeros(len(b), dtype=np.int64)
+        nw = np.maximum(counts, 1)  # guards only stages already passed
+        rules = [
+            (1, n_chars < FUNNEL_MIN_CHARS),
+            (2, counts < FUNNEL_MIN_WORDS),
+            (3, (FUNNEL_MWL_LO * nw > sum_len) | (sum_len > FUNNEL_MWL_HI * nw)),
+            (4, (100 // FUNNEL_STOP_PCT) * n_stop < nw),
+            (5, FUNNEL_DISTINCT_DEN * n_distinct < FUNNEL_DISTINCT_NUM * nw),
+        ]
+        for s, fail in rules:
+            stage = np.where((stage == 0) & fail, s, stage)
+        u, c = np.unique(stage, return_counts=True)
+        return pd.DataFrame({"stage": u.astype("int64"), "c": c.astype("int64")})
+
+
+def docs_filter_funnel(sf_dir: str):
+    """Quality-filter FUNNEL — the FineWeb/Gopher-style cascade every
+    pretraining corpus goes through (Penedo et al. 2306.01116 §3; Rae et
+    al. 2112.11446 Gopher rules), with FIRST-FAILING-FILTER attribution:
+    each document is charged to the first filter that rejects it, and the
+    result is one row per filter — (stage, filter, n_in, n_dropped,
+    n_out) — so a pipeline owner can see which rule eats the corpus.
+    Filters (fixed order): min chars, min words, mean word length band,
+    stopword ratio, distinct-word repetition — all integer-exact
+    (cross-multiplied ratios, no floats to drift vs the oracle).
+
+    Scale shape: stateful actor pool scores batches (regex compiled once
+    per actor), emits per-batch STAGE COUNTS (≤ 6 rows each) →
+    ``groupby(stage).sum`` moves only those; the funnel assembly at the
+    driver is O(stages). Reference analog: the export-filter chains of
+    ``indexer/modules/custom/*`` jobs, recast as corpus curation."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    agg = (
+        ds.map_batches(_FunnelScorer, batch_format="pandas", concurrency=(1, 4))
+        .groupby("stage")
+        .sum("c")
+        .take_all()
+    )  # ≤ 6 rows — O(filters), never O(corpus)
+    by_stage = {int(r["stage"]): int(r["sum(c)"]) for r in agg}
+    total = sum(by_stage.values())
+    rows, n_in = [], total
+    for s, name in FUNNEL_STAGES:
+        dropped = by_stage.get(s, 0)
+        rows.append(
+            {
+                "stage": np.int64(s),
+                "filter": name,
+                "n_in": np.int64(n_in),
+                "n_dropped": np.int64(dropped),
+                "n_out": np.int64(n_in - dropped),
+            }
+        )
+        n_in -= dropped
+    return pd.DataFrame(rows)
+
+
+def _filter_funnel_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in FUNNEL_STOPWORDS)
+    stages = ", ".join(f"({s}, '{n}')" for s, n in FUNNEL_STAGES)
+    inv_stop = 100 // FUNNEL_STOP_PCT
+    return f"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_extract_all(text, '[a-zA-Z'']+') AS ws
+  FROM documents
+), m2 AS (
+  SELECT doc_id, n_chars, len(ws) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(coalesce(list_sum(list_transform(ws,
+              w -> CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END)), 0)
+              AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+  FROM m
+), verdict AS (
+  SELECT CASE
+    WHEN n_chars < {FUNNEL_MIN_CHARS} THEN 1
+    WHEN n_words < {FUNNEL_MIN_WORDS} THEN 2
+    WHEN {FUNNEL_MWL_LO} * greatest(n_words, 1) > sum_len
+      OR sum_len > {FUNNEL_MWL_HI} * greatest(n_words, 1) THEN 3
+    WHEN {inv_stop} * n_stop < greatest(n_words, 1) THEN 4
+    WHEN {FUNNEL_DISTINCT_DEN} * n_distinct
+         < {FUNNEL_DISTINCT_NUM} * greatest(n_words, 1) THEN 5
+    ELSE 0 END AS stage
+  FROM m2
+), cnt AS (SELECT stage, count(*) AS c FROM verdict GROUP BY stage),
+stages(stage, filter) AS (VALUES {stages})
+SELECT stage, filter, n_in, n_dropped,
+       n_in - n_dropped AS n_out
+FROM (
+  SELECT s.stage, s.filter,
+         CAST((SELECT count(*) FROM verdict v
+               WHERE v.stage = 0 OR v.stage >= s.stage) AS BIGINT) AS n_in,
+         CAST(coalesce((SELECT c FROM cnt WHERE cnt.stage = s.stage), 0)
+              AS BIGINT) AS n_dropped
+  FROM stages s
+)
+ORDER BY stage
+"""
+
+
 QUERIES = {
+    "docs_filter_funnel": docs_filter_funnel,
     "dedup_exact": dedup_exact,
     "token_counts": token_counts,
     "lang_stats": lang_stats,
@@ -1805,6 +1962,7 @@ def build_docs_oracle_sql(sf_dir: str) -> dict[str, str]:
     }
 
 ORACLE_SQL = {
+    "docs_filter_funnel": _filter_funnel_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "token_counts_bpe": TOKEN_COUNTS_BPE_SQL,
