@@ -2216,6 +2216,17 @@ class Engine:
         st["name"] = name
         return st
 
+    def consumer_reset(self, name: str) -> None:
+        """Forget the named consumer's offset entirely — its next poll is
+        the bootstrap window again. The recovery of last resort after a
+        rollback erased every round the consumer ever anchored on (the
+        sink must first be rolled back to empty or rebuilt: a bootstrap
+        window re-upserts current state but cannot delete rows the sink
+        applied from undone history)."""
+        path = self._consumer_path(name)
+        if os.path.exists(path):
+            os.remove(path)
+
     def consumer_poll(self, name: str, table: str | None = None):
         """Next unconsumed changefeed window for a named consumer — the
         Kafka-consumer-group analog over the lake's changefeed (the

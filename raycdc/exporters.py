@@ -512,12 +512,81 @@ def export_incremental(
 # -- lake→lake mirroring (changefeed-fed replica, exactly-once effect) --------
 
 
+def _mirror_journal_path(dst, consumer: str) -> str:
+    return os.path.join(dst.lake.root, f"_mirror_{consumer}.json")
+
+
+def _mirror_journal(dst, consumer: str) -> list:
+    path = _mirror_journal_path(dst, consumer)
+    if not os.path.exists(path):
+        return []
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _mirror_journal_write(dst, consumer: str, entries: list) -> None:
+    import json
+
+    path = _mirror_journal_path(dst, consumer)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, path)
+
+
+def _repair_replica(src, dst, consumer: str) -> dict:
+    """Reorg repair for a mirrored replica: the consumer's anchor round was
+    erased by a source rollback, so every replica epoch derived from an
+    undone window must be rolled back too. The mirror journal maps each
+    replica epoch to the src round it was cut at; an entry is still VALID
+    iff that src round is still committed AT THE SAME LEDGER POSITION
+    (round ids are deterministic per epoch range, so same id + same
+    position ⇒ same content in this engine's immutable-log model). The
+    replica rolls back to the newest valid entry's boundary and the
+    consumer re-anchors there; with no valid entry, the replica rolls
+    back to EMPTY and the consumer resets to bootstrap (a bootstrap
+    window upserts current state but cannot delete undone rows — hence
+    empty-first). Bounded by the replica's undo window like any
+    rollback; a deeper repair needs a fresh replica."""
+    valid_epoch, valid_round = 0, None
+    for ent in _mirror_journal(dst, consumer):
+        try:
+            pos = src.lake.round_position(ent["src_round"])
+        except KeyError:
+            break
+        if pos + 1 != ent["epoch"]:
+            break
+        valid_epoch, valid_round = ent["epoch"], ent["src_round"]
+    # replica round ids are r{epoch:06d}-{epoch:06d}; find the boundary
+    to_cursor = 0
+    for r in dst.lake.manifest["committed_rounds"]:
+        try:
+            e = int(r["round_id"].split("-", 1)[0][1:])
+        except ValueError:  # non-mirror round (e.g. a prior rollback@N)
+            continue
+        if e <= valid_epoch:
+            to_cursor = int(r["cursor_hi"])
+    dst.lake.rollback(to_cursor)
+    if valid_round is None:
+        src.consumer_reset(consumer)
+    else:
+        src.consumer_ack(consumer, valid_round)
+    journal = [
+        e for e in _mirror_journal(dst, consumer) if e["epoch"] <= valid_epoch
+    ]
+    _mirror_journal_write(dst, consumer, journal)
+    return {"repaired_to_epoch": valid_epoch, "anchor": valid_round}
+
+
 def replicate_lake(
     src,
     dst,
     consumer: str = "mirror",
     table: str | None = None,
     shard: tuple[int, int] | None = None,
+    on_rollback: str = "raise",
 ) -> dict:
     """Mirror one lake table into ANOTHER lake via the changefeed consumer
     protocol — the full CDC composition: upstream change log → src lake →
@@ -554,7 +623,15 @@ def replicate_lake(
     exactly. The hash is the engine's v2 key hash, so shard routing is
     SQL-checkable via :func:`raycdc.partition.sql_hash_v2_query`.
 
-    Returns {"windows": n_applied, "results": [apply metrics...]}.
+    ``on_rollback="repair"`` turns a rolled-away anchor (consumer_poll's
+    KeyError) into automatic reorg recovery via :func:`_repair_replica`:
+    the replica rolls back to the newest window boundary the source still
+    vouches for, the consumer re-anchors there, and replication resumes —
+    the reference's reorg-then-resync loop
+    (``indexer/controller/reorg_controller.py``) closed over a replica.
+
+    Returns {"windows": n_applied, "results": [apply metrics...],
+    "repaired": repair info when a reorg repair ran}.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -564,14 +641,30 @@ def replicate_lake(
     key_col = src.tables[src._table_index(table)].key_cols[0]
 
     applied = []
+    repaired = None
     while True:
-        win = src.consumer_poll(consumer, table=table)
+        try:
+            win = src.consumer_poll(consumer, table=table)
+        except KeyError:
+            if on_rollback != "repair" or repaired is not None:
+                raise
+            repaired = _repair_replica(src, dst, consumer)
+            continue
         if win is None:
             break
         epoch = src.lake.round_position(win["ack_round"]) + 1
         rid = f"r{epoch:06d}-{epoch:06d}"
+
+        def journal(e=epoch, rnd=win["ack_round"]):
+            ents = [
+                x for x in _mirror_journal(dst, consumer) if x["epoch"] < e
+            ]
+            ents.append({"epoch": e, "src_round": rnd})
+            _mirror_journal_write(dst, consumer, ents)
+
         if rid in dst.lake.committed_round_ids():
             # crash-between-commit-and-ack replay: already applied
+            journal()
             src.consumer_ack(consumer, win["ack_round"], table=table)
             continue
 
@@ -602,5 +695,9 @@ def replicate_lake(
             epoch=epoch,
         )
         applied.append(res)
+        journal()
         src.consumer_ack(consumer, win["ack_round"], table=table)
-    return {"windows": len(applied), "results": applied}
+    out = {"windows": len(applied), "results": applied}
+    if repaired is not None:
+        out["repaired"] = repaired
+    return out

@@ -1794,3 +1794,63 @@ def test_lake_branch_cow_divergence(ray_session, tmp_path, make_lake):
     with pytest.raises((ValueError, KeyError)):
         src.lake.branch(str(tmp_path / "b2"), round_id="r-nope")
     src.close(); br.close()
+
+
+def test_mirror_reorg_repair(ray_session, tmp_path, make_lake):
+    """Reorg-safe replication: when a source rollback erases the mirror
+    consumer's anchor, replicate_lake(on_rollback="repair") rolls the
+    replica back to the newest window boundary the source still vouches
+    for (via the mirror journal), re-anchors the consumer, and resumes —
+    converging to the source's canonical state with no manual rebuild."""
+    import shutil
+
+    from raycdc.exporters import replicate_lake
+
+    spec = gen.GenSpec(seed=71, n_convs=100, mean_turns=6, n_epochs=6)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    files = sorted(glob.glob(os.path.join(log, "changes-*.parquet")))
+
+    def prefix(n):
+        d = str(tmp_path / f"log{n}")
+        if not os.path.exists(d):
+            os.makedirs(d)
+            for p in files[:n]:
+                shutil.copy(p, d)
+        return d
+
+    src = make_lake(num_partitions=8, merge_actors=1)
+    dst = Engine(str(tmp_path / "replica"), num_partitions=4, merge_actors=1)
+
+    # three incremental windows → three journal entries
+    for n in (2, 4, 6):
+        src.apply_log(prefix(n))
+        assert replicate_lake(src, dst, consumer="m")["windows"] == 1
+
+    def assert_mirrored():
+        want = src.read_lake_pandas().drop(columns=["seq"])
+        got = dst.read_lake_pandas().drop(columns=["seq"])
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+    assert_mirrored()
+
+    # reorg: source rolls back its last rounds (past the consumer anchor)
+    rounds = src.lake.manifest["committed_rounds"]
+    boundary = int(rounds[len(rounds) - 3]["cursor_hi"])
+    src.lake.rollback(boundary)
+
+    # without repair: the erased anchor surfaces, nothing is mutated
+    with pytest.raises(KeyError):
+        replicate_lake(src, dst, consumer="m")
+
+    out = replicate_lake(src, dst, consumer="m", on_rollback="repair")
+    assert "repaired" in out
+    assert_mirrored()
+
+    # canonical history replays on the source; plain replication resumes
+    src.apply_log(log)
+    replicate_lake(src, dst, consumer="m")
+    assert_mirrored()
+    src.close(); dst.close()
