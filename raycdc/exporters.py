@@ -556,7 +556,7 @@ def _repair_replica(src, dst, consumer: str) -> dict:
             pos = src.lake.round_position(ent["src_round"])
         except KeyError:
             break
-        if pos + 1 != ent["epoch"]:
+        if ent.get("base", 0) + pos + 1 != ent["epoch"]:
             break
         valid_epoch, valid_round = ent["epoch"], ent["src_round"]
     # replica round ids are r{epoch:06d}-{epoch:06d}; find the boundary
@@ -587,6 +587,8 @@ def replicate_lake(
     table: str | None = None,
     shard: tuple[int, int] | None = None,
     on_rollback: str = "raise",
+    key_prefix: str | None = None,
+    epoch_base: int = 0,
 ) -> dict:
     """Mirror one lake table into ANOTHER lake via the changefeed consumer
     protocol — the full CDC composition: upstream change log → src lake →
@@ -630,6 +632,13 @@ def replicate_lake(
     the reference's reorg-then-resync loop
     (``indexer/controller/reorg_controller.py``) closed over a replica.
 
+    ``key_prefix`` / ``epoch_base`` make this one leg of a FAN-IN
+    (:func:`consolidate_lakes`): keys are namespaced ``{prefix}{key}`` so
+    N sources share one destination table with disjoint key spaces, and
+    epochs are offset per source so round ids never collide. The shard
+    filter, when combined, applies to the SOURCE key (routing stays
+    aligned with the source's own partitioning).
+
     Returns {"windows": n_applied, "results": [apply metrics...],
     "repaired": repair info when a reorg repair ran}.
     """
@@ -638,6 +647,13 @@ def replicate_lake(
 
     from raycdc import partition as _P
 
+    if on_rollback == "repair" and epoch_base:
+        raise ValueError(
+            "on_rollback='repair' is unsupported for consolidated "
+            "(epoch_base) replicas: a replica rollback is a global cursor "
+            "boundary and would undo OTHER sources' rounds too — repair "
+            "each source into its own replica, or rebuild the fan-in"
+        )
     key_col = src.tables[src._table_index(table)].key_cols[0]
 
     applied = []
@@ -652,14 +668,16 @@ def replicate_lake(
             continue
         if win is None:
             break
-        epoch = src.lake.round_position(win["ack_round"]) + 1
+        epoch = epoch_base + src.lake.round_position(win["ack_round"]) + 1
         rid = f"r{epoch:06d}-{epoch:06d}"
 
         def journal(e=epoch, rnd=win["ack_round"]):
             ents = [
                 x for x in _mirror_journal(dst, consumer) if x["epoch"] < e
             ]
-            ents.append({"epoch": e, "src_round": rnd})
+            ents.append(
+                {"epoch": e, "src_round": rnd, "base": epoch_base}
+            )
             _mirror_journal_write(dst, consumer, ents)
 
         if rid in dst.lake.committed_round_ids():
@@ -688,6 +706,15 @@ def replicate_lake(
                     _P.hash_conv(t.column(key_col), 2) % np.uint64(n)
                 ) == np.uint64(i)
                 t = t.filter(pa.array(keep))
+            if key_prefix is not None:
+                col = pc.binary_join_element_wise(
+                    _pa.scalar(key_prefix),
+                    pc.cast(t.column(key_col), _pa.string()),
+                    "",
+                )
+                t = t.set_column(
+                    t.schema.get_field_index(key_col), key_col, col
+                )
             return t
 
         res = dst.apply_dataset(
@@ -700,4 +727,35 @@ def replicate_lake(
     out = {"windows": len(applied), "results": applied}
     if repaired is not None:
         out["repaired"] = repaired
+    return out
+
+
+# epoch namespace width per fan-in source: round ids from different
+# sources can never collide below 10^6 rounds per source
+_FANIN_EPOCH_SPAN = 1_000_000
+
+
+def consolidate_lakes(sources: dict, dst, consumer: str = "fanin") -> dict:
+    """Multi-source FAN-IN: mirror N independent source lakes into ONE
+    destination table — the consolidated analytics lake over per-domain
+    CDC feeds (the reference's one-deployment-per-chain model,
+    ``indexer/controller/stream_controller.py``, folded into a single
+    queryable store). Each source gets its own durable consumer, a key
+    namespace ``{name}/{key}`` (disjoint key spaces ⇒ per-key LWW never
+    compares cursors ACROSS sources, so unrelated upstream cursor clocks
+    coexist safely), and an epoch namespace (``_FANIN_EPOCH_SPAN`` per
+    source, sorted-name order) so replica round ids never collide.
+    Exactly-once per leg exactly as :func:`replicate_lake`. Incremental:
+    re-running consolidates only each source's new windows."""
+    out = {}
+    for si, name in enumerate(sorted(sources)):
+        if "/" in name:
+            raise ValueError(f"source name {name!r} must not contain '/'")
+        out[name] = replicate_lake(
+            sources[name],
+            dst,
+            consumer=f"{consumer}-{name}",
+            key_prefix=f"{name}/",
+            epoch_base=(si + 1) * _FANIN_EPOCH_SPAN,
+        )
     return out

@@ -359,6 +359,48 @@ def _mirror_sharded_sql(replay: str) -> str:
     )
 
 
+def cdc_consolidate(sf_dir: str):
+    """Multi-source FAN-IN (:func:`raycdc.exporters.consolidate_lakes`):
+    two independent source lakes (the plain and the salted replay — bit-
+    identical by the engine's own contract, which makes the oracle exact)
+    mirror into ONE destination table under disjoint key namespaces
+    ``a/…`` / ``b/…`` with per-source consumers and epoch namespaces.
+    The oracle is the replay fold UNION ALL'd once per prefix — checking
+    that consolidation preserves every source row, key-namespaces exactly,
+    and never cross-contaminates LWW between sources."""
+    from raycdc.exporters import consolidate_lakes
+
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    key = (gen.spec_fingerprint(spec), "fanin")
+    eng_c = _ENGINE_MEMO.get(key)
+    if eng_c is None:
+        sources = {
+            "a": _replayed_engine(sf_dir, salted=False),
+            "b": _replayed_engine(sf_dir, salted=True),
+        }
+        dest = _scratch_lake(spec, "fanin")
+        shutil.rmtree(dest, ignore_errors=True)
+        eng_c = Engine(dest, num_partitions=8)
+        out = consolidate_lakes(sources, eng_c)
+        assert {k: v["windows"] for k, v in out.items()} == {"a": 1, "b": 1}
+        # incremental semantics: a caught-up re-run consolidates nothing
+        out2 = consolidate_lakes(sources, eng_c)
+        assert all(v["windows"] == 0 for v in out2.values())
+        eng_c.close()
+        _ENGINE_MEMO[key] = eng_c
+    return eng_c.read_lake_pandas()
+
+
+def _consolidate_sql(replay: str) -> str:
+    cols = "turn_idx, role, text, tool, ts, cursor, seq"
+    return (
+        f"WITH replay AS ({replay})\n"
+        f"SELECT 'a/' || conv_id AS conv_id, {cols} FROM replay\n"
+        f"UNION ALL\n"
+        f"SELECT 'b/' || conv_id AS conv_id, {cols} FROM replay"
+    )
+
+
 # line-dedup pack key: conv number (< 2^20 at every tier) × 2^20 + turn_idx
 _LINE_PACK = 1 << 20
 
@@ -2101,6 +2143,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_mirror": replay,  # consumer-protocol replica must equal the source
         "cdc_line_dedup": _line_dedup_sql(replay),
         "cdc_mirror_sharded": _mirror_sharded_sql(replay),
+        "cdc_consolidate": _consolidate_sql(replay),
         "cdc_branch": time_travel,
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
             path=ev_path, where=""
@@ -2320,6 +2363,7 @@ QUERIES = {
     "cdc_mirror": cdc_mirror,
     "cdc_line_dedup": cdc_line_dedup,
     "cdc_mirror_sharded": cdc_mirror_sharded,
+    "cdc_consolidate": cdc_consolidate,
     "cdc_conv_stats": cdc_conv_stats,
     "cdc_conv_latest": cdc_conv_latest,
     "cdc_tool_index": cdc_tool_index,
