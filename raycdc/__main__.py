@@ -69,6 +69,7 @@ def cmd_replay(args) -> int:
         args.log_dir,
         epochs_per_round=args.epochs_per_round,
         audit=_load_audit(getattr(args, "audit", None)),
+        adaptive=getattr(args, "adaptive", False),
     )
     for r in results:
         print(json.dumps({k: v for k, v in r.items() if k != "touched_parts"},
@@ -414,6 +415,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="also maintain the derived conv_latest table")
     p.add_argument("--audit", default=None, metavar="MODULE:FUNCTION",
                    help="write-audit-publish gate run before each commit")
+    p.add_argument("--adaptive", action="store_true",
+                   help="halve round size on retriable failure, regrow "
+                        "after a success streak")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("stream", help="tail a change-log dir (follow loop)")

@@ -1043,6 +1043,22 @@ class Engine:
             orphans and all(f["epoch"] in orphans for f in files)
         ):
             return {"round_id": round_id, "skipped": True}  # epoch fence
+        # regrouped-resume fence: a restart may plan DIFFERENT round ids
+        # over the same epochs (epochs_per_round changed, or a prior
+        # adaptive run split rounds) — if every epoch in this group is
+        # already round-committed or orphaned, the work is done regardless
+        # of grouping. NOT processed_epochs(): that set also counts
+        # rollback-TRIGGER epochs, whose canonical data (the implicit-reorg
+        # re-emit) must still apply after its injected rollback.
+        # Partially-done groups fall through and re-apply; the merge
+        # kernel's exact (key, cursor, seq) dedup makes that idempotent.
+        done = {
+            int(e)
+            for r in self.lake.manifest["committed_rounds"]
+            for e in r["epochs"]
+        } | orphans
+        if all(f["epoch"] in done for f in files):
+            return {"round_id": round_id, "skipped": True}
 
         paths = [p for f in files for p in f["paths"]]
         schema = self._round_schema(paths)
@@ -1575,7 +1591,11 @@ class Engine:
     # -- full log replay ---------------------------------------------------
 
     def apply_log(
-        self, log_dir: str, epochs_per_round: int = 1, audit=None
+        self,
+        log_dir: str,
+        epochs_per_round: int = 1,
+        audit=None,
+        adaptive: bool = False,
     ) -> list[dict]:
         """Replay every epoch file under ``log_dir`` in commit rounds.
         Already-committed rounds are skipped (resume); rollback epochs are
@@ -1594,6 +1614,7 @@ class Engine:
             discover_epoch_files(log_dir),
             epochs_per_round=epochs_per_round,
             audit=audit,
+            adaptive=adaptive,
         )
 
     def apply_dataset(self, ds, epoch: int | None = None, audit=None) -> dict:
@@ -1646,10 +1667,25 @@ class Engine:
         return self.apply_round(files, f"r{epoch:06d}-{epoch:06d}", audit=audit)
 
     def apply_log_files(
-        self, files: list[dict], epochs_per_round: int = 1, audit=None
+        self,
+        files: list[dict],
+        epochs_per_round: int = 1,
+        audit=None,
+        adaptive: bool = False,
     ) -> list[dict]:
         """Replay an explicit (ordered) list of discovered epoch entries —
-        the unit the stream controller feeds (raycdc.stream.follow)."""
+        the unit the stream controller feeds (raycdc.stream.follow).
+
+        ``adaptive=True`` enables ADAPTIVE ROUND SIZING (the reference's
+        ``indexer/executors/batch_work_executor.py:65-111`` halve-on-error
+        / cool-down-regrow controller, re-expressed over commit rounds):
+        a round that still fails after the internal gather retries is
+        split in half and retried at the smaller size; after three
+        consecutive successes the size doubles back toward
+        ``epochs_per_round``. Safe under resume because fencing is
+        PER-EPOCH (``processed_epochs``), not per round id — a restart
+        with different grouping skips exactly the committed epochs.
+        Adaptive implies the sequential executor (no round pipelining)."""
         plan = plan_rounds(
             files,
             epochs_per_round,
@@ -1657,9 +1693,58 @@ class Engine:
             last_cursor=self.lake.last_cursor(),
         )
 
+        if adaptive:
+            return self._execute_plan_adaptive(
+                plan, epochs_per_round, audit=audit
+            )
         if self.exchange == "direct" and audit is None:
             return self._execute_plan_pipelined(plan)
         return self._execute_plan_sequential(plan, audit=audit)
+
+    def _adaptive_failure_is_retriable(self, exc) -> bool:
+        """Halving helps when the failure scales with round volume:
+        resource exhaustion, plus everything the gather path already
+        deems transient."""
+        if self._failure_is_retriable(exc):
+            return True
+        names = {"OutOfMemoryError", "ObjectStoreFullError", "OutOfDiskError"}
+        if type(exc).__name__ in names:
+            return True
+        cause = getattr(exc, "cause", None)
+        return cause is not None and type(cause).__name__ in names
+
+    def _execute_plan_adaptive(
+        self, plan: list, epochs_per_round: int, audit=None
+    ) -> list[dict]:
+        results: list = []
+        cur = max(1, int(epochs_per_round))
+        streak = 0
+        for item in plan:
+            if item[0] == "rollback":
+                results.append(self._rollback(item[1], item[2]))
+                continue
+            group = item[1]
+            i = 0
+            while i < len(group):
+                sub = group[i : i + cur]
+                rid = f"r{sub[0]['epoch']:06d}-{sub[-1]['epoch']:06d}"
+                try:
+                    results.append(self.apply_round(sub, rid, audit=audit))
+                except Exception as e:
+                    if len(sub) == 1 or not self._adaptive_failure_is_retriable(e):
+                        raise
+                    cur = max(1, cur // 2)
+                    streak = 0
+                    if os.environ.get("RAYCDC_STATS"):
+                        print(f"[adaptive] {rid}: {type(e).__name__} → "
+                              f"epochs_per_round={cur}")
+                    continue  # retry the SAME position at the smaller size
+                i += len(sub)
+                streak += 1
+                if streak >= 3 and cur < epochs_per_round:
+                    cur = min(epochs_per_round, cur * 2)
+                    streak = 0
+        return results
 
     def _rollback(self, to_cursor: int, epoch: int) -> dict:
         if epoch in self.lake.applied_rollback_epochs():
@@ -1731,6 +1816,18 @@ class Engine:
             if rid in self.lake.committed_round_ids() or (
                 orphans and all(f["epoch"] in orphans for f in files_g)
             ):
+                results.append({"round_id": rid, "skipped": True})
+                continue
+            # regrouped-resume fence (see apply_round): different round ids
+            # over fully round-committed/orphaned epochs are done work —
+            # rollback-trigger epochs excluded (their canonical re-emit
+            # data must still apply)
+            done = {
+                int(e)
+                for r in self.lake.manifest["committed_rounds"]
+                for e in r["epochs"]
+            } | orphans
+            if all(f["epoch"] in done for f in files_g):
                 results.append({"round_id": rid, "skipped": True})
                 continue
             paths = [p for f in files_g for p in f["paths"]]

@@ -1854,3 +1854,45 @@ def test_mirror_reorg_repair(ray_session, tmp_path, make_lake):
     replicate_lake(src, dst, consumer="m")
     assert_mirrored()
     src.close(); dst.close()
+
+
+def test_adaptive_round_sizing(ray_session, tmp_path, make_lake):
+    """Adaptive round sizing (halve on retriable failure, regrow after a
+    success streak): a transient failure at the full round size splits the
+    round; subsequent successes grow the size back; the final lake state
+    still matches the SQL oracle; per-epoch fencing means a plain resume
+    afterwards applies nothing."""
+    import types
+
+    spec = gen.GenSpec(seed=83, n_convs=80, mean_turns=5, n_epochs=8)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+
+    eng = make_lake(num_partitions=8, merge_actors=1)
+    real = eng.apply_round
+    calls = []
+
+    def flaky(self, files, round_id, audit=None):
+        calls.append((round_id, len(files)))
+        # fail the FIRST multi-epoch round with a retriable error
+        if len(files) > 1 and not any(c[1] == 1 for c in calls):
+            raise TimeoutError("injected transient failure")
+        return real(files, round_id, audit=audit)
+
+    eng.apply_round = types.MethodType(flaky, eng)
+    out = eng.apply_log(log, epochs_per_round=4, adaptive=True)
+    eng.apply_round = real
+
+    sizes = [n for _, n in calls]
+    assert sizes[0] == 4          # tried the full size first
+    assert 1 in sizes or 2 in sizes  # halved after the injected failure
+    assert max(sizes[1:]) >= 2    # and grew back after the streak
+    assert sum(1 for r in out if not r.get("skipped")) >= 3
+    assert_matches_oracle(eng, log)
+
+    # regrouped-resume fence: a plain (non-adaptive) resume with the
+    # ORIGINAL grouping plans different round ids over the same epochs —
+    # every group is fully processed, so nothing applies
+    again = eng.apply_log(log, epochs_per_round=4)
+    assert all(r.get("skipped") for r in again)
+    eng.close()
