@@ -1163,28 +1163,14 @@ def _gram_pos_rows(
     return did[head][valid], pos[head][valid], H.poly_hash(g[valid])
 
 
-def docs_dup_spans(sf_dir: str):
-    """Exact duplicated-substring spans — the corpus-dedup primitive of
-    Lee et al., *Deduplicating Training Data Makes Language Models Better*
-    (exact-substring variant): for each document, the MAXIMAL runs of word
-    8-grams whose exact text occurs ≥ 2 times anywhere in the corpus
-    (another doc or a repeat within the same doc). Output one row per
-    merged span: (doc_id, span_start, span_end, n_grams), token positions
-    1-based inclusive — the spans a dedup pass would cut before training.
-
-    Scale shape (100 TB): (1) per-batch PARTIAL gram-hash counts →
-    ``groupby(g).sum`` — the all-to-all moves pre-aggregated int64 pairs,
-    never gram strings; (2) the duplicated-gram set joins back to the
-    position stream with a hash ``Dataset.join`` — at corpus scale that
-    set is corpus-sized in the worst case, so a broadcast would NOT be
-    scale-safe (contamination's broadcast relies on the test side being
-    small by design; this one cannot); (3) span merge is gaps-and-islands
-    on sorted positions inside a bounded partition (``C.by_partition``) —
-    one vectorized kernel per partition, never per doc. Join inputs
-    return explicit-schema Arrow tables so empty blocks keep their schema
-    through the hash shuffle (the r3 ``neardup_clusters`` lesson)."""
-
-    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+def _dup_hits(ds):
+    """(doc_id, i) positions of every word 8-gram whose exact text occurs
+    >= 2 times anywhere in the corpus — the shared front half of
+    ``docs_dup_spans`` (span reporting) and ``docs_dedup_cut`` (the cut
+    corpus). Partial counts shuffle as int64 pairs; the duplicated-gram
+    set joins back with a hash ``Dataset.join`` (corpus-sized worst case,
+    so never a broadcast); all join inputs are explicit-schema Arrow so
+    empty blocks survive the shuffle."""
 
     def count_partial(b: pd.DataFrame) -> pa.Table:
         _, _, gh = _gram_pos_rows(b)
@@ -1217,12 +1203,37 @@ def docs_dup_spans(sf_dir: str):
             }
         )
 
-    hits = ds.map_batches(pos_rows, batch_format="pandas").join(
+    return ds.map_batches(pos_rows, batch_format="pandas").join(
         dup,
         join_type="inner",
         num_partitions=C.join_partitions(),
         on=("g",),
     )
+
+
+def docs_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans — the corpus-dedup primitive of
+    Lee et al., *Deduplicating Training Data Makes Language Models Better*
+    (exact-substring variant): for each document, the MAXIMAL runs of word
+    8-grams whose exact text occurs ≥ 2 times anywhere in the corpus
+    (another doc or a repeat within the same doc). Output one row per
+    merged span: (doc_id, span_start, span_end, n_grams), token positions
+    1-based inclusive — the spans a dedup pass would cut before training.
+
+    Scale shape (100 TB): (1) per-batch PARTIAL gram-hash counts →
+    ``groupby(g).sum`` — the all-to-all moves pre-aggregated int64 pairs,
+    never gram strings; (2) the duplicated-gram set joins back to the
+    position stream with a hash ``Dataset.join`` — at corpus scale that
+    set is corpus-sized in the worst case, so a broadcast would NOT be
+    scale-safe (contamination's broadcast relies on the test side being
+    small by design; this one cannot); (3) span merge is gaps-and-islands
+    on sorted positions inside a bounded partition (``C.by_partition``) —
+    one vectorized kernel per partition, never per doc. Join inputs
+    return explicit-schema Arrow tables so empty blocks keep their schema
+    through the hash shuffle (the r3 ``neardup_clusters`` lesson)."""
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+    hits = _dup_hits(ds)
 
     def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -1253,6 +1264,140 @@ def docs_dup_spans(sf_dir: str):
     return C.by_partition(
         hits.select_columns(["doc_id", "i"]), "doc_id", merge_spans
     )
+
+
+def docs_dedup_cut(sf_dir: str):
+    """The TERMINAL artifact of exact-substring dedup (Lee et al.,
+    arXiv 2107.06499): cut every token covered by a duplicated 8-gram and
+    reassemble each document's CLEAN text — what actually ships to
+    tokenization, where ``docs_dup_spans`` only reports the spans. Output
+    (doc_id, n_kept, n_cut, text_clean), token-joined with single spaces;
+    documents whose every token is covered drop out entirely (both
+    engines agree — the group-by sees no surviving rows).
+
+    Scale shape (100 TB): the shared ``_dup_hits`` front half (partial
+    int64 counts → hash join-back, never a broadcast), then (1) each hit
+    expands to its 8 covered positions with a batch-local ``np.unique``
+    (≈8× volume cut before the shuffle), (2) covered positions anti-join
+    the token stream (``left_anti`` hash join — the only corpus-sized
+    exchange, and it carries each token once), (3) per-doc reassembly in
+    a bounded ``by_partition`` kernel (lexsort + C-speed group join, the
+    ``cdc_conv_text`` pattern)."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def expand_cover(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        n = len(did)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "i": pa.array([], pa.int64())}
+            )
+        off = np.tile(np.arange(CONTAM_N, dtype=np.int64), n)
+        dd = np.repeat(did, CONTAM_N)
+        jj = np.repeat(i, CONTAM_N) + off
+        # batch-local dedup (overlapping grams cover the same tokens):
+        # pack (doc_id, pos) into one int64 — doc ids are < 2^31
+        packed = np.unique(dd * (np.int64(1) << 32) + jj)
+        return pa.table(
+            {
+                "doc_id": pa.array(packed >> 32, pa.int64()),
+                "i": pa.array(packed & ((np.int64(1) << 32) - 1), pa.int64()),
+            }
+        )
+
+    covered = _dup_hits(ds).map_batches(expand_cover, batch_format="pyarrow")
+
+    def token_rows(b: pd.DataFrame) -> pa.Table:
+        lists = T.token_lists(b["text"])
+        counts = lists.str.len().to_numpy().astype(np.int64)
+        keep = counts > 0
+        did = b.loc[keep, "doc_id"].astype("int64").to_numpy()
+        cnt = counts[keep]
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in lists[keep]]
+        ) if keep.any() else np.zeros(0, object)
+        pos = np.concatenate([np.arange(1, c + 1) for c in cnt]) if keep.any() \
+            else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(did, cnt), pa.int64()),
+                "i": pa.array(pos.astype(np.int64), pa.int64()),
+                "t": pa.array(flat, pa.string()),
+                "n_tok": pa.array(np.repeat(cnt, cnt), pa.int64()),
+            }
+        )
+
+    kept = ds.map_batches(token_rows, batch_format="pandas").join(
+        covered,
+        join_type="left_anti",
+        num_partitions=C.join_partitions(),
+        on=("doc_id", "i"),
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_kept": pd.Series(dtype="int64"),
+                    "n_cut": pd.Series(dtype="int64"),
+                    "text_clean": pd.Series(dtype=object),
+                }
+            )
+        d = g.sort_values(["doc_id", "i"], kind="stable")
+        key = d["doc_id"].to_numpy()
+        grp = d["t"].groupby(key)
+        doc = grp.agg(" ".join)
+        n_kept = grp.size().to_numpy().astype("int64")
+        n_tok = d["n_tok"].groupby(key).first().to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": doc.index.to_numpy().astype("int64"),
+                "n_kept": n_kept,
+                "n_cut": n_tok - n_kept,
+                "text_clean": doc.to_numpy(dtype=object),
+            }
+        )
+
+    return C.by_partition(kept, "doc_id", assemble)
+
+
+def _dedup_cut_sql() -> str:
+    from raycdc import phash as H
+
+    gram = H.sql_poly(
+        f"array_to_string(list_slice(w, i, i + {CONTAM_N} - 1), ' ')"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {T.toks_sql('text')} AS w FROM documents
+), tok AS (
+  SELECT doc_id, i, w[i] AS t, len(w) AS n_tok
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 1)
+), gpos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - {CONTAM_N} + 1)) AS i
+  FROM toks WHERE len(w) >= {CONTAM_N}
+), grams AS (
+  SELECT doc_id, i, {gram} AS g FROM gpos
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, i FROM grams JOIN dup USING (g)
+), cov AS (
+  SELECT DISTINCT doc_id, i + o AS i
+  FROM hits, (SELECT unnest(generate_series(0, {CONTAM_N} - 1)) AS o) e
+), kept AS (
+  SELECT tok.doc_id, tok.i, tok.t, tok.n_tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+  WHERE cov.i IS NULL
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(n_tok) - count(*) AS BIGINT) AS n_cut,
+       string_agg(t, ' ' ORDER BY i) AS text_clean
+FROM kept GROUP BY doc_id
+"""
 
 
 def _dup_spans_sql() -> str:
@@ -1944,6 +2089,7 @@ QUERIES = {
     "doc_pack_offsets": doc_pack_offsets,
     "docs_contamination": docs_contamination,
     "docs_dup_spans": docs_dup_spans,
+    "docs_dedup_cut": docs_dedup_cut,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -1981,6 +2127,7 @@ ORACLE_SQL = {
     "doc_pack_offsets": PACK_OFFSETS_SQL,
     "docs_contamination": _contamination_sql(),
     "docs_dup_spans": _dup_spans_sql(),
+    "docs_dedup_cut": _dedup_cut_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }
