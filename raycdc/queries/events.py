@@ -1906,6 +1906,78 @@ FROM c ORDER BY day, event_type
 """
 
 
+def events_seasonal_outliers(sf_dir: str):
+    """Seasonal anomaly flags: for each (event_type, day, hour-of-day)
+    cell, compare its count against that type×hour's MEAN across every
+    day in the data (the hour-of-day seasonal baseline) and flag cells
+    more than 2× the baseline — the burst detector every event pipeline
+    runs against its traffic shape. Integer-exact contract: flag iff
+    ``n · n_days > 2 · hour_total`` (cross-multiplied — no float mean),
+    with ``ratio_bp = n · n_days · 10⁴ // hour_total`` as the reported
+    magnitude (floor division, tie-free both engines).
+
+    Scale shape: grain is bounded (types × days × 24), so one distributed
+    pass folds per-batch partial cell counts and the baseline join is a
+    driver-side transform of the tiny folded frame (the
+    ``events_share_of_day`` pattern); n_days is the distinct days of the
+    folded frame itself — never a second corpus pass."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "hour": b["ts"].dt.hour.astype("int64"),
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby(
+            ["event_type", "day", "hour"], as_index=False
+        )["n"].sum()
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day", "hour"], as_index=False)["n"]
+        .sum()
+    )
+    n_days = np.int64(fine["day"].nunique())
+    tot = fine.groupby(["event_type", "hour"])["n"].transform("sum")
+    n = fine["n"].to_numpy(np.int64)
+    hour_total = tot.to_numpy(np.int64)
+    out = fine.assign(
+        n=n,
+        hour_total=hour_total,
+        ratio_bp=(n * n_days * 10_000 // hour_total).astype("int64"),
+    )
+    out = out[n * n_days > 2 * hour_total]
+    return out.sort_values(
+        ["event_type", "day", "hour"], kind="stable"
+    ).reset_index(drop=True)
+
+
+SEASONAL_OUTLIERS_SQL = """
+WITH cells AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(hour(ts) AS BIGINT) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), d AS (
+  SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM cells
+), tot AS (
+  SELECT event_type, hour, CAST(sum(n) AS BIGINT) AS hour_total
+  FROM cells GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, c.hour, c.n, t.hour_total,
+       CAST(c.n * d.n_days * 10000 // t.hour_total AS BIGINT) AS ratio_bp
+FROM cells c
+JOIN tot t USING (event_type, hour)
+CROSS JOIN d
+WHERE c.n * d.n_days > 2 * t.hour_total
+ORDER BY c.event_type, c.day, c.hour
+"""
+
+
 # -- exact Pearson correlation from integer moment sums ------------------------
 
 def events_value_time_corr(sf_dir: str):
@@ -2924,6 +2996,7 @@ QUERIES = {
     "events_value_ntile": events_value_ntile,
     "events_percent_rank": events_percent_rank,
     "events_share_of_day": events_share_of_day,
+    "events_seasonal_outliers": events_seasonal_outliers,
     "events_value_time_corr": events_value_time_corr,
     "users_pareto_frontier": users_pareto_frontier,
     "events_audience_except": events_audience_except,
@@ -2967,6 +3040,7 @@ ORACLE_SQL = {
     "events_value_ntile": NTILE_SQL,
     "events_percent_rank": PERCENT_RANK_SQL,
     "events_share_of_day": SHARE_OF_DAY_SQL,
+    "events_seasonal_outliers": SEASONAL_OUTLIERS_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "users_pareto_frontier": PARETO_SQL,
     "events_audience_except": AUDIENCE_EXCEPT_SQL,
