@@ -89,6 +89,11 @@ def cmd_stream(args) -> int:
 
     _init_ray(args.num_cpus)
     eng = _engine(args)
+    replica = None
+    if getattr(args, "mirror", None):
+        from raycdc.engine import Engine
+
+        replica = Engine(args.mirror, num_partitions=args.mirror_partitions)
     results = follow(
         eng,
         args.log_dir,
@@ -97,7 +102,10 @@ def cmd_stream(args) -> int:
         period_seconds=args.period,
         max_idle_polls=args.max_idle_polls,
         max_rounds=args.max_rounds,
+        mirror_to=replica,
     )
+    if replica is not None:
+        replica.close()
     print(json.dumps({
         "rounds_applied": len(results),
         "last_cursor": eng.lake.last_cursor(),
@@ -430,6 +438,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-idle-polls", type=int, default=3)
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--with-conv-latest", action="store_true")
+    p.add_argument("--mirror", default=None,
+                   help="replica lake kept synced per applied batch")
+    p.add_argument("--mirror-partitions", type=int, default=16)
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("export", help="ranged file export of a lake table")

@@ -27,6 +27,8 @@ def follow(
     max_idle_polls: int = 3,
     max_rounds: int | None = None,
     adaptive: bool = False,
+    mirror_to: Engine | None = None,
+    mirror_consumer: str = "stream-mirror",
 ) -> list[dict]:
     """Poll ``log_dir`` for new epoch files and apply them in commit rounds.
 
@@ -42,7 +44,25 @@ def follow(
     work forever; the manifest fence makes the retry exact — committed
     rounds skip, the failed round's epochs re-apply idempotently in the
     narrower rounds.
+
+    ``mirror_to`` keeps a REPLICA lake continuously synced: after every
+    applied batch (and once more before returning) the changefeed
+    consumer protocol ships the new windows into the replica
+    (:func:`raycdc.exporters.replicate_lake` with
+    ``on_rollback="repair"`` — a stream reorg that erases the consumer
+    anchor auto-repairs the replica and resumes). This closes the full
+    production loop: upstream log → lake → downstream replica, all
+    exactly-once.
     """
+    def mirror_tick():
+        if mirror_to is not None:
+            from raycdc.exporters import replicate_lake
+
+            replicate_lake(
+                engine, mirror_to, consumer=mirror_consumer,
+                on_rollback="repair",
+            )
+
     batcher = None
     if adaptive:
         from raycdc.adaptive import AdaptiveBatcher
@@ -87,7 +107,9 @@ def follow(
             idle += 1
             time.sleep(period_seconds)
             continue
+        mirror_tick()
         idle = 0
         if max_rounds is not None and len(results) >= max_rounds:
             break
+    mirror_tick()
     return results

@@ -1126,3 +1126,38 @@ def test_funnel3_strict_order_ties(ray_session, tmp_path):
     for c in got.columns:
         want[c] = want[c].astype(got[c].dtype)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_stream_follow_with_mirror(ray_session, tmp_path):
+    """Streaming replication: follow() with mirror_to keeps a replica
+    lake synced per applied batch — after the stream drains, the replica
+    is value-identical to the source, and a later follow over new epochs
+    ships only the new windows."""
+    from raycdc.stream import follow
+
+    spec = gen.GenSpec(seed=19, n_convs=60, mean_turns=5, n_epochs=4)
+    staged = str(tmp_path / "staged")
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    paths = gen.write_change_log(spec, staged)
+    for p in paths[:2]:
+        os.link(p, os.path.join(live, os.path.basename(p)))
+
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4, merge_actors=1)
+    rep = Engine(str(tmp_path / "replica"), num_partitions=2, merge_actors=1)
+    follow(eng, live, period_seconds=0.05, max_idle_polls=2, mirror_to=rep)
+
+    def assert_mirrored():
+        want = eng.read_lake_pandas().drop(columns=["seq"])
+        got = rep.read_lake_pandas().drop(columns=["seq"])
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+    assert_mirrored()
+    for p in paths[2:]:
+        os.link(p, os.path.join(live, os.path.basename(p)))
+    r2 = follow(eng, live, period_seconds=0.05, max_idle_polls=2, mirror_to=rep)
+    assert len(r2) == 2
+    assert_mirrored()
+    eng.close(); rep.close()
