@@ -2627,6 +2627,69 @@ ORDER BY from_type, to_type
 """
 
 
+PATH_TRIGRAMS_TOPK = 20
+
+
+def events_path_trigrams(sf_dir: str):
+    """User-journey mining: the top-{k} most common CONSECUTIVE
+    three-event type sequences across all user timelines (the 3-gram
+    extension of ``events_type_transitions`` — the grain funnel-discovery
+    and next-action models train on). Deterministic contract: top
+    {k} by count desc, path string asc on ties. Distributed shape:
+    user-keyed bounded partitions (adjacency needs co-located, ordered
+    users), one vectorized kernel — lexsort, doubly-shifted type arrays
+    with a user-boundary mask — emitting partial counts over the bounded
+    (types³) grain; the driver folds O(types³ × partitions) rows and
+    takes the top k.""".format(k=PATH_TRIGRAMS_TOPK)
+    ds = C.read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    _EMPTY = pd.DataFrame(
+        {"path": pd.Series(dtype=object), "n": pd.Series(dtype="int64")}
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 3:
+            return _EMPTY
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy(np.int64)
+        et = d["event_type"].to_numpy(dtype=object)
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same.any():
+            return _EMPTY
+        a, b, c = et[:-2][same], et[1:-1][same], et[2:][same]
+        path = pd.Series(a) + ">" + pd.Series(b) + ">" + pd.Series(c)
+        out = path.value_counts().rename_axis("path").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out[["path", "n"]]
+
+    parts = C.by_partition(ds, "user_id", kernel).to_pandas()
+    if len(parts) == 0:
+        return _EMPTY
+    out = parts.groupby("path", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(
+        ["n", "path"], ascending=[False, True], kind="stable"
+    ).head(PATH_TRIGRAMS_TOPK)
+    return out.reset_index(drop=True)
+
+
+PATH_TRIGRAMS_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TRIGRAMS_TOPK}
+"""
+
+
 # -- time-weighted average over irregular samples ------------------------------
 
 def events_time_weighted_avg(sf_dir: str):
@@ -2997,6 +3060,7 @@ QUERIES = {
     "events_percent_rank": events_percent_rank,
     "events_share_of_day": events_share_of_day,
     "events_seasonal_outliers": events_seasonal_outliers,
+    "events_path_trigrams": events_path_trigrams,
     "events_value_time_corr": events_value_time_corr,
     "users_pareto_frontier": users_pareto_frontier,
     "events_audience_except": events_audience_except,
@@ -3041,6 +3105,7 @@ ORACLE_SQL = {
     "events_percent_rank": PERCENT_RANK_SQL,
     "events_share_of_day": SHARE_OF_DAY_SQL,
     "events_seasonal_outliers": SEASONAL_OUTLIERS_SQL,
+    "events_path_trigrams": PATH_TRIGRAMS_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "users_pareto_frontier": PARETO_SQL,
     "events_audience_except": AUDIENCE_EXCEPT_SQL,
