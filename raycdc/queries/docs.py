@@ -933,6 +933,123 @@ FROM (SELECT doc_id,
 """
 
 
+# -- train/val vocabulary drift over the leakage-safe split ------------------
+
+VOCAB_DRIFT_TOP = 30
+
+
+def docs_vocab_drift(sf_dir: str):
+    """Train/val VOCABULARY DRIFT — the distribution-shift check run
+    before trusting a held-out split: for the top {k} corpus terms by
+    document frequency, compare each term's doc-frequency RATE between
+    the train and val splits (the same leakage-safe hash split as
+    ``docs_split_assign``) and report the absolute rate difference in
+    basis points. Integer-exact: ``|df_t·n_v − df_v·n_t|·10⁴ //
+    (n_t·n_v)`` — no float rates to drift between engines. Ranking: df
+    over ALL splits, desc, term asc on ties.
+
+    Scale shape: one pass emits per-batch DISTINCT (doc, token) counts
+    tagged with the doc's split — the split is a pure hash of doc_id, so
+    it is computed IN the batch (no join with an assignment table); the
+    shuffle moves vocabulary-sized (token, split) partials and the final
+    ranking runs on the vocabulary-sized fold. Split sizes come from one
+    O(docs) column-pruned count pass.""".format(k=VOCAB_DRIFT_TOP)
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _splits(doc_ids: pd.Series) -> np.ndarray:
+        h = (
+            H.poly_hash(doc_ids.astype("string").to_numpy(dtype=object))
+            % np.uint64(_SPLIT_MOD)
+        ).astype("int64")
+        return np.where(
+            h < _SPLIT_TRAIN, "train", np.where(h < _SPLIT_VAL, "val", "test")
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "split": _splits(b["doc_id"]),
+                "token": T.token_lists(b["text"]),
+            }
+        ).explode("token")
+        d = d[d["token"].notna()].drop_duplicates(["doc_id", "token"])
+        out = d.groupby(["token", "split"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["token", "split"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = folded.pivot_table(
+        index="token", columns="split", values="n", aggfunc="sum", fill_value=0
+    )
+    for c in ("train", "val", "test"):
+        if c not in piv.columns:
+            piv[c] = 0
+    counts = C.read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: pd.DataFrame({"split": _splits(b["doc_id"]), "n": np.int64(1)})
+        .groupby("split", as_index=False)["n"].sum(),
+        batch_format="pandas",
+    ).to_pandas().groupby("split")["n"].sum()
+    n_t = np.int64(counts.get("train", 0))
+    n_v = np.int64(counts.get("val", 0))
+    df_t = piv["train"].to_numpy(np.int64)
+    df_v = piv["val"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "token": piv.index.to_numpy(dtype=object),
+            "df_train": df_t,
+            "df_val": df_v,
+            "df_total": (df_t + df_v + piv["test"].to_numpy(np.int64)),
+            "drift_bp": (
+                np.abs(df_t * n_v - df_v * n_t) * 10_000 // (n_t * n_v)
+            ).astype("int64"),
+        }
+    )
+    return (
+        out.sort_values(["df_total", "token"], ascending=[False, True],
+                        kind="stable")
+        .head(VOCAB_DRIFT_TOP)
+        .reset_index(drop=True)
+    )
+
+
+def _vocab_drift_sql() -> str:
+    return f"""
+WITH s AS ({_split_assign_sql()}),
+dt AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest({T.toks_sql('text')}) AS token FROM documents)
+), j AS (
+  SELECT dt.token, s.split FROM dt JOIN s USING (doc_id)
+), df AS (
+  SELECT token,
+         CAST(count(*) FILTER (split = 'train') AS BIGINT) AS df_train,
+         CAST(count(*) FILTER (split = 'val') AS BIGINT) AS df_val,
+         CAST(count(*) AS BIGINT) AS df_total
+  FROM j GROUP BY token
+), n AS (
+  SELECT CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_t,
+         CAST(count(*) FILTER (split = 'val') AS BIGINT) AS n_v
+  FROM s
+)
+SELECT token, df_train, df_val, df_total,
+       CAST(abs(df_train * n_v - df_val * n_t) * 10000
+            // (n_t * n_v) AS BIGINT) AS drift_bp
+FROM df CROSS JOIN n
+ORDER BY df_total DESC, token
+LIMIT {VOCAB_DRIFT_TOP}
+"""
+
+
 # -- train/test contamination scan (decontamination) ------------------------
 
 CONTAM_N = 8  # word n-gram window (the standard 8-13-gram decontam range)
@@ -2090,6 +2207,7 @@ QUERIES = {
     "docs_contamination": docs_contamination,
     "docs_dup_spans": docs_dup_spans,
     "docs_dedup_cut": docs_dedup_cut,
+    "docs_vocab_drift": docs_vocab_drift,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -2128,6 +2246,7 @@ ORACLE_SQL = {
     "docs_contamination": _contamination_sql(),
     "docs_dup_spans": _dup_spans_sql(),
     "docs_dedup_cut": _dedup_cut_sql(),
+    "docs_vocab_drift": _vocab_drift_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }
