@@ -1050,6 +1050,125 @@ LIMIT {VOCAB_DRIFT_TOP}
 """
 
 
+# -- corpus diversity: distinct-n ratios -------------------------------------
+
+DIVERSITY_MAX_N = 3
+
+
+def docs_distinct_ngrams(sf_dir: str):
+    """Corpus DIVERSITY metrics — distinct-n (Li et al., arXiv 1510.03055,
+    the standard repetitiveness gauge for generated/curated corpora): for
+    n = 1..{m}, the total word n-gram count, the DISTINCT n-gram count,
+    and their ratio in basis points (``distinct·10⁴ // total``, floor —
+    tie-free both engines). Low distinct-2/3 flags a corpus of recycled
+    boilerplate before it poisons training.
+
+    Scale shape: per-batch partial (n, gram-hash, count) rows → one
+    ``groupby(n, g).sum`` whose key space is the distinct-gram set (the
+    exact path; the HLL register family in ``sketches.py`` is the
+    bounded-memory alternative at extreme cardinality), then an
+    O(distinct) fold to 3 rows via a second tiny aggregate. Gram hashing
+    is the portable ``phash`` — identical collisions both engines, so
+    the SQL twin matches hash-exactly.""".format(m=DIVERSITY_MAX_N)
+    from raycdc import phash as H
+
+    ds = C.read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = T.token_lists(b["text"])
+        frames = []
+        for n in range(1, DIVERSITY_MAX_N + 1):
+            keep = lists.str.len() >= n
+            if not keep.any():
+                continue
+            toks = lists[keep]
+            counts = toks.str.len().to_numpy().astype(np.int64)
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in toks]
+            )
+            if n == 1:
+                grams = flat
+            else:
+                # contiguous n-gram join per doc: windowed elementwise
+                # joins over the flat stream, masking cross-doc windows
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                starts = np.concatenate(
+                    [np.arange(bounds[i], bounds[i + 1] - n + 1)
+                     for i in range(len(counts)) if counts[i] >= n]
+                )
+                parts = [flat[starts + j] for j in range(n)]
+                grams = np.array(
+                    [" ".join(t) for t in zip(*parts)], dtype=object
+                ) if len(starts) else np.zeros(0, object)
+            if not len(grams):
+                continue
+            gh = H.poly_hash(grams).astype(np.int64)
+            g, c = np.unique(gh, return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {"n": np.int64(n), "g": g, "c": c.astype("int64")}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series(dtype="int64"),
+                    "g": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["n", "g"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda b: b.groupby("n", as_index=False).agg(
+                total=("c", "sum"), n_distinct=("c", "size")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("n", as_index=False)
+        .sum()
+    )
+    total = folded["total"].to_numpy(np.int64)
+    distinct = folded["n_distinct"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "n": folded["n"].to_numpy(np.int64),
+            "total": total,
+            "n_distinct": distinct,
+            "distinct_bp": (distinct * 10_000 // total).astype("int64"),
+        }
+    ).sort_values("n").reset_index(drop=True)
+
+
+def _distinct_ngrams_sql() -> str:
+    from raycdc import phash as H
+
+    gram = H.sql_poly("array_to_string(list_slice(w, i, i + n - 1), ' ')")
+    return rf"""
+WITH toks AS (
+  SELECT {T.toks_sql('text')} AS w FROM documents
+), pos AS (
+  SELECT n, w, unnest(generate_series(1, len(w) - n + 1)) AS i
+  FROM toks, (SELECT unnest(generate_series(1, {DIVERSITY_MAX_N})) AS n) ns
+  WHERE len(w) >= n
+), grams AS (
+  SELECT n, {gram} AS g FROM pos
+), per_gram AS (
+  SELECT n, g, count(*) AS c FROM grams GROUP BY n, g
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) * 10000 // sum(c) AS BIGINT) AS distinct_bp
+FROM per_gram GROUP BY n ORDER BY n
+"""
+
+
 # -- train/test contamination scan (decontamination) ------------------------
 
 CONTAM_N = 8  # word n-gram window (the standard 8-13-gram decontam range)
@@ -2208,6 +2327,7 @@ QUERIES = {
     "docs_dup_spans": docs_dup_spans,
     "docs_dedup_cut": docs_dedup_cut,
     "docs_vocab_drift": docs_vocab_drift,
+    "docs_distinct_ngrams": docs_distinct_ngrams,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -2247,6 +2367,7 @@ ORACLE_SQL = {
     "docs_dup_spans": _dup_spans_sql(),
     "docs_dedup_cut": _dedup_cut_sql(),
     "docs_vocab_drift": _vocab_drift_sql(),
+    "docs_distinct_ngrams": _distinct_ngrams_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }
