@@ -1169,6 +1169,100 @@ FROM per_gram GROUP BY n ORDER BY n
 """
 
 
+# -- BPE merge-pair statistics (tokenizer training, iteration one) ----------
+
+BPE_PAIRS_TOP = 20
+
+
+def docs_bpe_pairs(sf_dir: str):
+    """The first BPE TOKENIZER-TRAINING step at corpus scale (Sennrich et
+    al., arXiv 1508.07909 §3.2): with symbols = characters (iteration
+    one, before any merge), count every adjacent symbol pair weighted by
+    its word's corpus frequency and return the top {k} merge candidates
+    (weight desc, pair asc on ties) — the argmax BPE would merge first.
+
+    Scale shape: the corpus pass is the ``vocab_top_terms`` combiner
+    (per-batch word counts, vocabulary-sized shuffle); pair extraction
+    then runs over the VOCABULARY, not the token stream — a fixed-width
+    numpy char view gives every (offset, word) pair in one vectorized
+    slice per offset, no per-word Python — and the final fold is
+    alphabet²-sized.""".format(k=BPE_PAIRS_TOP)
+    ds = C.read(sf_dir, "documents", ["text"])
+
+    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = T.token_lists(b["text"]).explode()
+        vc = toks[toks.notna()].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "c": vc.to_numpy().astype("int64")}
+        )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["token"].to_numpy(dtype="U")
+        c = b["c"].to_numpy(np.int64)
+        if not len(words):
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype=object), "w": pd.Series(dtype="int64")}
+            )
+        width = words.dtype.itemsize // 4
+        chars = np.ascontiguousarray(words).view(np.uint32).reshape(
+            len(words), width
+        )
+        lens = (chars != 0).sum(axis=1)
+        frames = []
+        for i in range(width - 1):
+            mask = lens >= i + 2
+            if not mask.any():
+                break
+            a = chars[mask, i].astype(np.uint32)
+            bch = chars[mask, i + 1].astype(np.uint32)
+            pair = np.char.add(a.view("U1"), bch.view("U1"))
+            frames.append(pd.DataFrame({"pair": pair, "w": c[mask]}))
+        if not frames:
+            return pd.DataFrame(
+                {"pair": pd.Series(dtype=object), "w": pd.Series(dtype="int64")}
+            )
+        out = pd.concat(frames, ignore_index=True).groupby(
+            "pair", as_index=False
+        )["w"].sum()
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    folded = (
+        ds.map_batches(word_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(pair_partial, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+    folded["w"] = folded["w"].astype("int64")
+    return (
+        folded.sort_values(["w", "pair"], ascending=[False, True],
+                           kind="stable")
+        .head(BPE_PAIRS_TOP)
+        .reset_index(drop=True)
+    )
+
+
+def _bpe_pairs_sql() -> str:
+    return f"""
+WITH vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({T.toks_sql('text')}) AS token FROM documents)
+  GROUP BY token
+), pairs AS (
+  SELECT substr(token, i, 2) AS pair, c
+  FROM (SELECT token, c, unnest(generate_series(1, length(token) - 1)) AS i
+        FROM vocab WHERE length(token) >= 2)
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS w
+FROM pairs GROUP BY pair
+ORDER BY w DESC, pair ASC
+LIMIT {BPE_PAIRS_TOP}
+"""
+
+
 # -- train/test contamination scan (decontamination) ------------------------
 
 CONTAM_N = 8  # word n-gram window (the standard 8-13-gram decontam range)
@@ -2328,6 +2422,7 @@ QUERIES = {
     "docs_dedup_cut": docs_dedup_cut,
     "docs_vocab_drift": docs_vocab_drift,
     "docs_distinct_ngrams": docs_distinct_ngrams,
+    "docs_bpe_pairs": docs_bpe_pairs,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -2368,6 +2463,7 @@ ORACLE_SQL = {
     "docs_dedup_cut": _dedup_cut_sql(),
     "docs_vocab_drift": _vocab_drift_sql(),
     "docs_distinct_ngrams": _distinct_ngrams_sql(),
+    "docs_bpe_pairs": _bpe_pairs_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }
