@@ -332,6 +332,19 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_merge_branch(args) -> int:
+    _init_ray(args.num_cpus)
+    from raycdc.engine import Engine
+
+    src = _engine(args)
+    br = Engine(args.branch)
+    out = src.merge_branch(br)
+    print(json.dumps({k: v for k, v in out.items() if k != "touched_parts"},
+                     default=str))
+    src.close(); br.close()
+    return 0
+
+
 def cmd_tag(args) -> int:
     # pure manifest surgery — no Ray needed (named snapshot refs)
     from raycdc.lake import Lake
@@ -526,6 +539,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--round", help="branch point round id (default: head)")
     p.add_argument("--tag", help="branch at a named snapshot tag")
     p.set_defaults(fn=cmd_branch)
+
+    p = sub.add_parser(
+        "merge-branch", help="promote a branch's net delta back into its parent"
+    )
+    _common(p)
+    p.add_argument("--branch", required=True, help="branch lake directory")
+    p.set_defaults(fn=cmd_merge_branch)
 
     p = sub.add_parser("tag", help="manage named snapshot tags")
     p.add_argument("--lake", required=True, help="lake directory")

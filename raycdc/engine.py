@@ -2103,6 +2103,56 @@ class Engine:
         df = st.select(keep).to_pandas()
         return df.sort_values(key_cols, kind="stable").reset_index(drop=True)
 
+    def merge_branch(self, branch) -> dict:
+        """PROMOTE a diverged branch back into this lake (the write-side
+        completion of :meth:`raycdc.lake.Lake.branch` — LakeFS merge /
+        the WAP pattern at branch granularity: branch, validate on the
+        branch, then fold its net effect back). The merge unit is the
+        branch's CHANGEFEED since the two ledgers' common prefix — the
+        net row-level delta of everything the branch did after the
+        branch point — applied here as ONE epoch through the normal
+        round path, so commit atomicity, fencing and rollback cover the
+        promotion. Conflict semantics are the engine's guarded LWW: a
+        row both sides touched resolves by (cursor, seq) arg-max,
+        deterministically (a source row updated after the branch point
+        with a higher cursor survives the merge; branch deletes arrive
+        as tombstones). Re-merging an unchanged branch is a state no-op
+        (exact (key, cursor, seq) re-deliveries dedup in the fold).
+        Returns the apply metrics plus ``merge_base``; raises if the two
+        lakes share no committed history."""
+        import pyarrow.compute as pc
+
+        # identity by recorded LINEAGE, never ledger coincidence: round
+        # ids and cursor boundaries are deterministic per epoch numbering,
+        # so unrelated lakes can collide on both
+        my_id = self.lake.manifest.get("lake_id")
+        if not my_id or branch.lake.manifest.get("branched_from") != my_id:
+            raise ValueError(
+                "merge_branch: no common committed history — the lake is "
+                "not a recorded branch of this one (Lake.branch stamps "
+                "lineage; merge into the branch's parent)"
+            )
+        base = branch.lake.manifest["branch_base"]
+        self.lake.round_position(base)  # KeyError if rolled away here
+        b = branch.lake.manifest["committed_rounds"]
+        if b and b[-1]["round_id"] == base:
+            return {"merge_base": base, "skipped": True}
+
+        def to_events(t: pa.Table) -> pa.Table:
+            op = pc.if_else(
+                pc.equal(t.column("change_op"), pa.scalar("delete")),
+                pa.scalar("delete"),
+                pa.scalar("insert"),
+            )
+            return t.drop_columns(["change_op"]).append_column("op", op)
+
+        feed = branch.read_changes(since_round=base)
+        res = self.apply_dataset(
+            feed.map_batches(to_events, batch_format="pyarrow")
+        )
+        res["merge_base"] = base
+        return res
+
     def read_changes(
         self,
         since_round: str | None = None,

@@ -291,6 +291,17 @@ class Lake:
         rounds = self.manifest["committed_rounds"]
         if not rounds:
             raise ValueError("cannot branch an empty lake")
+        # provenance: give this lake a durable identity on first branch
+        # and stamp the child with it — merge_branch trusts LINEAGE, not
+        # ledger coincidence (round ids and cursor boundaries are
+        # deterministic per epoch numbering, so unrelated lakes can
+        # collide on both)
+        if not self.manifest.get("lake_id"):
+            import uuid
+
+            self.ensure_writer_lock()
+            self.manifest["lake_id"] = uuid.uuid4().hex
+            self._write_manifest()
         if round_id is None:
             round_id = rounds[-1]["round_id"]
         idx = self.round_position(round_id)
@@ -351,6 +362,11 @@ class Lake:
         }
         if "reshard_floor" in self.manifest:
             man["reshard_floor"] = self.manifest["reshard_floor"]
+        import uuid
+
+        man["lake_id"] = uuid.uuid4().hex  # the branch's own identity
+        man["branched_from"] = self.manifest["lake_id"]
+        man["branch_base"] = round_id
         tmp = os.path.join(dest, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(man, f)

@@ -1896,3 +1896,51 @@ def test_adaptive_round_sizing(ray_session, tmp_path, make_lake):
     again = eng.apply_log(log, epochs_per_round=4)
     assert all(r.get("skipped") for r in again)
     eng.close()
+
+
+def test_branch_merge_back_promotion(ray_session, tmp_path, make_lake):
+    """Branch → diverge → promote: a branch that caught up on the full
+    log merges back into a source still pinned at the branch point, and
+    the source then matches the full-log oracle; re-merging the unchanged
+    branch is a state no-op; a branch with no shared history refuses."""
+    import shutil
+
+    spec = gen.GenSpec(seed=67, n_convs=90, mean_turns=5, n_epochs=6)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    part = str(tmp_path / "log3")
+    os.makedirs(part)
+    for p in sorted(glob.glob(os.path.join(log, "changes-*.parquet")))[:3]:
+        shutil.copy(p, part)
+
+    src = make_lake(num_partitions=8, merge_actors=1)
+    src.apply_log(part)
+    dest = str(tmp_path / "branch")
+    src.lake.branch(dest)
+    br = Engine(dest, merge_actors=1)
+    br.apply_log(log)  # branch diverges: catches up on the full log
+    assert_matches_oracle(br, log)
+
+    out = src.merge_branch(br)
+    assert out["merge_base"] is not None and not out.get("skipped")
+    assert_matches_oracle(src, log)  # promotion folded the delta in
+
+    # re-merge: the branch did not move, delta re-applies as exact-dup
+    # no-ops — state unchanged
+    before = src.read_lake_pandas()
+    src.merge_branch(br)
+    pd.testing.assert_frame_equal(
+        src.read_lake_pandas(), before, check_dtype=False
+    )
+
+    # unrelated lake (different generated log → different cursor
+    # boundaries even at the same round ids): no shared history
+    olog = str(tmp_path / "olog")
+    gen.write_change_log(
+        gen.GenSpec(seed=68, n_convs=40, mean_turns=3, n_epochs=2), olog
+    )
+    other = Engine(str(tmp_path / "other"), num_partitions=4, merge_actors=1)
+    other.apply_log(olog)
+    with pytest.raises(ValueError, match="no common committed history"):
+        other.merge_branch(br)
+    src.close(); br.close(); other.close()
