@@ -346,13 +346,21 @@ class Lake:
                 json.dumps(rounds[: idx + 1])
             ),
             "partitions": new_parts,
-            # keep rollback records whose rollback round is inside the
-            # prefix (stream replay fencing on the branch needs them)
+            # keep rollback records that belong to the prefix's EPOCH
+            # history (stream replay fencing on the branch needs them —
+            # dropping one would make the branch re-execute the rollback
+            # and truncate its own inherited rounds). Rollback rounds are
+            # never committed rounds, so membership is by epoch: any
+            # recorded rollback at or before the prefix's max epoch is
+            # part of the state being branched.
             "applied_rollbacks": json.loads(json.dumps([
                 rb
                 for rb in self.manifest.get("applied_rollbacks", [])
                 if rb.get("epoch") is None
-                or f"rollback@{rb['epoch']}" in allowed
+                or int(rb["epoch"]) <= max(
+                    (int(e) for r in rounds[: idx + 1] for e in r["epochs"]),
+                    default=-1,
+                )
             ])),
             "tags": {
                 n: rid

@@ -1119,6 +1119,45 @@ def cdc_branch(sf_dir: str):
     )
 
 
+def cdc_branch_promote(sf_dir: str):
+    """Branch → diverge → PROMOTE, end to end as a driver contract: a
+    source lake replays only the log PREFIX (the same historical boundary
+    ``cdc_time_travel`` reads), a zero-copy branch of it catches up on
+    the FULL log, and :meth:`Engine.merge_branch` folds the branch's net
+    delta back through one atomic round — after which the promoted
+    source must equal the full replay (the ``cdc_replay`` oracle). This
+    exercises lineage stamping, the changefeed-since-base delta, and
+    guarded-LWW promotion in one row."""
+    round_id, _ = _snapshot_round_epoch(sf_dir)
+    spec = _spec_for(sf_dir, rollback_epochs=(1,))
+    key = (gen.spec_fingerprint(spec), "promote")
+    eng = _ENGINE_MEMO.get(key)
+    if eng is None:
+        # source at PREFIX state = zero-copy branch of the memoized full
+        # replay AT the snapshot round (hardlinks — no prefix re-replay);
+        # the promotion branch then only applies the log SUFFIX (epoch
+        # fencing skips the inherited prefix)
+        full = _replayed_engine(sf_dir, salted=False)
+        log_dir = gen.cached_change_log(spec)
+        lake = _scratch_lake(spec, "promote")
+        bdir = lake + "-br"
+        shutil.rmtree(lake, ignore_errors=True)
+        shutil.rmtree(bdir, ignore_errors=True)
+        full.lake.branch(lake, round_id=round_id)
+        eng = Engine(lake)
+        assert eng.lake.manifest["committed_rounds"][-1]["round_id"] == round_id
+        eng.lake.branch(bdir)
+        eng.close()  # one CPU-pinned merger pool at a time
+        br = Engine(bdir)
+        br.apply_log(log_dir, epochs_per_round=2)
+        br.close()
+        out = eng.merge_branch(br)  # read-only on br; eng pool re-ensures
+        assert out["merge_base"] == round_id and not out.get("skipped")
+        eng.close()
+        _ENGINE_MEMO[key] = eng
+    return eng.read_lake_pandas()
+
+
 # point-lookup key sample: deterministic spread over the tier's conv space
 _LOOKUP_FRACS = (0, 1, 3, 7, 9)
 
@@ -2145,6 +2184,7 @@ def build_cdc_oracle_sql(sf_dir: str) -> dict[str, str]:
         "cdc_mirror_sharded": _mirror_sharded_sql(replay),
         "cdc_consolidate": _consolidate_sql(replay),
         "cdc_branch": time_travel,
+        "cdc_branch_promote": replay,
         "cdc_schema_evolution": CDC_EVOLVED_REPLAY_SQL_TEMPLATE.format(
             path=ev_path, where=""
         ),
@@ -2377,6 +2417,7 @@ QUERIES = {
     "cdc_round_ledger": cdc_round_ledger,
     "cdc_time_travel": cdc_time_travel,
     "cdc_branch": cdc_branch,
+    "cdc_branch_promote": cdc_branch_promote,
     "cdc_read_key": cdc_read_key,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_window": cdc_changefeed_window,

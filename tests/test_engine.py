@@ -1944,3 +1944,56 @@ def test_branch_merge_back_promotion(ray_session, tmp_path, make_lake):
     with pytest.raises(ValueError, match="no common committed history"):
         other.merge_branch(br)
     src.close(); br.close(); other.close()
+
+
+def test_branch_merge_conflict_lww(ray_session, tmp_path, make_lake):
+    """Promotion under TRUE divergence: branch and source both edit the
+    same key after the branch point — the merge resolves by cursor LWW
+    (source's newer edit survives), while branch-only keys flow in."""
+    import pyarrow as pa
+    import ray
+
+    spec = gen.GenSpec(seed=31, n_convs=50, mean_turns=4, n_epochs=3)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    src = make_lake(num_partitions=8, merge_actors=1)
+    src.apply_log(log)
+    dest = str(tmp_path / "branch")
+    src.lake.branch(dest)
+    br = Engine(dest, merge_actors=1)
+
+    row = src.read_lake_pandas().iloc[0]
+    base = int(src.lake.last_cursor())
+
+    def ev(conv_id, turn_idx, text, cursor, seq):
+        return pa.table(
+            {
+                "op": pa.array(["insert"], pa.string()),
+                "conv_id": pa.array([conv_id], pa.string()),
+                "turn_idx": pa.array([int(turn_idx)], pa.int32()),
+                "role": pa.array(["user"], pa.string()),
+                "text": pa.array([text], pa.string()),
+                "tool": pa.array([None], pa.string()),
+                "ts": pa.array([row["ts"].to_pydatetime()],
+                               pa.timestamp("us")),
+                "cursor": pa.array([cursor], pa.int64()),
+                "seq": pa.array([seq], pa.int32()),
+            }
+        )
+
+    key = (row["conv_id"], int(row["turn_idx"]))
+    # branch edits the shared key (cursor base+1) and adds a new key
+    br.apply_dataset(ray.data.from_arrow(pa.concat_tables([
+        ev(key[0], key[1], "branch-edit", base + 1, 0),
+        ev("conv-999999", 0, "branch-new", base + 1, 1),
+    ])))
+    # source edits the SAME key with a NEWER cursor
+    src.apply_dataset(ray.data.from_arrow(
+        ev(key[0], key[1], "src-edit", base + 2, 0)
+    ))
+
+    src.merge_branch(br)
+    final = src.read_lake_pandas().set_index(["conv_id", "turn_idx"])
+    assert final.loc[key, "text"] == "src-edit"  # newer cursor won
+    assert final.loc[("conv-999999", 0), "text"] == "branch-new"
+    src.close(); br.close()

@@ -568,7 +568,8 @@ def test_ann_quantized_recall_vs_bruteforce(ray_session):
      "cdc_neardup_candidates", "cdc_neardup_delta", "cdc_window_dedup",
      "cdc_scd2_asof", "cdc_conv_text", "cdc_turn_pairs",
      "cdc_column_diff", "cdc_mirror", "cdc_line_dedup",
-     "cdc_mirror_sharded", "cdc_branch", "cdc_consolidate"],
+     "cdc_mirror_sharded", "cdc_branch", "cdc_consolidate",
+     "cdc_branch_promote"],
 )
 def test_replay_queries_match_sql_oracle(ray_session, name):
     """The flagship CDC replay (and its derived aggregates) checked against
