@@ -2276,7 +2276,9 @@ class _FunnelScorer:
         self.punct = re.compile(r"[^A-Za-z0-9_ \t\n]")
         self.stop = frozenset(FUNNEL_STOPWORDS)
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+    def stages(self, b: pd.DataFrame) -> tuple:
+        """(first-failing stage per doc, word count per doc) — the shared
+        verdict kernel of the counted funnel and the curation pipeline."""
         from itertools import chain
 
         texts = b["text"]
@@ -2310,6 +2312,10 @@ class _FunnelScorer:
         ]
         for s, fail in rules:
             stage = np.where((stage == 0) & fail, s, stage)
+        return stage, counts
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        stage, _ = self.stages(b)
         u, c = np.unique(stage, return_counts=True)
         return pd.DataFrame({"stage": u.astype("int64"), "c": c.astype("int64")})
 
@@ -2353,6 +2359,103 @@ def docs_filter_funnel(sf_dir: str):
         )
         n_in -= dropped
     return pd.DataFrame(rows)
+
+
+class _CurationMap(_FunnelScorer):
+    """Per-doc curation verdict: quality-funnel survivors only, with the
+    columns the downstream dedup needs."""
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        stage, n_words = self.stages(b)
+        keep = stage == 0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[keep].astype("int64"),
+                "text": b["text"].to_numpy(dtype=object)[keep],
+                "lang": b["lang"].to_numpy(dtype=object)[keep],
+                "n_words": n_words[keep],
+            }
+        )
+
+
+def docs_curation_pipeline(sf_dir: str):
+    """The COMPOSED curation pipeline a pretraining-corpus owner actually
+    runs, as one driver-checkable row: quality-filter cascade
+    (``docs_filter_funnel``'s exact rules, survivors only) → exact dedup
+    keep-first (min doc_id per surviving text) → the final kept corpus as
+    (doc_id, lang, n_words). Composition is the point: the stages chain
+    as one streaming Dataset — filter inside the scorer actor pool, then
+    the bounded-partition dedup shuffle — with no materialization between
+    them, and the oracle is the same two stages as SQL CTEs.
+
+    Scale shape: one corpus pass (stateful scorer pool, survivors
+    emitted in-batch), one bounded hash-of-text shuffle for the dedup
+    winners (the ``dedup_exact`` pattern) — nothing corpus-sized lands
+    on the driver."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    nparts = C.join_partitions()
+    survivors = ds.map_batches(
+        _CurationMap, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pd.util.hash_array(b["text"].to_numpy(dtype=object))
+        b["part"] = (h % np.uint64(nparts)).astype("int32")
+        return b
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"),
+            lang=("lang", "min"),
+            n_words=("n_words", "min"),
+        )
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_words"] = out["n_words"].astype("int64")
+        return out[["doc_id", "lang", "n_words"]]
+
+    return (
+        survivors.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(winners, batch_format="pandas")
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    # the funnel's verdict CTE chain, re-keyed per doc and extended with
+    # the dedup columns (same constants — one source of truth above)
+    stop = ", ".join(f"'{w}'" for w in FUNNEL_STOPWORDS)
+    inv_stop = 100 // FUNNEL_STOP_PCT
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, lang, length(text) AS n_chars,
+         regexp_extract_all(text, '[a-zA-Z'']+') AS ws
+  FROM documents
+), m2 AS (
+  SELECT doc_id, text, lang, n_chars, len(ws) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(coalesce(list_sum(list_transform(ws,
+              w -> CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END)), 0)
+              AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+  FROM m
+), verdict AS (
+  SELECT doc_id, text, lang, CAST(n_words AS BIGINT) AS n_words, CASE
+    WHEN n_chars < {FUNNEL_MIN_CHARS} THEN 1
+    WHEN n_words < {FUNNEL_MIN_WORDS} THEN 2
+    WHEN {FUNNEL_MWL_LO} * greatest(n_words, 1) > sum_len
+      OR sum_len > {FUNNEL_MWL_HI} * greatest(n_words, 1) THEN 3
+    WHEN {inv_stop} * n_stop < greatest(n_words, 1) THEN 4
+    WHEN {FUNNEL_DISTINCT_DEN} * n_distinct
+         < {FUNNEL_DISTINCT_NUM} * greatest(n_words, 1) THEN 5
+    ELSE 0 END AS stage
+  FROM m2
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, min(lang) AS lang,
+       CAST(min(n_words) AS BIGINT) AS n_words
+FROM verdict WHERE stage = 0 GROUP BY text
+"""
 
 
 def _filter_funnel_sql() -> str:
@@ -2423,6 +2526,7 @@ QUERIES = {
     "docs_vocab_drift": docs_vocab_drift,
     "docs_distinct_ngrams": docs_distinct_ngrams,
     "docs_bpe_pairs": docs_bpe_pairs,
+    "docs_curation_pipeline": docs_curation_pipeline,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -2464,6 +2568,7 @@ ORACLE_SQL = {
     "docs_vocab_drift": _vocab_drift_sql(),
     "docs_distinct_ngrams": _distinct_ngrams_sql(),
     "docs_bpe_pairs": _bpe_pairs_sql(),
+    "docs_curation_pipeline": _curation_pipeline_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }
