@@ -524,6 +524,61 @@ FROM sc
 """
 
 
+def docs_langid_confusion(sf_dir: str):
+    """Model-EVALUATION row: the confusion matrix of the n-gram language
+    guesser against the corpus's labeled ``lang`` column — (truth lang,
+    guessed lang, count, per-truth recall in basis points). The eval
+    pattern every classifier stage needs before it gates a corpus;
+    integer-exact (``n·10⁴ // row_total`` floor division).
+
+    Scale shape: the stateful guesser actor pool emits per-batch
+    (lang, guess) partial counts — a langs² bounded grain — and the
+    recall window runs on the tiny driver fold."""
+    ds = C.read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class _ConfusionMap(LangId):
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            guesses = b["text"].map(self._guess)
+            out = pd.DataFrame(
+                {"lang": b["lang"], "lang_guess": guesses.str[0],
+                 "n": np.int64(1)}
+            ).groupby(["lang", "lang_guess"], as_index=False)["n"].sum()
+            out["n"] = out["n"].astype("int64")
+            return out
+
+    fine = (
+        ds.map_batches(_ConfusionMap, batch_format="pandas",
+                       concurrency=(1, 4))
+        .to_pandas()
+        .groupby(["lang", "lang_guess"], as_index=False)["n"]
+        .sum()
+    )
+    fine["n"] = fine["n"].astype("int64")
+    row_tot = fine.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    fine["recall_bp"] = (
+        fine["n"].to_numpy(np.int64) * 10_000 // row_tot
+    ).astype("int64")
+    return fine.sort_values(["lang", "lang_guess"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH li AS ({LANG_ID_SQL}),
+j AS (
+  SELECT d.lang, li.lang_guess FROM documents d JOIN li USING (doc_id)
+), c AS (
+  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+)
+SELECT lang, lang_guess, n,
+       CAST(n * 10000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+           AS recall_bp
+FROM c ORDER BY lang, lang_guess
+"""
+
+
 # -- corpus vocabulary (global term frequencies) ----------------------------
 
 VOCAB_TOP = 50
@@ -2527,6 +2582,7 @@ QUERIES = {
     "docs_distinct_ngrams": docs_distinct_ngrams,
     "docs_bpe_pairs": docs_bpe_pairs,
     "docs_curation_pipeline": docs_curation_pipeline,
+    "docs_langid_confusion": docs_langid_confusion,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -2569,6 +2625,7 @@ ORACLE_SQL = {
     "docs_distinct_ngrams": _distinct_ngrams_sql(),
     "docs_bpe_pairs": _bpe_pairs_sql(),
     "docs_curation_pipeline": _curation_pipeline_sql(),
+    "docs_langid_confusion": _langid_confusion_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }
