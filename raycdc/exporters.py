@@ -35,6 +35,12 @@ def _write(tbl: pa.Table, path: str, fmt: str) -> None:
         from pyarrow import orc as _orc
 
         _orc.write_table(tbl, path)
+    elif fmt == "ipc":
+        import pyarrow.feather as _ft
+
+        # Arrow IPC / Feather v2: the zero-copy interchange format —
+        # mmap-able by any Arrow runtime with no decode step
+        _ft.write_feather(tbl, path, compression="zstd")
     else:
         raise ValueError(f"unknown export format {fmt!r}")
 
@@ -337,6 +343,7 @@ def create_item_exporter(output: str, **config):
         ("csvfile://", "csv"),
         ("parquetfile://", "parquet"),
         ("orcfile://", "orc"),
+        ("ipcfile://", "ipc"),
     ):
         if out.startswith(scheme):
             target = out[len(scheme):]
@@ -507,6 +514,58 @@ def export_incremental(
     os.replace(tmp, state_path)
     return {"exported_files": files, "window": (lo_idx + 1, hi_idx),
             "anchor": head}
+
+
+def read_ranged_ipc(paths_or_dir, lo: int | None = None, hi: int | None = None):
+    """Arrow IPC (Feather v2) source with the family's filename range
+    pruning — completes the sink/source pairing for the interchange
+    format. Same documented ``FileBasedDatasource`` extension point as
+    the ORC reader: one Ray read task per kept file, the table handed
+    zero-copy into the block store."""
+    import glob as _glob
+    import re
+
+    import ray.data
+    from ray.data.datasource import FileBasedDatasource
+
+    if isinstance(paths_or_dir, str) and os.path.isdir(paths_or_dir):
+        paths = sorted(_glob.glob(os.path.join(paths_or_dir, "*.ipc")))
+    else:
+        paths = list(paths_or_dir)
+    rng = re.compile(r"-(\d+)-(\d+)(?:-[pf]\d+)?\.ipc$")
+    kept = []
+    for p in paths:
+        m = rng.search(p)
+        if m and lo is not None and int(m.group(2)) < lo:
+            continue
+        if m and hi is not None and int(m.group(1)) > hi:
+            continue
+        kept.append(p)
+
+    class _IPCSource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["ipc"]
+
+        def _read_stream(self, f, path):
+            import pyarrow.feather as _ft
+
+            # feather needs random access (footer-directed); buffer one
+            # file (files are rows_per_file-bounded by the exporter)
+            yield _ft.read_table(pa.BufferReader(f.read()))
+
+    ds = ray.data.read_datasource(_IPCSource(kept))
+    if lo is not None or hi is not None:
+        import pyarrow.compute as pc
+
+        def rowfilter(t: pa.Table) -> pa.Table:
+            m = pa.array([True] * t.num_rows)
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(t.column("cursor"), lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less_equal(t.column("cursor"), hi))
+            return t.filter(m)
+
+        ds = ds.map_batches(rowfilter, batch_format="pyarrow")
+    return ds
 
 
 # -- lake→lake mirroring (changefeed-fed replica, exactly-once effect) --------

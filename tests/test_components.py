@@ -1161,3 +1161,46 @@ def test_stream_follow_with_mirror(ray_session, tmp_path):
     assert len(r2) == 2
     assert_mirrored()
     eng.close(); rep.close()
+
+
+def test_ipc_export_roundtrip_and_pruned_reread(ray_session, tmp_path):
+    """Arrow IPC (Feather v2) sink/source pair: export the lake as ranged
+    IPC files, read back value-identically (typed format — timestamps
+    survive at native µs), and filename-prune a narrow cursor window."""
+    import re
+
+    from raycdc.exporters import export_ranged, read_ranged_ipc
+
+    spec = gen.GenSpec(seed=16, n_convs=80, mean_turns=5, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = Engine(str(tmp_path / "lake"), num_partitions=4)
+    eng.apply_log(log)
+
+    out = str(tmp_path / "ipc")
+    paths = export_ranged(
+        eng.read_lake(include_system=True), out, fmt="ipc", rows_per_file=200
+    )
+    assert len(paths) > 1 and all(p.endswith(".ipc") for p in paths)
+
+    want = (
+        eng.read_lake(include_system=True)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    got = (
+        read_ranged_ipc(out)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    lo, hi = map(
+        int,
+        re.search(r"-(\d+)-(\d+)(?:-f\d+)?\.ipc$", sorted(paths)[0]).groups(),
+    )
+    narrow = read_ranged_ipc(out, lo=lo, hi=hi).to_pandas()
+    assert len(narrow) > 0 and narrow["cursor"].between(lo, hi).all()
+    eng.close()
