@@ -398,21 +398,36 @@ def cmd_vacuum(args) -> int:
 def cmd_show(args) -> int:
     from raycdc.lake import Lake
 
+    import glob
+    import os
+
     lake = Lake(args.lake)
     rounds = lake.manifest["committed_rounds"]
-    print(json.dumps({
+    consumers = {}
+    for p in glob.glob(os.path.join(args.lake, "consumers", "*.json")):
+        with open(p) as f:
+            st = json.load(f)
+        consumers[os.path.basename(p)[:-5]] = st.get("last_round")
+    out = {
         "num_partitions": lake.num_partitions,
         "committed_rounds": len(rounds),
         "last_cursor": lake.last_cursor(),
         "applied_rollbacks": len(lake.manifest.get("applied_rollbacks", [])),
         "live_fragments": len(lake.live_fragment_paths()),
         "schema": [f.name for f in lake.schema] if lake.schema else None,
+        "tags": lake.tags,
+        "consumers": consumers,
         "recent_rounds": [
             {"round_id": r["round_id"], "cursor_hi": r["cursor_hi"],
              "events": r["metrics"].get("n_events")}
             for r in rounds[-5:]
         ],
-    }))
+    }
+    # branch lineage, when this lake was created by Lake.branch
+    for k in ("lake_id", "branched_from", "branch_base"):
+        if lake.manifest.get(k):
+            out[k] = lake.manifest[k]
+    print(json.dumps(out))
     return 0
 
 
