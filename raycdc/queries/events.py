@@ -1978,6 +1978,70 @@ ORDER BY c.event_type, c.day, c.hour
 """
 
 
+BURST_WINDOW_US = 86_400_000_000  # trailing 24 h
+
+
+def events_burst_velocity(sf_dir: str):
+    """Per-user BURST VELOCITY: the maximum number of events in any
+    trailing 24-hour window — the time-RANGE window-frame class (``RANGE
+    BETWEEN x PRECEDING AND CURRENT ROW``), distinct from the ROWS-frame
+    family (``events_rolling_window``): the frame is defined by VALUE
+    distance, so peers with equal timestamps count together. The
+    rate-limit / abuse-velocity primitive.
+
+    Scale shape: user-keyed bounded partitions; inside each partition ONE
+    vectorized two-rank pass — ``lex_searchsorted_left`` (the composite-
+    key-overflow-safe merge-by-sorting helper) gives, per event, the
+    count of same-user events in ``(t − 24h, t]`` as a difference of two
+    lexicographic ranks; the per-user max folds with ``maximum.reduceat``.
+    Integer µs arithmetic end to end — no timezone or float drift."""
+    ds = C.read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    _EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "max_burst": pd.Series(dtype="int64"),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _EMPTY
+        d = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = d["user_id"].to_numpy(np.int64)
+        t = d["ts"].astype("datetime64[us]").to_numpy().view("int64")
+        hi = C.lex_searchsorted_left(u, t, u, t + 1)
+        lo = C.lex_searchsorted_left(u, t, u, t - BURST_WINDOW_US + 1)
+        c = hi - lo
+        newu = np.ones(len(u), bool)
+        newu[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(newu)
+        mx = np.maximum.reduceat(c, starts)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts].astype("int64"),
+                "max_burst": mx.astype("int64"),
+            }
+        )
+
+    return C.by_partition(ds, "user_id", kernel)
+
+
+BURST_VELOCITY_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+), w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN {BURST_WINDOW_US - 1} PRECEDING
+                        AND CURRENT ROW) AS c
+  FROM e
+)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst
+FROM w GROUP BY user_id
+"""
+
+
 # -- exact Pearson correlation from integer moment sums ------------------------
 
 def events_value_time_corr(sf_dir: str):
@@ -3061,6 +3125,7 @@ QUERIES = {
     "events_share_of_day": events_share_of_day,
     "events_seasonal_outliers": events_seasonal_outliers,
     "events_path_trigrams": events_path_trigrams,
+    "events_burst_velocity": events_burst_velocity,
     "events_value_time_corr": events_value_time_corr,
     "users_pareto_frontier": users_pareto_frontier,
     "events_audience_except": events_audience_except,
@@ -3106,6 +3171,7 @@ ORACLE_SQL = {
     "events_share_of_day": SHARE_OF_DAY_SQL,
     "events_seasonal_outliers": SEASONAL_OUTLIERS_SQL,
     "events_path_trigrams": PATH_TRIGRAMS_SQL,
+    "events_burst_velocity": BURST_VELOCITY_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "users_pareto_frontier": PARETO_SQL,
     "events_audience_except": AUDIENCE_EXCEPT_SQL,
