@@ -1978,6 +1978,104 @@ ORDER BY c.event_type, c.day, c.hour
 """
 
 
+def events_cusum_drift(sf_dir: str):
+    """CUSUM change-point detection per event type over the daily value
+    series — the sequential drift detector (Page 1954) that flags when a
+    metric's level shifts. The recurrence ``S_d = max(0, S_{d-1} + (x_d −
+    k))`` is not directly a SQL window, but the identity ``S_d = P_d −
+    min(P_1..P_d)`` with ``P = cumsum(x − k)`` makes it one (prefix sum
+    minus running minimum) — so both engines compute the exact same
+    integer series. Reference level ``k`` = the type's mean daily cents
+    (floor division — integer, shared derivation); drift flag when the
+    CUSUM exceeds ``k`` (one mean-day of accumulated excess). Output one
+    row per (event_type, day): cusum_cents, drift_flag.
+
+    Scale shape: per-batch partial (type, day, cents) sums → a bounded
+    types×days fold; the window algebra runs vectorized on the tiny
+    driver frame (the ``events_share_of_day`` pattern)."""
+    ds = C.read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # floor(x*100): the repo's established exact cents convention
+        cents = np.floor(b["value"].to_numpy("float64") * 100.0).astype("int64")
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.strftime("%Y-%m-%d"),
+                "cents": cents,
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "day"], kind="stable")
+        .reset_index(drop=True)
+    )
+    et = fine["event_type"].to_numpy(dtype=object)
+    cents = fine["cents"].to_numpy(np.int64)
+    new = np.ones(len(fine), bool)
+    new[1:] = et[1:] != et[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(fine)))
+    totals = np.add.reduceat(cents, starts)
+    k = np.repeat(totals // counts, counts)  # per-type mean daily cents
+    dev = cents - k
+    # segmented cumsum: global cumsum minus each segment's pre-offset
+    csum = np.cumsum(dev)
+    seg_off = np.repeat(
+        np.concatenate(([0], csum[starts[1:] - 1])), counts
+    )
+    p = csum - seg_off
+    # segmented running min: accumulate restarted per type segment
+    # (O(types) loop, vector body)
+    runmin = p.copy()
+    for i, s0 in enumerate(starts):
+        e0 = s0 + counts[i]
+        runmin[s0:e0] = np.minimum.accumulate(p[s0:e0])
+    cusum = p - np.minimum(runmin, 0)
+    out = pd.DataFrame(
+        {
+            "event_type": et,
+            "day": fine["day"].to_numpy(dtype=object),
+            "cusum_cents": cusum.astype("int64"),
+            "drift_flag": (cusum > np.repeat(totals // counts, counts)),
+        }
+    )
+    return out
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), k AS (
+  SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS kref
+  FROM daily GROUP BY 1
+), pf AS (
+  SELECT d.event_type, d.day, k.kref,
+         sum(d.cents - k.kref) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM daily d JOIN k USING (event_type)
+), r AS (
+  SELECT event_type, day, kref, p,
+         min(p) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS runmin
+  FROM pf
+)
+SELECT event_type, day,
+       CAST(p - least(runmin, 0) AS BIGINT) AS cusum_cents,
+       (p - least(runmin, 0)) > kref AS drift_flag
+FROM r ORDER BY event_type, day
+"""
+
+
 BURST_WINDOW_US = 86_400_000_000  # trailing 24 h
 
 
@@ -3126,6 +3224,7 @@ QUERIES = {
     "events_seasonal_outliers": events_seasonal_outliers,
     "events_path_trigrams": events_path_trigrams,
     "events_burst_velocity": events_burst_velocity,
+    "events_cusum_drift": events_cusum_drift,
     "events_value_time_corr": events_value_time_corr,
     "users_pareto_frontier": users_pareto_frontier,
     "events_audience_except": events_audience_except,
@@ -3172,6 +3271,7 @@ ORACLE_SQL = {
     "events_seasonal_outliers": SEASONAL_OUTLIERS_SQL,
     "events_path_trigrams": PATH_TRIGRAMS_SQL,
     "events_burst_velocity": BURST_VELOCITY_SQL,
+    "events_cusum_drift": CUSUM_SQL,
     "events_value_time_corr": VALUE_TIME_CORR_SQL,
     "users_pareto_frontier": PARETO_SQL,
     "events_audience_except": AUDIENCE_EXCEPT_SQL,
