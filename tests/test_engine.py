@@ -1997,3 +1997,37 @@ def test_branch_merge_conflict_lww(ray_session, tmp_path, make_lake):
     assert final.loc[key, "text"] == "src-edit"  # newer cursor won
     assert final.loc[("conv-999999", 0), "text"] == "branch-new"
     src.close(); br.close()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_adaptive_equivalence_under_random_failures(
+    ray_session, tmp_path, make_lake, seed
+):
+    """Determinism under failure-schedule chaos: whatever pattern of
+    transient failures the adaptive executor sees (seeded random, ~40% of
+    multi-epoch rounds), the final lake equals the SQL oracle — i.e. the
+    halve/regrow path never changes WHAT is committed, only how it is
+    grouped."""
+    import random
+    import types
+
+    spec = gen.GenSpec(
+        seed=90 + seed, n_convs=70, mean_turns=5, n_epochs=8,
+        rollback_epochs=(3,),
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, merge_actors=1)
+    rng = random.Random(seed)
+    real = eng.apply_round
+
+    def flaky(self, files, round_id, audit=None):
+        if len(files) > 1 and rng.random() < 0.4:
+            raise TimeoutError("chaos")
+        return real(files, round_id, audit=audit)
+
+    eng.apply_round = types.MethodType(flaky, eng)
+    eng.apply_log(log, epochs_per_round=4, adaptive=True)
+    eng.apply_round = real
+    assert_matches_oracle(eng, log)
+    eng.close()
