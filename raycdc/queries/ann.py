@@ -503,30 +503,23 @@ def ann_ivf_multi(sf_dir: str):
         probe_mat[pl, j] = True
 
     union = sorted({i for pl in probes for i in pl})
-    parts = []
-    for i in union:
-        paths = _probe_paths(lay, [i])
-        if not paths:
-            continue
-
-        def tag(t: pa.Table, _i: int = i) -> pa.Table:
-            return t.append_column(
-                "ivf_list", pa.array(np.full(len(t), _i, np.int64))
-            )
-
-        parts.append(
-            ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
-            .map_batches(tag, batch_format="pyarrow")
-        )
-    if not parts:
+    if not union:
         return pd.DataFrame(
             {"query_id": pd.Series(dtype="int64"),
              "vec_id": pd.Series(dtype="int64"),
              "cosine_sim": pd.Series(dtype="float64")}
         )
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
+    # ONE Hive-partitioned read over EXACTLY the probed lists' files
+    # (path-level pruning, same IO bound as the old per-dir union, none
+    # of its N-dataset plan overhead); the partition column is inferred
+    # from each file's path against base_dir — values are strings
+    from ray.data.datasource.partitioning import Partitioning
+
+    ds = ray.data.read_parquet(
+        _probe_paths(lay, union),
+        columns=["vec_id", "embedding", "ivf_list"],
+        partitioning=Partitioning("hive", base_dir=lay),
+    )
 
     ref = ray.put((qn, qids, probe_mat))
 
@@ -539,7 +532,7 @@ def ann_ivf_multi(sf_dir: str):
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         sims = np.round((m / norms[:, None]) @ qn_.T, 4)  # B×Q
-        cand = pm_[b["ivf_list"].to_numpy()]  # B×Q: row's list probed by q?
+        cand = pm_[b["ivf_list"].to_numpy().astype(np.int64)]  # B×Q mask
         ids = b["vec_id"].to_numpy()
         frames = []
         for j in range(sims.shape[1]):
@@ -1276,21 +1269,16 @@ def ann_knn_graph(sf_dir: str):
     import ray.data
 
     lay = ivf_layout(sf_dir)
-    dirs = sorted(d for d in os.listdir(lay) if d.startswith("ivf_list="))
-
-    parts = []
-    for d in dirs:
-        lid = int(d.split("=", 1)[1])
-        sub = ray.data.read_parquet(
-            os.path.join(lay, d), columns=["vec_id", "embedding"]
-        )
-        parts.append(
-            sub.map_batches(
-                lambda b, lid=lid: b.assign(ivf_list=np.int64(lid)),
-                batch_format="pandas",
-            )
-        )
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # ONE read over the whole layout: the ivf_list=N dirs are Hive-style,
+    # so the partition column is inferred per file — no per-dir dataset +
+    # union (N x plan/metadata overhead). file_extensions skips the
+    # layout's centroids.npy sidecar; inferred values are strings, cast
+    # where the output schema needs ints.
+    ds = ray.data.read_parquet(
+        lay,
+        file_extensions=["parquet"],
+        columns=["vec_id", "embedding", "ivf_list"],
+    )
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -1366,21 +1354,16 @@ def semdedup(sf_dir: str):
     import ray.data
 
     lay = ivf_layout(sf_dir)
-    dirs = sorted(d for d in os.listdir(lay) if d.startswith("ivf_list="))
-
-    parts = []
-    for d in dirs:
-        lid = int(d.split("=", 1)[1])
-        sub = ray.data.read_parquet(
-            os.path.join(lay, d), columns=["vec_id", "embedding"]
-        )
-        parts.append(
-            sub.map_batches(
-                lambda b, lid=lid: b.assign(ivf_list=np.int64(lid)),
-                batch_format="pandas",
-            )
-        )
-    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # ONE read over the whole layout: the ivf_list=N dirs are Hive-style,
+    # so the partition column is inferred per file — no per-dir dataset +
+    # union (N x plan/metadata overhead). file_extensions skips the
+    # layout's centroids.npy sidecar; inferred values are strings, cast
+    # where the output schema needs ints.
+    ds = ray.data.read_parquet(
+        lay,
+        file_extensions=["parquet"],
+        columns=["vec_id", "embedding", "ivf_list"],
+    )
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -1396,7 +1379,7 @@ def semdedup(sf_dir: str):
                 pd.DataFrame(
                     {
                         "vec_id": ids,
-                        "ivf_list": np.full(len(ids), lid, dtype=np.int64),
+                        "ivf_list": np.full(len(ids), int(lid), dtype=np.int64),
                         "is_dup": hit.any(axis=0).astype(np.int64),
                     }
                 )
