@@ -347,9 +347,18 @@ def events_asof_orders(sf_dir: str):
             ),
             batch_format="pandas",
         )
-        .groupby(["bucket", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        # bounded (buckets x dates) grain: fold per-batch PARTIAL maxes,
+        # finish on the tiny driver frame — no shuffle (the native hash
+        # aggregate's spin-up dominates at this key-space size)
+        .map_batches(
+            lambda b: b.groupby(
+                ["bucket", "o_orderdate"], as_index=False
+            )["o_orderkey"].max(),
+            batch_format="pandas",
+        )
         .to_pandas()
+        .groupby(["bucket", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
         .sort_values(["o_orderdate", "bucket"], kind="stable")
         .reset_index(drop=True)
     )
@@ -688,9 +697,17 @@ def events_range_join_orders(sf_dir: str):
             ),
             batch_format="pandas",
         )
-        .groupby(["bucket", "o_orderdate"])
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        # bounded grain: per-batch partial (count, sum) -> driver fold
+        # (see events_asof_orders for the rationale)
+        .map_batches(
+            lambda b: b.groupby(
+                ["bucket", "o_orderdate"], as_index=False
+            ).agg(n=("cents", "size"), cents=("cents", "sum")),
+            batch_format="pandas",
+        )
         .to_pandas()
+        .groupby(["bucket", "o_orderdate"], as_index=False)
+        .sum()
         .sort_values(["bucket", "o_orderdate"], kind="stable")
     )
     idx = {}
