@@ -1322,6 +1322,111 @@ LIMIT {BPE_PAIRS_TOP}
 """
 
 
+# -- vocabulary frequency spectrum (Zipf diagnostics) ------------------------
+
+SPECTRUM_CLASSES = (("1", 1, 1), ("2-9", 2, 9), ("10-99", 10, 99),
+                    ("100+", 100, 1 << 62))
+
+
+def docs_freq_spectrum(sf_dir: str):
+    """BIGRAM frequency spectrum — how many word-bigram types are hapax
+    legomena (frequency 1), rare (2-9), common (10-99), or saturated
+    (100+): the Zipf-tail diagnostic behind vocabulary-size and OOV-rate
+    planning (a corpus whose hapax share collapses has been
+    over-deduplicated; one that explodes is noise). Bigram grain because
+    this corpus's unigram vocabulary is tiny and saturated — the spectrum
+    must live where the tail is. All integers; share_bp = n·10⁴ // types.
+
+    Scale shape: per-batch partial bigram counts (the windowed-join
+    explode, no per-row Python) → bounded-partition fold keyed on the
+    bigram (all rows of a type co-locate → exact corpus frequency) → an
+    O(classes) histogram partial per partition; the driver sees
+    ≤ classes × partitions rows."""
+    ds = C.read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = T.token_lists(b["text"])
+        keep = lists.str.len() >= 2
+        if not keep.any():
+            return pd.DataFrame(
+                {"bg": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
+            )
+        toks = lists[keep]
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks])
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        starts = np.concatenate(
+            [np.arange(bounds[i], bounds[i + 1] - 1)
+             for i in range(len(counts))]
+        )
+        bg = pd.Series(flat[starts]) + " " + pd.Series(flat[starts + 1])
+        vc = bg.value_counts()
+        return pd.DataFrame(
+            {"bg": vc.index.to_numpy(), "c": vc.to_numpy().astype("int64")}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("bg", as_index=False)["c"].sum()
+        c = agg["c"].to_numpy(np.int64)
+        rows = []
+        for name, lo, hi in SPECTRUM_CLASSES:
+            rows.append((name, int(((c >= lo) & (c <= hi)).sum())))
+        return pd.DataFrame(rows, columns=["freq_class", "n_types"])
+
+    spec = (
+        C.by_partition(
+            ds.map_batches(partial, batch_format="pandas"), "bg", fold
+        )
+        .to_pandas()
+        .groupby("freq_class", as_index=False)["n_types"]
+        .sum()
+    )
+    spec = spec[spec["n_types"] > 0]
+    vocab = int(spec["n_types"].sum())
+    order = {name: i for i, (name, _, _) in enumerate(SPECTRUM_CLASSES)}
+    spec = spec.sort_values(
+        "freq_class", key=lambda s: s.map(order), kind="stable"
+    ).reset_index(drop=True)
+    n_types = spec["n_types"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "freq_class": spec["freq_class"].to_numpy(dtype=object),
+            "n_types": n_types.astype("int64"),
+            "share_bp": (n_types * 10_000 // vocab).astype("int64"),
+        }
+    )
+
+
+def _freq_spectrum_sql() -> str:
+    cases = " ".join(
+        f"WHEN c BETWEEN {lo} AND {hi} THEN '{name}'"
+        for name, lo, hi in SPECTRUM_CLASSES
+    )
+    ranks = ", ".join(
+        f"('{name}', {i})" for i, (name, _, _) in enumerate(SPECTRUM_CLASSES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {T.toks_sql('text')} AS w FROM documents
+), g AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bg
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 2)
+), vc AS (
+  SELECT bg, count(*) AS c FROM g GROUP BY bg
+), cls AS (
+  SELECT CASE {cases} END AS freq_class FROM vc
+), spec AS (
+  SELECT freq_class, CAST(count(*) AS BIGINT) AS n_types
+  FROM cls GROUP BY freq_class
+), rk(freq_class, r) AS (VALUES {ranks})
+SELECT s.freq_class, s.n_types,
+       CAST(s.n_types * 10000 // sum(s.n_types) OVER () AS BIGINT)
+           AS share_bp
+FROM spec s JOIN rk USING (freq_class) ORDER BY rk.r
+"""
+
+
 # -- train/test contamination scan (decontamination) ------------------------
 
 CONTAM_N = 8  # word n-gram window (the standard 8-13-gram decontam range)
@@ -2587,6 +2692,7 @@ QUERIES = {
     "docs_bpe_pairs": docs_bpe_pairs,
     "docs_curation_pipeline": docs_curation_pipeline,
     "docs_langid_confusion": docs_langid_confusion,
+    "docs_freq_spectrum": docs_freq_spectrum,
     "docs_char_budget": docs_char_budget,
     "docs_length_clip": docs_length_clip,
     "docs_bm25_topk": docs_bm25_topk,
@@ -2630,6 +2736,7 @@ ORACLE_SQL = {
     "docs_bpe_pairs": _bpe_pairs_sql(),
     "docs_curation_pipeline": _curation_pipeline_sql(),
     "docs_langid_confusion": _langid_confusion_sql(),
+    "docs_freq_spectrum": _freq_spectrum_sql(),
     "docs_char_budget": _char_budget_sql(),
     "docs_length_clip": _length_clip_sql(),
 }

@@ -115,7 +115,8 @@ def _sql_backed():
         "events_user_modal_type", "hll_user_overlap", "graph_bfs_hops",
         "events_type_assoc", "token_counts_bpe", "events_hourly_locf",
         "docs_filter_funnel", "docs_dedup_cut", "docs_vocab_drift",
-        "docs_distinct_ngrams", "docs_bpe_pairs", "docs_curation_pipeline", "docs_langid_confusion", "events_seasonal_outliers", "events_path_trigrams",
+        "docs_distinct_ngrams", "docs_bpe_pairs", "docs_curation_pipeline", "docs_langid_confusion",
+        "docs_freq_spectrum", "events_seasonal_outliers", "events_path_trigrams",
         "events_burst_velocity", "events_cusum_drift",
         "graph_label_prop",
     ],
