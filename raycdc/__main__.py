@@ -88,29 +88,33 @@ def cmd_stream(args) -> int:
     from raycdc.stream import follow
 
     _init_ray(args.num_cpus)
+    # try/finally: follow() raising must still release both engines'
+    # CPU-pinned merger pools (concurrent open engines starve scan tasks)
     eng = _engine(args)
     replica = None
-    if getattr(args, "mirror", None):
-        from raycdc.engine import Engine
+    try:
+        if getattr(args, "mirror", None):
+            from raycdc.engine import Engine
 
-        replica = Engine(args.mirror, num_partitions=args.mirror_partitions)
-    results = follow(
-        eng,
-        args.log_dir,
-        epochs_per_round=args.epochs_per_round,
-        delay_epochs=args.delay,
-        period_seconds=args.period,
-        max_idle_polls=args.max_idle_polls,
-        max_rounds=args.max_rounds,
-        mirror_to=replica,
-    )
-    if replica is not None:
-        replica.close()
-    print(json.dumps({
-        "rounds_applied": len(results),
-        "last_cursor": eng.lake.last_cursor(),
-    }))
-    eng.close()
+            replica = Engine(args.mirror, num_partitions=args.mirror_partitions)
+        results = follow(
+            eng,
+            args.log_dir,
+            epochs_per_round=args.epochs_per_round,
+            delay_epochs=args.delay,
+            period_seconds=args.period,
+            max_idle_polls=args.max_idle_polls,
+            max_rounds=args.max_rounds,
+            mirror_to=replica,
+        )
+        print(json.dumps({
+            "rounds_applied": len(results),
+            "last_cursor": eng.lake.last_cursor(),
+        }))
+    finally:
+        if replica is not None:
+            replica.close()
+        eng.close()
     return 0
 
 
@@ -309,16 +313,15 @@ def cmd_mirror(args) -> int:
     if args.shard:
         i, n = args.shard.split("/")
         shard = (int(i), int(n))
-    src = _engine(args)
-    dst = Engine(args.dest, num_partitions=args.dest_partitions)
-    out = replicate_lake(src, dst, consumer=args.name, shard=shard)
-    print(json.dumps({
-        "windows": out["windows"],
-        "dst_last_cursor": dst.lake.last_cursor(),
-        "dst_rounds": len(dst.lake.manifest["committed_rounds"]),
-    }))
-    src.close()
-    dst.close()
+    with _engine(args) as src, Engine(
+        args.dest, num_partitions=args.dest_partitions
+    ) as dst:
+        out = replicate_lake(src, dst, consumer=args.name, shard=shard)
+        print(json.dumps({
+            "windows": out["windows"],
+            "dst_last_cursor": dst.lake.last_cursor(),
+            "dst_rounds": len(dst.lake.manifest["committed_rounds"]),
+        }))
     return 0
 
 
@@ -336,12 +339,10 @@ def cmd_merge_branch(args) -> int:
     _init_ray(args.num_cpus)
     from raycdc.engine import Engine
 
-    src = _engine(args)
-    br = Engine(args.branch)
-    out = src.merge_branch(br)
-    print(json.dumps({k: v for k, v in out.items() if k != "touched_parts"},
-                     default=str))
-    src.close(); br.close()
+    with _engine(args) as src, Engine(args.branch) as br:
+        out = src.merge_branch(br)
+        print(json.dumps({k: v for k, v in out.items() if k != "touched_parts"},
+                         default=str))
     return 0
 
 

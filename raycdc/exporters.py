@@ -595,7 +595,7 @@ def _mirror_journal_write(dst, consumer: str, entries: list) -> None:
     os.replace(tmp, path)
 
 
-def _repair_replica(src, dst, consumer: str) -> dict:
+def _repair_replica(src, dst, consumer: str, table: str | None = None) -> dict:
     """Reorg repair for a mirrored replica: the consumer's anchor round was
     erased by a source rollback, so every replica epoch derived from an
     undone window must be rolled back too. The mirror journal maps each
@@ -631,7 +631,10 @@ def _repair_replica(src, dst, consumer: str) -> dict:
     if valid_round is None:
         src.consumer_reset(consumer)
     else:
-        src.consumer_ack(consumer, valid_round)
+        # keep the consumer's table binding: acking without `table` would
+        # raise for a feed bound to a non-primary table — AFTER the replica
+        # rollback already ran, wedging repair permanently
+        src.consumer_ack(consumer, valid_round, table=table)
     journal = [
         e for e in _mirror_journal(dst, consumer) if e["epoch"] <= valid_epoch
     ]
@@ -715,6 +718,38 @@ def replicate_lake(
         )
     key_col = src.tables[src._table_index(table)].key_cols[0]
 
+    # Offset/destination consistency fence: the consumer offset is durable
+    # on the SOURCE lake keyed only by name, so re-pointing an anchored
+    # consumer at a fresh (or different) dst would silently skip the
+    # bootstrap window and ship only post-offset deltas — a permanently
+    # incomplete replica. An anchored consumer must find a dst that this
+    # consumer's journal says was fed from THIS source.
+    st = src.consumer_status(consumer)
+    journal0 = _mirror_journal(dst, consumer)
+    src_id = src.lake.identity()
+    stale = [
+        e.get("src_lake")
+        for e in journal0
+        if e.get("src_lake") not in (None, src_id)
+    ]
+    if stale:
+        raise ValueError(
+            f"destination mirror journal for consumer {consumer!r} was fed "
+            f"from a different source lake ({stale[-1]} != {src_id}) — "
+            "refusing to interleave feeds; use a distinct consumer/replica "
+            "per source"
+        )
+    if st.get("last_round") is not None and (
+        not journal0 or not dst.lake.manifest["committed_rounds"]
+    ):
+        raise ValueError(
+            f"consumer {consumer!r} is anchored at {st['last_round']!r} "
+            "on the source, but the destination lake has no mirror "
+            "journal/committed rounds for it — this dst never received "
+            "the bootstrap window. Use a new consumer name for a new "
+            "replica, or consumer_reset() after destroying the old one."
+        )
+
     applied = []
     repaired = None
     while True:
@@ -723,7 +758,7 @@ def replicate_lake(
         except KeyError:
             if on_rollback != "repair" or repaired is not None:
                 raise
-            repaired = _repair_replica(src, dst, consumer)
+            repaired = _repair_replica(src, dst, consumer, table=table)
             continue
         if win is None:
             break
@@ -735,7 +770,12 @@ def replicate_lake(
                 x for x in _mirror_journal(dst, consumer) if x["epoch"] < e
             ]
             ents.append(
-                {"epoch": e, "src_round": rnd, "base": epoch_base}
+                {
+                    "epoch": e,
+                    "src_round": rnd,
+                    "base": epoch_base,
+                    "src_lake": src.lake.identity(),
+                }
             )
             _mirror_journal_write(dst, consumer, ents)
 

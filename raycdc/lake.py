@@ -263,6 +263,20 @@ class Lake:
             if os.path.exists(path):
                 os.remove(path)
 
+    def identity(self) -> str:
+        """This lake's durable identity, stamped into the manifest on
+        first use (branch lineage and replica journals both trust IDENTITY
+        rather than ledger coincidence — round ids and cursor boundaries
+        are deterministic per epoch numbering, so unrelated lakes can
+        collide on both)."""
+        if not self.manifest.get("lake_id"):
+            import uuid
+
+            self.ensure_writer_lock()
+            self.manifest["lake_id"] = uuid.uuid4().hex
+            self._write_manifest()
+        return self.manifest["lake_id"]
+
     def branch(self, dest: str, round_id: str | None = None,
                tag: str | None = None) -> dict:
         """Create a ZERO-COPY WRITABLE BRANCH of this lake at a committed
@@ -291,17 +305,15 @@ class Lake:
         rounds = self.manifest["committed_rounds"]
         if not rounds:
             raise ValueError("cannot branch an empty lake")
-        # provenance: give this lake a durable identity on first branch
-        # and stamp the child with it — merge_branch trusts LINEAGE, not
-        # ledger coincidence (round ids and cursor boundaries are
-        # deterministic per epoch numbering, so unrelated lakes can
-        # collide on both)
-        if not self.manifest.get("lake_id"):
-            import uuid
-
-            self.ensure_writer_lock()
-            self.manifest["lake_id"] = uuid.uuid4().hex
-            self._write_manifest()
+        # provenance: stamp the child with this lake's durable identity —
+        # merge_branch trusts LINEAGE, not ledger coincidence
+        self.identity()
+        # hold the writer lock for the whole link loop: a concurrent
+        # vacuum/compaction in another process could otherwise unlink a
+        # chain file mid-branch (FileNotFoundError, partial dest). With
+        # the lock, that other process fails fast at ITS ensure_writer_lock
+        # instead — and if it already holds the lock, we fail fast here.
+        self.ensure_writer_lock()
         if round_id is None:
             round_id = rounds[-1]["round_id"]
         idx = self.round_position(round_id)
@@ -314,28 +326,34 @@ class Lake:
         allowed = {r["round_id"] for r in rounds[: idx + 1]}
         new_parts: dict = {}
         linked = copied = 0
-        for p, versions in self.manifest["partitions"].items():
-            chain: list = []
-            for v in versions:
-                if v["round"] not in allowed:
+        try:
+            for p, versions in self.manifest["partitions"].items():
+                chain: list = []
+                for v in versions:
+                    if v["round"] not in allowed:
+                        continue
+                    if v.get("kind", "base") == "base":
+                        chain = [dict(v)]
+                    else:
+                        chain.append(dict(v))
+                if not chain:
                     continue
-                if v.get("kind", "base") == "base":
-                    chain = [dict(v)]
-                else:
-                    chain.append(dict(v))
-            if not chain:
-                continue
-            for v in chain:
-                src_abs = os.path.join(self.root, v["file"])
-                dst_abs = os.path.join(dest, v["file"])
-                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
-                try:
-                    os.link(src_abs, dst_abs)
-                    linked += 1
-                except OSError:
-                    shutil.copy2(src_abs, dst_abs)
-                    copied += 1
-            new_parts[p] = chain
+                for v in chain:
+                    src_abs = os.path.join(self.root, v["file"])
+                    dst_abs = os.path.join(dest, v["file"])
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    try:
+                        os.link(src_abs, dst_abs)
+                        linked += 1
+                    except OSError:
+                        shutil.copy2(src_abs, dst_abs)
+                        copied += 1
+                new_parts[p] = chain
+        except Exception:
+            # never leave a half-populated dest behind: it has no manifest
+            # yet, so nothing references it — remove so a retry starts clean
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
         man = {
             "version": self.manifest["version"],
             "num_partitions": self.manifest["num_partitions"],
@@ -375,12 +393,16 @@ class Lake:
         man["lake_id"] = uuid.uuid4().hex  # the branch's own identity
         man["branched_from"] = self.manifest["lake_id"]
         man["branch_base"] = round_id
-        tmp = os.path.join(dest, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(dest, MANIFEST))
+        try:
+            tmp = os.path.join(dest, MANIFEST + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(dest, MANIFEST))
+        except Exception:
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
         return {
             "round_id": round_id,
             "n_files": linked + copied,

@@ -3014,7 +3014,7 @@ def users_pareto_frontier(sf_dir: str):
 PARETO_SQL = """
 WITH u AS (
   SELECT user_id,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
          CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY user_id
 )

@@ -47,6 +47,37 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def _dtype_class(dtype) -> str:
+    """Coarse dtype class for driver-hash parity: the driver's value hash
+    distinguishes int64 from float64 even when every value compares equal
+    (the r3 ``doc_pack_offsets`` / r4 ``users_pareto_frontier`` class —
+    DuckDB ``sum(BIGINT)`` silently widening to HUGEINT→float64 while the
+    Ray side stays int64). ``canon()`` deliberately coerces before the
+    value compare, so class agreement must be checked on the RAW frames."""
+    kind = getattr(dtype, "kind", "?")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    return "other"
+
+
+def dtype_class_mismatches(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Columns whose raw dtype CLASS differs between the Ray result and the
+    oracle (int vs float etc.) — a guaranteed driver hash mismatch even when
+    ``canon()``'d values agree. Returns ``col:gotclass!=wantclass`` items."""
+    out = []
+    for c in sorted(set(got.columns) & set(want.columns)):
+        g, w = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
+        if g != w and {g, w} <= {"int", "float", "bool"}:
+            out.append(f"{c}:{g}!={w}")
+    return out
+
+
 def to_df(result) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
@@ -81,19 +112,24 @@ def main() -> int:
         status = "ok"
         detail = ""
         try:
-            got = canon(to_df(qs[name](sf_dir)))
-            want = canon(duck(sf_dir, oracles[name]))
+            got_raw = to_df(qs[name](sf_dir))
+            want_raw = duck(sf_dir, oracles[name])
+            got, want = canon(got_raw), canon(want_raw)
             if list(got.columns) != list(want.columns):
                 status, detail = "SCHEMA", f"{list(got.columns)} vs {list(want.columns)}"
             elif len(got) != len(want):
                 status, detail = "ROWS", f"{len(got)} vs {len(want)}"
             else:
+                bad_kinds = dtype_class_mismatches(got_raw, want_raw)
                 try:
                     pd.testing.assert_frame_equal(
                         got, want, check_dtype=False, check_exact=False,
                         rtol=1e-6, atol=1e-9)
                 except AssertionError as exc:
                     status, detail = "VALUES", str(exc).splitlines()[-1][:200]
+                else:
+                    if bad_kinds:
+                        status, detail = "DTYPE", ",".join(bad_kinds)
         except Exception as exc:  # noqa: BLE001
             status, detail = "ERROR", f"{type(exc).__name__}: {exc}"[:300]
         dt = time.time() - t0

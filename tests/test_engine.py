@@ -1856,6 +1856,67 @@ def test_mirror_reorg_repair(ray_session, tmp_path, make_lake):
     src.close(); dst.close()
 
 
+def test_replica_offset_dst_fence(ray_session, tmp_path, make_lake):
+    """The anchored-consumer/fresh-dst fence: re-pointing an existing
+    consumer name at a destination that never received the bootstrap
+    window must raise (it would otherwise silently ship only post-offset
+    windows — a permanently incomplete replica), and a journal fed from a
+    DIFFERENT source lake must be refused regardless of offset state."""
+    from raycdc.exporters import replicate_lake
+
+    spec = gen.GenSpec(seed=91, n_convs=60, mean_turns=5, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+
+    src = make_lake(num_partitions=4, merge_actors=1)
+    src.apply_log(log)
+    dst = Engine(str(tmp_path / "replica"), num_partitions=4, merge_actors=1)
+    assert replicate_lake(src, dst, consumer="m")["windows"] == 1
+    dst.close()
+
+    # same consumer name, brand-new dst: anchored offset + no journal
+    dst2 = Engine(str(tmp_path / "replica2"), num_partitions=4,
+                  merge_actors=1)
+    with pytest.raises(ValueError, match="bootstrap window"):
+        replicate_lake(src, dst2, consumer="m")
+    # a NEW consumer name bootstraps the new dst fine
+    assert replicate_lake(src, dst2, consumer="m2")["windows"] == 1
+    src.close()
+
+    # a second, unrelated source feeding the same dst+consumer: the
+    # journal's src_lake stamp refuses the interleave even though the
+    # second source's consumer offset is fresh (bootstrap-eligible)
+    spec2 = gen.GenSpec(seed=92, n_convs=40, mean_turns=4, n_epochs=2)
+    log2 = str(tmp_path / "log2")
+    gen.write_change_log(spec2, log2)
+    src2 = Engine(str(tmp_path / "lake2"), num_partitions=4, merge_actors=1)
+    src2.apply_log(log2)
+    with pytest.raises(ValueError, match="different source lake"):
+        replicate_lake(src2, dst2, consumer="m2")
+    src2.close(); dst2.close()
+
+
+def test_branch_failure_leaves_no_partial_dest(tmp_path, make_lake,
+                                               ray_session):
+    """Lake.branch must not leave a half-populated destination behind when
+    the link loop fails mid-way (the concurrent-vacuum race): the dest is
+    removed so a retry starts clean."""
+    spec = gen.GenSpec(seed=93, n_convs=40, mean_turns=4, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=4, merge_actors=1)
+    eng.apply_log(log)
+
+    # simulate a fragment vanishing mid-branch (vacuum in another process)
+    victim = eng.lake.live_fragment_paths()[0]
+    os.remove(victim)
+    dest = str(tmp_path / "branch")
+    with pytest.raises(FileNotFoundError):
+        eng.lake.branch(dest)
+    assert not os.path.exists(dest), "partial branch dest must be cleaned up"
+    eng.close()
+
+
 def test_adaptive_round_sizing(ray_session, tmp_path, make_lake):
     """Adaptive round sizing (halve on retriable failure, regrow after a
     success streak): a transient failure at the full round size splits the

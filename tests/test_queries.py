@@ -38,6 +38,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            # normalize nan→None so object-column null equality is stable
+            # across pandas versions (FutureWarning: nan vs None compare)
+            df[c] = df[c].where(pd.notna(df[c]), None)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
