@@ -397,10 +397,14 @@ def write_change_log(spec: GenSpec, out_dir: str) -> list[str]:
         o = np.lexsort((part["seq"].to_numpy(), part["cursor"].to_numpy()))
         part = part.iloc[o]
         evolved = spec.evolve_at_epoch is not None and e >= spec.evolve_at_epoch
-        tbl = _epoch_table(_materialize_table(spec, part), evolved)
-        n_shards = max(1, -(-tbl.num_rows // spec.shard_rows))
+        # materialize text PER SHARD, not per epoch: a stress-tier epoch's
+        # text column would overflow Arrow's 2 GiB string-offset limit in
+        # one array. Shard boundaries are unchanged, so file contents are
+        # byte-identical to whole-epoch materialization.
+        n_shards = max(1, -(-len(part) // spec.shard_rows))
         for s in range(n_shards):
-            shard = tbl.slice(s * spec.shard_rows, spec.shard_rows)
+            chunk = part.iloc[s * spec.shard_rows : (s + 1) * spec.shard_rows]
+            shard = _epoch_table(_materialize_table(spec, chunk), evolved)
             lo = shard.column("cursor")[0].as_py()
             hi = shard.column("cursor")[shard.num_rows - 1].as_py()
             suffix = f"-s{s:02d}" if n_shards > 1 else ""

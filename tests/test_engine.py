@@ -1917,6 +1917,37 @@ def test_branch_failure_leaves_no_partial_dest(tmp_path, make_lake,
     eng.close()
 
 
+def test_replay_under_object_store_pressure(tmp_path):
+    """The 100-TB design leans on Ray's object store SPILLING when the
+    working set exceeds it — make that a measured fact, not an assumption:
+    a ~1M-event replay in a fresh subprocess session whose plasma store is
+    capped far below the working set must complete AND stay oracle-correct
+    (scripts/stress.py's DuckDB folded-replay spot check runs inside).
+
+    Subprocess because object_store_memory is fixed at ray.init and the
+    suite shares one session."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["RAYCDC_OBJECT_STORE_MB"] = "256"
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "stress.py"),
+         "60000", "4"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith('{"metric"')]
+    assert line, proc.stdout[-2000:]
+    out = _json.loads(line[-1])
+    assert out["events"] > 1_000_000
+    assert out["spot_check_rows"] > 0  # oracle match asserted in-process
+    assert out["object_store_mb_cap"] == 256
+
+
 def test_adaptive_round_sizing(ray_session, tmp_path, make_lake):
     """Adaptive round sizing (halve on retriable failure, regrow after a
     success streak): a transient failure at the full round size splits the
