@@ -50,21 +50,25 @@ class RssTracker(threading.Thread):
 
         self._ps = psutil
         self.peak_rss = 0
+        self.peak_one = 0  # largest single process (bounds per-worker heap)
         self.peak_shm = 0
         self._halt = threading.Event()
 
     def _sample(self) -> None:
-        total = 0
+        total = one = 0
         for p in self._ps.process_iter(["name", "memory_info"]):
             try:
                 name = p.info["name"] or ""
                 if p.pid == os.getpid() or name.startswith(
                     ("ray::", "raylet", "plasma", "default_worker")
                 ):
-                    total += p.info["memory_info"].rss
+                    rss = p.info["memory_info"].rss
+                    total += rss
+                    one = max(one, rss)
             except (self._ps.NoSuchProcess, self._ps.AccessDenied):
                 continue
         self.peak_rss = max(self.peak_rss, total)
+        self.peak_one = max(self.peak_one, one)
         u = shutil.disk_usage("/dev/shm")
         self.peak_shm = max(self.peak_shm, u.used)
 
@@ -207,6 +211,7 @@ def main() -> int:
         "rounds": len(rounds),
         "live_rows": live,
         "peak_rss_gb": round(tracker.peak_rss / 2**30, 2),
+        "peak_one_proc_gb": round(tracker.peak_one / 2**30, 2),
         "peak_shm_gb": round(tracker.peak_shm / 2**30, 2),
         "gen_sec": gen_sec,
         "log_gb": round(log_bytes / 2**30, 2),
