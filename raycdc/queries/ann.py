@@ -653,6 +653,74 @@ def ann_lsh(sf_dir: str):
     return _topk_reduce(ds.map_batches(band_score, batch_format="pandas"))
 
 
+MULTIPROBE_T = 2  # extra 1-bit-flip probes per band
+
+
+def _multiprobe_codes(q: np.ndarray, planes: np.ndarray) -> list:
+    """Per band, the query's own code plus ``MULTIPROBE_T`` one-bit-flip
+    codes — flipping the band's lowest-|margin| bits, i.e. the hyperplanes
+    the query sits closest to, where a near neighbor most plausibly lands
+    on the other side (multi-probe LSH, Lv et al., VLDB 2007). The probe
+    set is a strict SUPERSET of the single-probe bucket per band, so the
+    candidate set (and hence recall) dominates ``ann_lsh``'s by
+    construction, at (1 + T) × the per-band candidate IO."""
+    margins = np.abs(q @ planes.T)  # |q . plane_j|, j in [0, NBITS)
+    base = _band_codes(q[None, :], planes)[0]
+    out = []
+    for b in range(LSH_NBANDS):
+        bm = margins[b * LSH_BAND_BITS : (b + 1) * LSH_BAND_BITS]
+        codes = {int(base[b])}
+        for j in np.argsort(bm, kind="stable")[:MULTIPROBE_T]:
+            codes.add(int(base[b]) ^ (1 << (LSH_BAND_BITS - 1 - int(j))))
+        out.append(sorted(codes))
+    return out
+
+
+def ann_lsh_multiprobe(sf_dir: str):
+    """Multi-probe LSH ANN: a row is a candidate iff ANY band's code lands
+    in that band's probe set (the query's bucket + its ``MULTIPROBE_T``
+    nearest 1-bit flips — see :func:`_multiprobe_codes`). Same scan shape
+    as :func:`ann_lsh` (planes + probe sets broadcast once, one matmul per
+    batch, no shuffle); over the persisted per-band layout the probe sets
+    are exactly the partition dirs to read, so the indexed form costs
+    (1 + T) × NBANDS / 2^BAND_BITS of the exploded table — the standard
+    recall/IO dial, turned without growing the stored index."""
+    import ray
+
+    planes = _lsh_planes()
+    q = _query_vec(sf_dir)
+    probes = _multiprobe_codes(q, planes)
+    qn = q / np.linalg.norm(q)
+    ref = ray.put((planes, probes, qn))
+
+    ds = C.read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # stateless task fn (see ann_bruteforce_multi for the pool rationale)
+    def probe_score(b: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        planes_, probes_, q_ = _r.get(ref)
+        m = _emb_matrix(b)
+        codes = _band_codes(m, planes_)  # N x NBANDS
+        cand = np.zeros(len(m), dtype=bool)
+        for band, pset in enumerate(probes_):
+            cand |= np.isin(codes[:, band], pset)
+        m, ids = m[cand], b["vec_id"].to_numpy()[cand]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cosine_sim": pd.Series(dtype="float64")}
+            )
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ q_) / norms
+        return _local_top(
+            pd.DataFrame({"vec_id": ids, "cosine_sim": np.round(sims, 4)})
+        )
+
+    return _topk_reduce(ds.map_batches(probe_score, batch_format="pandas"))
+
+
 def _lsh_band_sql_exprs() -> list[str]:
     """One SQL expression per band computing the packed band code from the
     sign bits of the plane dot products."""
@@ -1188,6 +1256,13 @@ QUALIFY row_number() OVER (
         f"({expr}) = {int(q_bands[i])}"
         for i, expr in enumerate(_lsh_band_sql_exprs())
     )
+    # multiprobe: per-band probe SETS (query bucket + nearest 1-bit flips),
+    # computed in Python from the fixed query/planes, embedded as IN lists
+    mp = _multiprobe_codes(q, _lsh_planes())
+    mp_match = " OR ".join(
+        f"({expr}) IN ({','.join(map(str, mp[i]))})"
+        for i, expr in enumerate(_lsh_band_sql_exprs())
+    )
     lsh_sql = f"""
 WITH c AS (
     SELECT vec_id, embedding
@@ -1240,6 +1315,7 @@ QUALIFY nn_rank <= {KNN_K}
         # the indexed variant's candidate set is IDENTICAL by construction
         # (any-band match), so it shares ann_lsh's oracle verbatim
         "ann_lsh_indexed": lsh_sql,
+        "ann_lsh_multiprobe": lsh_sql.replace(match, mp_match, 1),
         "ann_ivf_layout": layout_sql,
         "semdedup": _semdedup_sql(sf_dir),
         "kmeans_refine": _kmeans_refine_sql(sf_dir),
@@ -2064,6 +2140,7 @@ QUERIES = {
     "ann_ivf_layout": ann_ivf_layout,
     "ann_lsh": ann_lsh,
     "ann_lsh_indexed": ann_lsh_indexed,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "embedding_norms": embedding_norms,
     "embedding_neardup": embedding_neardup,
     "neardup_clusters": neardup_clusters,
