@@ -447,6 +447,47 @@ def test_ann_lsh_multiprobe_recall_dominates(ray_session):
     assert r_multi >= 0.6, f"multiprobe recall@{len(bf)} = {r_multi}"
 
 
+def test_ann_lsh_multiprobe_indexed_matches_and_prunes(ray_session):
+    """The indexed multiprobe search returns exactly the full-scan
+    multiprobe result (same probe sets, shared oracle) while reading only
+    the probed buckets: ≈ NBANDS·(1+T)/2^BAND_BITS of the exploded table —
+    the recall lift costs a proportional, still-pruned read fraction."""
+    import pyarrow.parquet as pq
+
+    from raycdc.queries import QUERIES
+    from raycdc.queries.ann import (
+        LSH_BAND_BITS,
+        LSH_NBANDS,
+        MULTIPROBE_T,
+        _lsh_bucket_paths,
+        _lsh_planes,
+        _multiprobe_codes,
+        _query_vec,
+        build_ann_oracle_sql,
+        lsh_layout,
+    )
+
+    got = canon(to_df(QUERIES["ann_lsh_multiprobe_indexed"](SF_DIR)))
+    want = canon(duck(build_ann_oracle_sql(SF_DIR)["ann_lsh_multiprobe_indexed"]))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-9)
+
+    q = _query_vec(SF_DIR)
+    buckets = [
+        band * (1 << LSH_BAND_BITS) + c
+        for band, cs in enumerate(_multiprobe_codes(q, _lsh_planes()))
+        for c in cs
+    ]
+    files = _lsh_bucket_paths(lsh_layout(SF_DIR), buckets)
+    probed = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    total = pq.ParquetFile(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).metadata.num_rows
+    expect = LSH_NBANDS * (1 + MULTIPROBE_T) / (1 << LSH_BAND_BITS)
+    assert probed / total <= expect * 2.0, (
+        f"multiprobe IO not pruned: {probed}/{total} vs ≈{expect:.3f}"
+    )
+
+
 def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
     """Plant near-duplicate docs and check LSH surfaces them."""
     import pyarrow as pa
