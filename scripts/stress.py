@@ -18,7 +18,8 @@ conversations) replayed end-to-end at full parallelism, with
 
 Usage::
 
-    python scripts/stress.py [n_convs] [cpus]     # default 4_800_000, 32
+    python scripts/stress.py [n_convs] [cpus] [zipf_a]
+    # defaults 4_800_000, 32, 1.1 (zipf_a=2.2 = extreme hot-conv skew)
 
 Prints one JSON line; record the result in BASELINE.md.
 """
@@ -35,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_800_000
 NCPU = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+ZIPF_A = float(sys.argv[3]) if len(sys.argv) > 3 else 1.1  # 2.2 = extreme skew
 N_SPOT = 16
 
 
@@ -161,7 +163,8 @@ def main() -> int:
     from raycdc.engine import Engine
 
     spec = gen.GenSpec(
-        seed=77, n_convs=N_CONVS, mean_turns=12, n_epochs=8, frac_dup=0.02
+        seed=77, n_convs=N_CONVS, mean_turns=12, n_epochs=8, frac_dup=0.02,
+        zipf_a=ZIPF_A,
     )
     t0 = time.perf_counter()
     log_dir = gen.cached_change_log(spec)
@@ -217,6 +220,7 @@ def main() -> int:
         "log_gb": round(log_bytes / 2**30, 2),
         "spot_check_rows": spot_rows,
         "num_cpus": NCPU,
+        "zipf_a": ZIPF_A,
         "object_store_mb_cap": store_mb or None,
         "spilled_mb": spilled_mb,
     }
