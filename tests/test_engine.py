@@ -1917,6 +1917,79 @@ def test_branch_failure_leaves_no_partial_dest(tmp_path, make_lake,
     eng.close()
 
 
+def test_driver_kill_mid_replay_resumes(tmp_path):
+    """Crash-ANYWHERE resume: SIGKILL the whole driver process group while
+    rounds are committing, then rerun the same replay on the surviving
+    lake — the epoch fence must skip whatever committed, the interrupted
+    round must replay idempotently, and the final state must equal the
+    single-shot oracle. (Actor-death tests cover merger loss inside a
+    live driver; this covers losing the driver itself mid-commit.)"""
+    import signal
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = gen.GenSpec(seed=97, n_convs=400, mean_turns=8, n_epochs=8)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    lake = str(tmp_path / "lake")
+    manifest = os.path.join(lake, "manifest.json")
+
+    script = textwrap.dedent(f"""
+        import ray, sys
+        sys.path.insert(0, {repo!r})
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from raycdc.engine import Engine
+        eng = Engine({lake!r}, num_partitions=8, merge_actors=1)
+        eng.apply_log({log!r}, epochs_per_round=1)  # 8 rounds, killable
+        eng.close(); ray.shutdown()
+    """)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", script], env=env, cwd=repo,
+        start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # wait for the first committed round, then kill the whole group
+    import json as _json
+    import time as _time
+
+    deadline = _time.time() + 180
+    committed, killed = 0, False
+    while _time.time() < deadline:
+        if proc.poll() is not None:
+            break
+        try:
+            with open(manifest) as f:
+                committed = len(_json.load(f).get("committed_rounds", []))
+        except (FileNotFoundError, ValueError):
+            committed = 0
+        if 1 <= committed < 8:
+            os.killpg(proc.pid, signal.SIGKILL)
+            killed = True
+            break
+        _time.sleep(0.05)
+    proc.wait(timeout=60)
+    # the kill must land MID-replay (some rounds committed, some not) —
+    # if the subprocess ever finishes before the 50 ms poll can catch an
+    # intermediate manifest, slow the corpus down instead of weakening this
+    assert killed and 1 <= committed < 8, (killed, committed)
+
+    # the writer lock of the killed process is stale — a fresh process
+    # takes it; within THIS process, clear any registration first
+    from raycdc.lake import Lake
+
+    Lake.release_writer_lock(lake)
+    eng = Engine(lake, num_partitions=8, merge_actors=1)
+    results = eng.apply_log(log, epochs_per_round=1)
+    assert any(r.get("skipped") for r in results), "fence skipped nothing"
+    assert_matches_oracle(eng, log)
+    eng.close()
+
+
 def test_replay_under_object_store_pressure(tmp_path):
     """The 100-TB design leans on Ray's object store SPILLING when the
     working set exceeds it — make that a measured fact, not an assumption:
