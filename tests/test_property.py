@@ -635,3 +635,37 @@ def test_skyline2d_matches_bruteforce(pts):
             for j in range(len(pts))
         )
         assert got[i] == (not dominated), (i, pts)
+
+
+# -- multi-probe LSH probe-set laws -----------------------------------------
+
+@settings(deadline=None, max_examples=50)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_multiprobe_probe_set_laws(seed):
+    """For any query vector: every band's probe set contains the query's
+    own band code (superset law — what makes multiprobe recall dominate
+    single-probe by construction), has at most 1 + MULTIPROBE_T codes, and
+    every code is a valid BAND_BITS-bit bucket. Probes differ from the
+    base code by exactly one bit (the 1-bit-flip construction)."""
+    from raycdc.queries.ann import (
+        LSH_BAND_BITS,
+        LSH_NBANDS,
+        MULTIPROBE_T,
+        _band_codes,
+        _lsh_planes,
+        _multiprobe_codes,
+    )
+
+    rng = np.random.RandomState(seed)
+    q = rng.standard_normal(64)
+    planes = _lsh_planes()
+    base = _band_codes(q[None, :], planes)[0]
+    probes = _multiprobe_codes(q, planes)
+    assert len(probes) == LSH_NBANDS
+    for b, pset in enumerate(probes):
+        assert int(base[b]) in pset
+        assert len(pset) <= 1 + MULTIPROBE_T
+        for c in pset:
+            assert 0 <= c < (1 << LSH_BAND_BITS)
+            flipped = c ^ int(base[b])
+            assert flipped == 0 or bin(flipped).count("1") == 1
