@@ -112,9 +112,12 @@ def cmd_stream(args) -> int:
             "last_cursor": eng.lake.last_cursor(),
         }))
     finally:
-        if replica is not None:
-            replica.close()
-        eng.close()
+        # nested: a replica.close() failure must not skip eng.close()
+        try:
+            if replica is not None:
+                replica.close()
+        finally:
+            eng.close()
     return 0
 
 

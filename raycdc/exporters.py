@@ -726,11 +726,18 @@ def replicate_lake(
     # consumer's journal says was fed from THIS source.
     st = src.consumer_status(consumer)
     journal0 = _mirror_journal(dst, consumer)
-    src_id = src.lake.identity()
+    # READ-ONLY identity: replication must never take the source's writer
+    # lock (consumer_poll/ack are lock-free by contract — a mirror of a
+    # lake another process is actively streaming must keep working). Lakes
+    # written by this engine are stamped at first commit_round; an
+    # unstamped (legacy/empty) source simply skips the cross-source check.
+    src_id = src.lake.manifest.get("lake_id")
     stale = [
         e.get("src_lake")
         for e in journal0
-        if e.get("src_lake") not in (None, src_id)
+        if e.get("src_lake") is not None
+        and src_id is not None
+        and e.get("src_lake") != src_id
     ]
     if stale:
         raise ValueError(
@@ -769,14 +776,11 @@ def replicate_lake(
             ents = [
                 x for x in _mirror_journal(dst, consumer) if x["epoch"] < e
             ]
-            ents.append(
-                {
-                    "epoch": e,
-                    "src_round": rnd,
-                    "base": epoch_base,
-                    "src_lake": src.lake.identity(),
-                }
-            )
+            ent = {"epoch": e, "src_round": rnd, "base": epoch_base}
+            sid = src.lake.manifest.get("lake_id")
+            if sid is not None:  # read-only: never stamp a foreign lake
+                ent["src_lake"] = sid
+            ents.append(ent)
             _mirror_journal_write(dst, consumer, ents)
 
         if rid in dst.lake.committed_round_ids():

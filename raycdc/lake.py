@@ -322,7 +322,23 @@ class Lake:
         self.state_map_as_of(round_id)
         if os.path.exists(os.path.join(dest, MANIFEST)):
             raise ValueError(f"branch destination {dest!r} is already a lake")
+        # failure cleanup must not destroy PRE-EXISTING user content: only
+        # remove the whole dest if we created it; otherwise remove just
+        # what the branch populated (fragments dir + manifest temp)
+        dest_created = not os.path.exists(dest)
         os.makedirs(os.path.join(dest, FRAGMENT_DIR), exist_ok=True)
+
+        def _cleanup_partial() -> None:
+            if dest_created:
+                shutil.rmtree(dest, ignore_errors=True)
+            else:
+                shutil.rmtree(
+                    os.path.join(dest, FRAGMENT_DIR), ignore_errors=True
+                )
+                try:
+                    os.remove(os.path.join(dest, MANIFEST + ".tmp"))
+                except OSError:
+                    pass
         allowed = {r["round_id"] for r in rounds[: idx + 1]}
         new_parts: dict = {}
         linked = copied = 0
@@ -352,7 +368,7 @@ class Lake:
         except Exception:
             # never leave a half-populated dest behind: it has no manifest
             # yet, so nothing references it — remove so a retry starts clean
-            shutil.rmtree(dest, ignore_errors=True)
+            _cleanup_partial()
             raise
         man = {
             "version": self.manifest["version"],
@@ -401,7 +417,7 @@ class Lake:
                 os.fsync(f.fileno())
             os.replace(tmp, os.path.join(dest, MANIFEST))
         except Exception:
-            shutil.rmtree(dest, ignore_errors=True)
+            _cleanup_partial()
             raise
         return {
             "round_id": round_id,
@@ -526,6 +542,14 @@ class Lake:
         self.ensure_writer_lock()
         if round_id in self.committed_round_ids():
             return  # fence: already committed → no-op (idempotent replay)
+        if not self.manifest.get("lake_id"):
+            # stamp identity on the WRITER path (lock already held): every
+            # written lake then carries a durable id for branch lineage and
+            # replica journals, and read-only consumers never need to
+            # stamp-and-lock a foreign lake to learn it
+            import uuid
+
+            self.manifest["lake_id"] = uuid.uuid4().hex
         parts = self.manifest["partitions"]
         for entry in touched_parts:
             p, kind = entry if isinstance(entry, (tuple, list)) else (entry, "base")

@@ -664,7 +664,10 @@ def _multiprobe_codes(q: np.ndarray, planes: np.ndarray) -> list:
     set is a strict SUPERSET of the single-probe bucket per band, so the
     candidate set (and hence recall) dominates ``ann_lsh``'s by
     construction, at (1 + T) × the per-band candidate IO."""
-    margins = np.abs(q @ planes.T)  # |q . plane_j|, j in [0, NBITS)
+    # rank by DISTANCE to each hyperplane, |q.p|/||p|| — the seeded
+    # Gaussian planes have unequal norms (~9% spread at dim 64), and raw
+    # dot products would bias probe selection toward low-norm planes
+    margins = np.abs(q @ planes.T) / np.linalg.norm(planes, axis=1)
     base = _band_codes(q[None, :], planes)[0]
     out = []
     for b in range(LSH_NBANDS):

@@ -64,10 +64,12 @@ class RssTracker(threading.Thread):
                 if p.pid == os.getpid() or name.startswith(
                     ("ray::", "raylet", "plasma", "default_worker")
                 ):
-                    rss = p.info["memory_info"].rss
-                    total += rss
-                    one = max(one, rss)
-            except (self._ps.NoSuchProcess, self._ps.AccessDenied):
+                    mi = p.info["memory_info"]
+                    if mi is None:  # zombie / access-denied under attrs=
+                        continue
+                    total += mi.rss
+                    one = max(one, mi.rss)
+            except Exception:  # racing process exits must not kill sampling
                 continue
         self.peak_rss = max(self.peak_rss, total)
         self.peak_one = max(self.peak_one, one)
@@ -94,22 +96,11 @@ def spot_check(eng, log_dir: str, spec) -> int:
     from raycdc.queries.cdc import CDC_REPLAY_SQL_TEMPLATE
 
     # deterministic spread across the conv space (includes hot low ids
-    # under the zipf skew and cold tail ids)
+    # under the zipf skew and cold tail ids). Key format mirrors the
+    # generator exactly: utf8_lpad(conv, 6) — a MINIMUM of 6 digits, wider
+    # convs keep their natural width (so {:06d} is the right formatter).
     step = max(1, spec.n_convs // N_SPOT)
-    width = len(str(spec.n_convs - 1))
-    keys = [f"conv-{i * step:0{width}d}" for i in range(N_SPOT)]
-    # conv digits width: gen pads to the corpus width; probe actual format
-    import pyarrow.dataset as pads
-
-    first = sorted(
-        f for f in os.listdir(log_dir) if f.startswith("changes-")
-    )[0]
-    one = pads.dataset([os.path.join(log_dir, first)]).head(
-        5, columns=["conv_id"]
-    )
-    sample_id = [v for v in one.column("conv_id").to_pylist() if v][0]
-    width = len(sample_id) - len("conv-")
-    keys = [f"conv-{i * step:0{width}d}" for i in range(N_SPOT)]
+    keys = [f"conv-{i * step:06d}" for i in range(N_SPOT)]
 
     inlist = ", ".join(f"'{k}'" for k in keys)
     where = f" WHERE conv_id IN ({inlist}) OR op = 'rollback'"

@@ -1968,7 +1968,10 @@ def test_driver_kill_mid_replay_resumes(tmp_path):
         except (FileNotFoundError, ValueError):
             committed = 0
         if 1 <= committed < 8:
-            os.killpg(proc.pid, signal.SIGKILL)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                break  # finished in the race window; assert reports it
             killed = True
             break
         _time.sleep(0.05)
