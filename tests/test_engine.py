@@ -1856,6 +1856,36 @@ def test_mirror_reorg_repair(ray_session, tmp_path, make_lake):
     src.close(); dst.close()
 
 
+def test_lake_identity_stable_across_mutations(ray_session, tmp_path,
+                                               make_lake):
+    """The replica fence and branch lineage trust ``lake_id`` — it is
+    stamped at the first commit_round (writer path, no reader ever locks
+    to learn it) and must survive every later mutation: more rounds,
+    rollback, compaction, reshard."""
+    spec = gen.GenSpec(seed=95, n_convs=60, mean_turns=5, n_epochs=4)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=4, merge_actors=1)
+    eng.apply_log(log, epochs_per_round=1)
+    lid = eng.lake.manifest.get("lake_id")
+    assert lid, "first commit must stamp an identity"
+
+    rounds = eng.lake.manifest["committed_rounds"]
+    eng.lake.rollback(int(rounds[-2]["cursor_hi"]))
+    assert eng.lake.manifest["lake_id"] == lid
+    eng.apply_log(log, epochs_per_round=1)  # canonical tail replays
+    assert eng.lake.manifest["lake_id"] == lid
+    eng.compact()
+    assert eng.lake.manifest["lake_id"] == lid
+    eng.reshard(8)
+    assert eng.lake.manifest["lake_id"] == lid
+    # a fresh handle reads the same identity from disk
+    from raycdc.lake import Lake
+
+    assert Lake(eng.lake.root).manifest["lake_id"] == lid
+    eng.close()
+
+
 def test_replica_offset_dst_fence(ray_session, tmp_path, make_lake):
     """The anchored-consumer/fresh-dst fence: re-pointing an existing
     consumer name at a destination that never received the bootstrap
