@@ -42,6 +42,10 @@ FRAGMENT_DIR = "fragments"
 # merger pools, resume tests)
 _WRITER_LOCKS: dict = {}
 
+# per-root manifest write serials (same process): stale-handle fence for
+# _write_manifest — see there
+_MANIFEST_SERIALS: dict = {}
+
 
 class LakeLockedError(RuntimeError):
     """Another PROCESS holds the writer lock for this lake root."""
@@ -62,6 +66,9 @@ class Lake:
     def __init__(self, root: str, num_partitions: int = 64, undo_window: int = 8):
         self.root = root
         self.manifest_path = os.path.join(root, MANIFEST)
+        self._manifest_serial = _MANIFEST_SERIALS.get(
+            os.path.abspath(root), 0
+        )
         os.makedirs(os.path.join(root, FRAGMENT_DIR), exist_ok=True)
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
@@ -177,8 +184,11 @@ class Lake:
     def round_id_at_cursor(self, cursor_hi: int) -> str:
         """The committed round whose high watermark is ``cursor_hi`` —
         the same boundary resolution :meth:`rollback` uses (snapshots, like
-        rollbacks, target whole committed rounds)."""
-        for r in self.manifest["committed_rounds"]:
+        rollbacks, target whole committed rounds). When two rounds share a
+        cursor_hi (a reshard barrier duplicates the head's watermark), the
+        LAST one is the live state at that cursor — preferring the first
+        would make the post-reshard head unreachable by cursor."""
+        for r in reversed(self.manifest["committed_rounds"]):
             if r["cursor_hi"] == cursor_hi:
                 return r["round_id"]
         raise ValueError(
@@ -259,9 +269,7 @@ class Lake:
         del tags[name]
         doomed = self._gc()
         self._write_manifest()
-        for path in doomed:
-            if os.path.exists(path):
-                os.remove(path)
+        self._reap(doomed)
 
     def identity(self) -> str:
         """This lake's durable identity, stamped into the manifest on
@@ -322,6 +330,14 @@ class Lake:
         self.state_map_as_of(round_id)
         if os.path.exists(os.path.join(dest, MANIFEST)):
             raise ValueError(f"branch destination {dest!r} is already a lake")
+        if os.path.isdir(os.path.join(dest, FRAGMENT_DIR)):
+            # a fragments dir with no manifest is either foreign content or
+            # debris from a pre-cleanup partial branch; refuse rather than
+            # risk mixing or (on failure) deleting files we did not create
+            raise ValueError(
+                f"branch destination {dest!r} already contains a "
+                f"'{FRAGMENT_DIR}' directory — remove it first"
+            )
         # failure cleanup must not destroy PRE-EXISTING user content: only
         # remove the whole dest if we created it; otherwise remove just
         # what the branch populated (fragments dir + manifest temp)
@@ -340,18 +356,33 @@ class Lake:
                 except OSError:
                     pass
         allowed = {r["round_id"] for r in rounds[: idx + 1]}
+        # Retention matches _gc over the BRANCH's ledger: keep, per
+        # partition, everything from the newest base at-or-before the
+        # oldest anchor (undo-window floor and every carried-over tag) —
+        # NOT just the newest base. Keeping only the live chain would make
+        # carried tags serve empty snapshots and let a within-window
+        # rollback on the branch silently delete its only base.
+        kept_rounds = rounds[: idx + 1]
+        bpos = {r["round_id"]: i for i, r in enumerate(kept_rounds)}
+        min_anchor = max(0, len(kept_rounds) - self.manifest["undo_window"])
+        for _rid in self.manifest.get("tags", {}).values():
+            if _rid in bpos:
+                min_anchor = min(min_anchor, bpos[_rid])
         new_parts: dict = {}
         linked = copied = 0
         try:
             for p, versions in self.manifest["partitions"].items():
-                chain: list = []
-                for v in versions:
-                    if v["round"] not in allowed:
-                        continue
-                    if v.get("kind", "base") == "base":
-                        chain = [dict(v)]
-                    else:
-                        chain.append(dict(v))
+                vs = [dict(v) for v in versions if v["round"] in allowed]
+                first_keep = 0
+                for i, v in enumerate(vs):
+                    vpos = bpos.get(v["round"])
+                    if (
+                        vpos is not None
+                        and vpos <= min_anchor
+                        and v.get("kind", "base") == "base"
+                    ):
+                        first_keep = i
+                chain = vs[first_keep:]
                 if not chain:
                     continue
                 for v in chain:
@@ -581,17 +612,59 @@ class Lake:
         # deleted fragments (crash-at-any-point contract, module docstring)
         doomed = self._gc()
         self._write_manifest()
+        self._reap(doomed)
+
+    def _reap(self, doomed: list) -> None:
+        """Delete superseded fragment files AFTER the manifest swap,
+        skipping any path a KEPT version still references — a compaction
+        may rewrite a fragment in place at the same (partition, round,
+        kind) path, and the superseded entry's doomed path must not take
+        the live file with it."""
+        live = {
+            os.path.join(self.root, v["file"])
+            for versions in self.manifest["partitions"].values()
+            for v in versions
+        }
         for path in doomed:
+            if path in live:
+                continue
             if os.path.exists(path):
                 os.remove(path)
 
     def _write_manifest(self) -> None:
+        # stale-handle fence: two Lake handles for the same root in ONE
+        # process both pass the flock (the registry is per-process), so a
+        # handle whose in-memory manifest predates another handle's write
+        # would silently last-writer-win the file and drop committed
+        # rounds. Serial numbers convert that into a loud error.
+        key = os.path.abspath(self.root)
+        cur = _MANIFEST_SERIALS.get(key, 0)
+        if cur != self._manifest_serial:
+            raise RuntimeError(
+                f"stale Lake handle for {self.root}: another handle in this "
+                f"process wrote the manifest (serial {cur} != loaded "
+                f"{self._manifest_serial}) — re-open the lake instead of "
+                "writing through a stale handle"
+            )
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.manifest, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.manifest_path)
+        # fsync the DIRECTORY so the rename itself is durable before any
+        # caller deletes superseded fragments: on power loss the old
+        # manifest must never survive alongside already-unlinked files
+        try:
+            dfd = os.open(self.root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+        self._manifest_serial = cur + 1
+        _MANIFEST_SERIALS[key] = self._manifest_serial
 
     def _gc(self) -> list:
         """Trim per-partition history to versions from the last
@@ -678,9 +751,7 @@ class Lake:
             )
         doomed = self._gc()
         self._write_manifest()
-        for path in doomed:
-            if os.path.exists(path):
-                os.remove(path)
+        self._reap(doomed)
 
     def commit_reshard(
         self, new_nparts: int, touched_parts: list, round_id: str
@@ -756,8 +827,11 @@ class Lake:
         if to_cursor == 0 and not rounds:
             return
         idx = None
-        for i, r in enumerate(rounds):
-            if r["cursor_hi"] == to_cursor:
+        # prefer the LAST round at this boundary: a reshard barrier round
+        # duplicates the previous head's cursor_hi, and the later round is
+        # the live layout at that cursor (matching round_id_at_cursor)
+        for i in range(len(rounds) - 1, -1, -1):
+            if rounds[i]["cursor_hi"] == to_cursor:
                 idx = i
                 break
         if idx is None and to_cursor == 0:
@@ -823,6 +897,4 @@ class Lake:
         # between leaves orphan files, never a committed manifest whose live
         # fragments are gone (they are rewritten deterministically anyway)
         self._write_manifest()
-        for path in doomed:
-            if os.path.exists(path):
-                os.remove(path)
+        self._reap(doomed)

@@ -196,6 +196,14 @@ def merge_partition_table(
         newkey[1:] |= k[1:] != k[:-1]
 
     op_codes = pc.index_in(tbl.column("op"), value_set=_OP_SET)
+    if pc.any(pc.is_null(op_codes)).as_py():
+        # fail fast: an op outside {insert,update,delete} (e.g. a rollback
+        # marker leaking past upstream filtering, or a null) would otherwise
+        # astype to INT64_MIN and silently fold as a live insert
+        bad = pc.unique(
+            pc.filter(tbl.column("op"), pc.is_null(op_codes))
+        ).to_pylist()
+        raise ValueError(f"merge kernel got non-merge op(s): {bad!r}")
     op_full = _np(op_codes).astype(np.int64, copy=False)
     op_d = op_full[sel]
 

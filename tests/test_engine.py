@@ -1476,11 +1476,18 @@ def test_reshard_preserves_state_and_stream_continues(ray_session, tmp_path):
     assert all(m.get("skipped") for m in metrics)
     assert_matches_oracle(eng2, log)
 
-    # the barrier: rollback / time travel cannot cross the reshard
+    # the barrier: rollback / time travel cannot cross the reshard.
+    # NOTE the last pre-reshard round SHARES its cursor_hi with the
+    # barrier round, and cursor resolution prefers the POST-reshard side
+    # (the live layout — the head must stay reachable by cursor), so the
+    # crossing case is a strictly-pre-barrier target: empty (cursor 0).
     with pytest.raises(ValueError, match="reshard barrier"):
-        eng2.lake.rollback(int(pre_rounds[0]["cursor_hi"]))
+        eng2.lake.rollback(0)
     with pytest.raises(ValueError, match="reshard"):
         eng2.lake.state_map_as_of(pre_rounds[0]["round_id"])
+    assert eng2.lake.round_id_at_cursor(
+        int(pre_rounds[-1]["cursor_hi"])
+    ).startswith("reshard")
 
     # consumer-group interplay: an offset from BEFORE the barrier still
     # serves a CORRECT window — the changefeed derives from current-state
