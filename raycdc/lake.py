@@ -143,16 +143,6 @@ class Lake:
         rounds = self.manifest["committed_rounds"]
         return rounds[-1]["cursor_hi"] if rounds else 0
 
-    def live_fragment_map(self) -> dict:
-        """part -> absolute path of live fragment (absent part = empty).
-        Legacy single-file view: only valid when every live version is a
-        base (no deltas); prefer :meth:`live_state_map`."""
-        return {
-            int(p): os.path.join(self.root, versions[-1]["file"])
-            for p, versions in self.manifest["partitions"].items()
-            if versions
-        }
-
     def live_state_map(self, part_range: tuple | None = None) -> dict:
         """part -> {"base": abspath|None, "deltas": [abspaths]}: the current
         base fragment plus the delta fragments committed since it. The

@@ -336,20 +336,3 @@ def merge_partition(
     return out.to_pandas()
 
 
-def rows_to_events(frag_df: pd.DataFrame) -> pd.DataFrame:
-    """Fragment-shaped rows (full state + watermark + tombstone flag) →
-    pseudo-events for a fold: live rows are ``insert``s, tombstones are
-    ``delete``s, each at its stored watermark."""
-    ev = frag_df.copy()
-    ev["op"] = np.where(ev[DELETED_COL].to_numpy(dtype=bool), "delete", "insert")
-    return ev.drop(columns=[DELETED_COL])
-
-
-def fold_fragments(frames: list, payload: list[str]) -> pd.DataFrame | None:
-    frames = [f for f in frames if f is not None and len(f)]
-    if not frames:
-        return None
-    out = fold_fragments_table(
-        [pa.Table.from_pandas(f, preserve_index=False) for f in frames], payload
-    )
-    return out.to_pandas()
