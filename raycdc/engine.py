@@ -125,9 +125,17 @@ class AuditContext:
                 }
         schema = self._schema if t_idx == 0 else eng._table_schema(t_idx)
         if schema is None and staged_in_range:
-            # first-ever round of a derived table: no manifest schema yet
+            # first-ever round of a derived table: no manifest schema yet.
+            # Fragment files carry part AND the _deleted tombstone flag;
+            # both must be stripped to reconstruct the change schema, else
+            # fragment_schema_for appends a SECOND _deleted downstream and
+            # the fold crashes on the duplicate column.
             schema = pa.schema(
-                [f for f in pq.read_schema(staged_in_range[0]) if f.name != "part"]
+                [
+                    f
+                    for f in pq.read_schema(staged_in_range[0])
+                    if f.name not in ("part", M.DELETED_COL)
+                ]
             )
         key_cols = list(eng.tables[t_idx].key_cols)
         return eng._read_lake_folded(sm, schema, columns, include_system, key_cols)
@@ -169,9 +177,33 @@ def discover_epoch_files(log_dir: str) -> list[dict]:
     return [epochs[e] for e in sorted(epochs)]
 
 
+# sniff memo: log shard files are immutable once published (atomic rename),
+# so (path, size, mtime_ns) fully keys the answer. Without this, the
+# column-scan fallback below runs over the WHOLE ready prefix on every
+# stream.follow re-plan: "delete" < "rollback" < "update" lexicographically,
+# so any mixed-op row group's stats are inconclusive — i.e. almost all of
+# them — degrading the "footer-only" sniff to O(total log rows) per poll.
+_ROLLBACK_SNIFF_MEMO: dict = {}
+
+
 def _file_has_rollback(path: str) -> bool:
-    """Cheap rollback sniff: parquet column statistics on ``op`` first
-    (footer-only read), column scan only when stats are inconclusive."""
+    """Cheap rollback sniff: memoized per immutable file; parquet column
+    statistics on ``op`` first (footer-only read), column scan only when
+    stats are inconclusive."""
+    try:
+        st_f = os.stat(path)
+        memo_key = (path, st_f.st_size, st_f.st_mtime_ns)
+    except OSError:
+        memo_key = None
+    if memo_key is not None and memo_key in _ROLLBACK_SNIFF_MEMO:
+        return _ROLLBACK_SNIFF_MEMO[memo_key]
+    out = _file_has_rollback_uncached(path)
+    if memo_key is not None:
+        _ROLLBACK_SNIFF_MEMO[memo_key] = out
+    return out
+
+
+def _file_has_rollback_uncached(path: str) -> bool:
     f = pq.ParquetFile(path)
     idx = f.schema_arrow.get_field_index("op")
     conclusive = True
@@ -191,11 +223,19 @@ def _file_has_rollback(path: str) -> bool:
     return pc.any(pc.equal(ops, "rollback")).as_py()
 
 
-def _read_rollback_cursor(path: str) -> int:
-    t = pq.read_table(path, columns=["op", "rollback_to_cursor"])
-    df = t.to_pandas()
-    vals = df.loc[df["op"] == "rollback", "rollback_to_cursor"]
-    return int(vals.iloc[0])
+def _read_rollback_cursor(paths) -> int:
+    """Rollback target cursor from an epoch's shard file(s). Detection
+    scans EVERY shard, so extraction must too — a rollback row sitting in
+    a later shard would otherwise raise IndexError."""
+    if isinstance(paths, str):
+        paths = [paths]
+    for path in paths:
+        t = pq.read_table(path, columns=["op", "rollback_to_cursor"])
+        df = t.to_pandas()
+        vals = df.loc[df["op"] == "rollback", "rollback_to_cursor"]
+        if len(vals):
+            return int(vals.iloc[0])
+    raise ValueError(f"no rollback row in {paths!r}")
 
 
 def plan_rounds(
@@ -232,11 +272,27 @@ def plan_rounds(
         for f in files
         if any(_file_has_rollback(p) for p in f["paths"])
     }
-    rollback_targets = {
-        _read_rollback_cursor(f["paths"][0])
+    explicit_targets = {
+        f["epoch"]: _read_rollback_cursor(f["paths"])
         for f in files
         if f["epoch"] in rollback_epochs
     }
+    rollback_targets = set(explicit_targets.values())
+    # Pre-pass: IMPLIED (implicit-reorg) rollback targets. The grouping
+    # rule below closes rounds at every rollback target so each target is
+    # a committed round boundary when its rollback executes — an implied
+    # target landing mid-round (epochs_per_round >= 2) would otherwise
+    # make Lake.rollback raise "not a committed round boundary" and halt
+    # the replay. The simulation mirrors the main loop's sim_hi exactly.
+    sim = last_cursor
+    for f in files:
+        if f["epoch"] in rollback_epochs:
+            sim = min(sim, explicit_targets[f["epoch"]])
+            continue
+        if f["epoch"] not in processed and f["cursor_lo"] <= sim:
+            rollback_targets.add(f["cursor_lo"] - 1)
+            sim = f["cursor_lo"] - 1
+        sim = max(sim, f["cursor_hi"])
     plan: list = []
     group: list[dict] = []
 
@@ -250,7 +306,7 @@ def plan_rounds(
     for f in files:
         if f["epoch"] in rollback_epochs:
             flush()
-            target = _read_rollback_cursor(f["paths"][0])
+            target = explicit_targets[f["epoch"]]
             plan.append(("rollback", target, f["epoch"]))
             sim_hi = min(sim_hi, target)
             continue
@@ -493,8 +549,16 @@ class MergerActor:
         self.buf: dict = {}  # round_id -> list of event tables (arrow)
         self.cache: dict = {}  # part -> pa.Table (live fragment)
         self.cache_order: list = []
+        self._finalized: set = set()  # round ids already merged
 
     def add_events(self, round_id: str, tbl: pa.Table, table_idx: int = 0) -> int:
+        if round_id in self._finalized:
+            # a late duplicate slice (Ray-retried push landing after the
+            # finalize quiescent window) must not RECREATE buf[round_id]:
+            # nothing would ever pop it again — an unbounded leak on a
+            # long-lived stream. Duplicates are idempotent by the merge
+            # kernel's (key, cursor, seq) dedup, so dropping is safe.
+            return 0
         r = self.buf.setdefault(round_id, {})  # round -> {table_idx: [tables]}
         r.setdefault(table_idx, []).append(tbl)  # append: GIL-atomic
         return tbl.num_rows
@@ -517,6 +581,10 @@ class MergerActor:
         self.cache_order.clear()
         getattr(self, "_cache_sizes", {}).clear()
         self.buf.clear()
+        # a rollback legitimately REPLAYS previously-finalized round ids
+        # (deterministic names) on the same actors — forget them so the
+        # late-duplicate guard in add_events doesn't drop the replay
+        self._finalized.clear()
 
     def _cache_put(self, part: int, entry: tuple, nbytes: int) -> None:
         self.cache[part] = entry
@@ -579,6 +647,7 @@ class MergerActor:
 
         stats_rows = []
         round_buf = self.buf.pop(round_id, {})
+        self._finalized.add(round_id)
         for t_idx in sorted(round_buf):
             bufs = round_buf[t_idx]
             if not bufs:
@@ -1071,6 +1140,27 @@ class Engine:
             stats = self._run_direct(paths, schema_str, nparts, round_id, lo)
             return self._commit(files, round_id, schema, stats, t0, audit=audit)
 
+        # Dataset-path constraint (tables.py documents it; ENFORCE it): the
+        # groupby exchange conforms derived batches to the PRIMARY round
+        # schema so the union is homogeneous — a derived table introducing
+        # NOVEL payload columns (e.g. a fingerprint) would have them
+        # silently nulled. Those tables need the direct exchange.
+        if len(self.tables) > 1:
+            meta = self._tables_meta(schema_str)
+            primary_names = set(schema.names)
+            for i, spec_t in enumerate(self.tables[1:], start=1):
+                extra = [
+                    n
+                    for n in L._schema_from_str(meta[i][0]).names
+                    if n not in primary_names
+                ]
+                if extra:
+                    raise ValueError(
+                        f"derived table {spec_t.name!r} introduces column(s) "
+                        f"{extra} not in the primary schema — the "
+                        f"'{self.exchange}' exchange would silently null "
+                        "them; use exchange='direct' for this table set"
+                    )
         ds = ray.data.read_parquet(paths)
         ds = ds.map_batches(
             _Normalize(
@@ -1244,16 +1334,20 @@ class Engine:
                 i, _, from_spec = next(e for e in entries if e[1] == ref)
                 try:
                     res = ray.get(ref)
-                except Exception:
+                except Exception as exc:
                     if from_spec:
                         # twin died/failed: forget it, keep the original
                         spec.pop(i, None)
                         continue
-                    if i in spec:
+                    if i in spec and self._failure_is_retriable(exc):
                         # original died but a twin is racing: drop the
                         # original and let the twin decide the slot
                         pending.pop(i, None)
                         continue
+                    # a NON-retriable application error (bad data, logic
+                    # bug) must surface now — the twin will deterministically
+                    # fail the same way, and swallowing it here would burn
+                    # round retries and report a misleading timeout
                     raise
                 if i in out:
                     continue
@@ -1796,6 +1890,10 @@ class Engine:
                 refs, paths_p, schema_str_p, self.lake.num_partitions, rid,
                 lo_p, exp_p,
             )
+            # EWMA rebalance runs on the FLAGSHIP pipelined path too, not
+            # only the sequential apply_round path — skew handling must
+            # live where apply_log/stream.follow actually execute
+            self._update_balance(stats)
             results.append(self._commit(files_p, rid, schema, stats, t0))
             pending = None
 

@@ -561,6 +561,36 @@ def test_error_policy_record_diverts_bad_rows(ray_session, tmp_path, make_lake):
 
 # -- reorg detection (no explicit rollback event) --------------------------
 
+def test_implicit_reorg_multi_epoch_rounds(ray_session, tmp_path, make_lake):
+    """Implicit reorg with epochs_per_round=2: the implied rollback target
+    can land MID-round unless planning closes a round exactly at every
+    implied boundary — previously Lake.rollback raised 'not a committed
+    round boundary' and the whole replay crashed."""
+    # the orphaned epoch is ODD-positioned (3) so the implied target
+    # (epoch 2's high water) falls inside the would-be round [2,3] —
+    # an even-positioned orphan happens to align with a group boundary
+    # and never triggers the bug
+    spec = gen.GenSpec(
+        seed=92, n_convs=120, mean_turns=6, n_epochs=6,
+        rollback_epochs=(3,), implicit_reorg=True,
+    )
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=8, undo_window=16, merge_actors=1)
+    results = eng.apply_log(log, epochs_per_round=2)
+    assert any("rollback" in str(r.get("round_id")) for r in results)
+
+    events = load_log_df(log)
+    expect = oracle.replay(events[events["epoch"] != 3])
+    got = eng.read_lake_pandas()[expect.columns.tolist()].reset_index(drop=True)
+    for c in ("turn_idx", "cursor"):
+        got[c] = got[c].astype("int64")
+        expect[c] = expect[c].astype("int64")
+    got["seq"] = got["seq"].astype("int32")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    eng.close()
+
+
 def test_implicit_reorg_detected_and_repaired(ray_session, tmp_path, make_lake):
     """The canonical range is re-emitted WITHOUT a rollback event (the
     reference's consensus-check scenario: a parent-hash break detected
