@@ -176,6 +176,10 @@ def read_ranged_csv(paths_or_dir, lo: int | None = None, hi: int | None = None):
         if m and hi is not None and int(m.group(1)) > hi:
             continue
         kept.append(p)
+    if not kept:
+        # every file pruned: a past-the-data range probe is a normal
+        # query and must yield 0 rows, not read_*([])'s ValueError
+        return ray.data.from_items([])
     ds = ray.data.read_csv(kept)
     if lo is not None or hi is not None:
         import pyarrow.compute as pc
@@ -223,6 +227,10 @@ def read_ranged_json(
         if m and hi is not None and int(m.group(1)) > hi:
             continue
         kept.append(p)
+    if not kept:
+        # every file pruned: a past-the-data range probe is a normal
+        # query and must yield 0 rows, not read_*([])'s ValueError
+        return ray.data.from_items([])
     ds = ray.data.read_json(kept)
     if lo is not None or hi is not None or parse_ts:
         import pyarrow.compute as pc
@@ -287,6 +295,10 @@ def read_ranged_orc(paths_or_dir, lo: int | None = None, hi: int | None = None):
             # rows_per_file-bounded by construction) and read zero-copy
             yield _orc.ORCFile(pa.BufferReader(f.read())).read()
 
+    if not kept:
+        # every file pruned: a past-the-data range probe is a normal
+        # query and must yield 0 rows, not read_*([])'s ValueError
+        return ray.data.from_items([])
     ds = ray.data.read_datasource(_ORCSource(kept))
     if lo is not None or hi is not None:
         import pyarrow.compute as pc
@@ -451,7 +463,11 @@ def export_incremental(
     rounds = lake.manifest["committed_rounds"]
     os.makedirs(out_dir, exist_ok=True)
     state_path = os.path.join(out_dir, _STATE_FILE)
-    tbl = table or "transcripts"
+    # resolve through the engine's table registry (as consumer_poll/ack
+    # do): labeling the default feed by a name the table does NOT have
+    # would make table=None and table='<primary>' look like two different
+    # feeds and trip ExportTableMismatchError on the second call
+    tbl = engine.tables[engine._table_index(table)].name
     state = {"last_round": None, "windows": [], "table": tbl}
     if os.path.exists(state_path):
         with open(state_path) as f:
@@ -552,6 +568,10 @@ def read_ranged_ipc(paths_or_dir, lo: int | None = None, hi: int | None = None):
             # file (files are rows_per_file-bounded by the exporter)
             yield _ft.read_table(pa.BufferReader(f.read()))
 
+    if not kept:
+        # every file pruned: a past-the-data range probe is a normal
+        # query and must yield 0 rows, not read_*([])'s ValueError
+        return ray.data.from_items([])
     ds = ray.data.read_datasource(_IPCSource(kept))
     if lo is not None or hi is not None:
         import pyarrow.compute as pc
@@ -746,15 +766,17 @@ def replicate_lake(
             "refusing to interleave feeds; use a distinct consumer/replica "
             "per source"
         )
-    if st.get("last_round") is not None and (
-        not journal0 or not dst.lake.manifest["committed_rounds"]
-    ):
+    # The journal, not dst's round count, is the delivery record: a
+    # sharded replica can legitimately receive only EMPTY windows (no key
+    # hashes to its shard), committing no dst round while the journal
+    # advances — requiring committed rounds here would wedge it forever.
+    if st.get("last_round") is not None and not journal0:
         raise ValueError(
             f"consumer {consumer!r} is anchored at {st['last_round']!r} "
             "on the source, but the destination lake has no mirror "
-            "journal/committed rounds for it — this dst never received "
-            "the bootstrap window. Use a new consumer name for a new "
-            "replica, or consumer_reset() after destroying the old one."
+            "journal for it — this dst never received the bootstrap "
+            "window. Use a new consumer name for a new replica, or "
+            "consumer_reset() after destroying the old one."
         )
 
     applied = []
@@ -784,7 +806,33 @@ def replicate_lake(
             _mirror_journal_write(dst, consumer, ents)
 
         if rid in dst.lake.committed_round_ids():
-            # crash-between-commit-and-ack replay: already applied
+            # Same-epoch does NOT always mean same-window: a src rollback
+            # truncates the ledger suffix and a recommit REUSES the ledger
+            # position, so this committed dst epoch may hold rolled-back
+            # rows from a different src round. The journal knows which src
+            # round cut this epoch — a mismatch means stale data, which
+            # must be repaired (or surfaced), never silently skip-and-ack.
+            ent = next(
+                (
+                    e
+                    for e in _mirror_journal(dst, consumer)
+                    if e["epoch"] == epoch
+                ),
+                None,
+            )
+            if ent is not None and ent.get("src_round") != win["ack_round"]:
+                if on_rollback == "repair" and repaired is None:
+                    repaired = _repair_replica(src, dst, consumer, table=table)
+                    continue
+                raise ValueError(
+                    f"replica epoch {epoch} was cut at src round "
+                    f"{ent.get('src_round')!r} but the source's ledger now "
+                    f"has {win['ack_round']!r} at that position — a src "
+                    "rollback reused the position; rerun with "
+                    "on_rollback='repair' to roll the replica back and "
+                    "resync"
+                )
+            # true crash-between-commit-and-ack replay: already applied
             journal()
             src.consumer_ack(consumer, win["ack_round"], table=table)
             continue
@@ -850,15 +898,39 @@ def consolidate_lakes(sources: dict, dst, consumer: str = "fanin") -> dict:
     source, sorted-name order) so replica round ids never collide.
     Exactly-once per leg exactly as :func:`replicate_lake`. Incremental:
     re-running consolidates only each source's new windows."""
-    out = {}
-    for si, name in enumerate(sorted(sources)):
+    # Per-source epoch bases are PERSISTED in the destination: deriving
+    # them from the current call's sorted position would shift every later
+    # source's namespace when a source is added — colliding its round ids
+    # with another source's already-committed rounds, which the epoch
+    # fence would then silently skip-and-ack (data loss).
+    import json as _json
+
+    bases_path = os.path.join(dst.lake.root, f"_fanin_{consumer}_bases.json")
+    bases: dict = {}
+    if os.path.exists(bases_path):
+        with open(bases_path) as fh:
+            bases = _json.load(fh)
+    changed = False
+    for name in sorted(sources):
         if "/" in name:
             raise ValueError(f"source name {name!r} must not contain '/'")
+        if name not in bases:
+            nxt = max([0] + list(bases.values())) + _FANIN_EPOCH_SPAN
+            bases[name] = nxt
+            changed = True
+    if changed:
+        tmp = f"{bases_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(bases, fh)
+        os.replace(tmp, bases_path)
+
+    out = {}
+    for name in sorted(sources):
         out[name] = replicate_lake(
             sources[name],
             dst,
             consumer=f"{consumer}-{name}",
             key_prefix=f"{name}/",
-            epoch_base=(si + 1) * _FANIN_EPOCH_SPAN,
+            epoch_base=bases[name],
         )
     return out

@@ -88,6 +88,11 @@ def follow(
         # apply_log handles fencing/rollbacks; restrict to the watermark by
         # applying only the ready prefix (epoch files are append-only)
         if batcher is not None:
+            # rounds that COMMIT inside a failing apply call must still be
+            # reported (the retry sees them as skipped and they'd vanish
+            # from results/max_rounds accounting) — recover them from the
+            # ledger, which records every committed round with its metrics
+            pre_ids = engine.lake.committed_round_ids()
             try:
                 batch = engine.apply_log_files(
                     ready, epochs_per_round=batcher.size
@@ -95,6 +100,17 @@ def follow(
             except BaseException as exc:  # noqa: BLE001 - policy classifies
                 if not batcher.failure(exc):
                     raise
+                for r in engine.lake.manifest["committed_rounds"]:
+                    if r["round_id"] not in pre_ids:
+                        results.append(
+                            {
+                                "round_id": r["round_id"],
+                                "skipped": False,
+                                "n_events": r.get("metrics", {}).get(
+                                    "n_events", 0
+                                ),
+                            }
+                        )
                 continue  # retry the poll with the halved round width
             batcher.success()
         else:

@@ -1334,7 +1334,7 @@ def test_incremental_export_exactly_once(ray_session, tmp_path, make_lake):
     with open(state_path, "w") as f:
         _json.dump(rewound, f)
     stale = os.path.join(
-        out, f"transcripts-chg-{r2['window'][0]:06d}-"
+        out, f"turns-chg-{r2['window'][0]:06d}-"
              f"{r2['window'][1] - 1:06d}-0-0-f00000.parquet"
     )
     with open(stale, "wb") as f:
@@ -1961,6 +1961,56 @@ def test_replica_offset_dst_fence(ray_session, tmp_path, make_lake):
     with pytest.raises(ValueError, match="different source lake"):
         replicate_lake(src2, dst2, consumer="m2")
     src2.close(); dst2.close()
+
+
+def test_sharded_replica_empty_windows_not_wedged(ray_session, tmp_path,
+                                                  make_lake):
+    """A key-sharded replica whose windows land ZERO rows commits no dst
+    round but its journal advances — the anchored-consumer fence must
+    trust the JOURNAL, not dst's round count, or the replica wedges
+    permanently after its first empty window."""
+    from raycdc.exporters import replicate_lake
+
+    spec = gen.GenSpec(seed=96, n_convs=30, mean_turns=4, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    src = make_lake(num_partitions=4, merge_actors=1)
+    src.apply_log(log)
+    dst = Engine(str(tmp_path / "rep"), num_partitions=4, merge_actors=1)
+    # a shard modulus far above the conv count guarantees SOME shard gets
+    # zero keys; find one empirically
+    import numpy as _np
+    import pyarrow as _pa
+
+    from raycdc import partition as _P
+
+    keys = src.read_lake_pandas()["conv_id"].unique()
+    hashes = _P.hash_conv(_pa.array(keys), 2) % _np.uint64(64)
+    empty_shard = next(i for i in range(64) if i not in set(int(h) for h in hashes))
+    out1 = replicate_lake(src, dst, consumer="s", shard=(empty_shard, 64))
+    assert out1["windows"] == 1
+    assert not dst.lake.manifest["committed_rounds"]  # nothing landed
+    # second tick: previously raised "never received the bootstrap window"
+    out2 = replicate_lake(src, dst, consumer="s", shard=(empty_shard, 64))
+    assert out2["windows"] == 0  # caught up, no error
+    src.close(); dst.close()
+
+
+def test_ranged_readers_fully_pruned_return_empty(ray_session, tmp_path,
+                                                  make_lake):
+    """A cursor-range probe beyond the exported data prunes EVERY file —
+    the readers must return an empty dataset, not crash on read_*([])."""
+    from raycdc.exporters import export_ranged, read_ranged_csv
+
+    spec = gen.GenSpec(seed=97, n_convs=20, mean_turns=4, n_epochs=2)
+    log = str(tmp_path / "log")
+    gen.write_change_log(spec, log)
+    eng = make_lake(num_partitions=4, merge_actors=1)
+    eng.apply_log(log)
+    out = str(tmp_path / "csv")
+    export_ranged(eng.read_lake(include_system=True), out, fmt="csv")
+    assert read_ranged_csv(out, lo=10**9).count() == 0
+    eng.close()
 
 
 def test_branch_failure_leaves_no_partial_dest(tmp_path, make_lake,
