@@ -64,6 +64,8 @@ class AdaptiveBatcher:
     ):
         if size < 1 or floor < 1 or size < floor:
             raise ValueError("need size >= floor >= 1")
+        if cap is not None and cap < size:
+            raise ValueError("need cap >= size (cap is the hard ceiling)")
         self.size = size
         self.floor = floor
         self.cap = cap if cap is not None else size
@@ -81,11 +83,13 @@ class AdaptiveBatcher:
         if self.size > self.floor:
             self.size = max(self.floor, self.size // 2)
             self._floor_failures = 0
+            self.history.append(("halve", self.size))
         else:
             self._floor_failures += 1
             if self._floor_failures >= self.give_up:
                 return False  # floor-sized batches keep dying: surface it
-        self.history.append(("halve", self.size))
+            # width did NOT change: record a floor-stall retry, not a halve
+            self.history.append(("floor_retry", self.size))
         return True
 
     def success(self) -> None:

@@ -369,9 +369,11 @@ class _Normalize:
                     self.lake_root, self.round_id, bad, "malformed_change_row"
                 )
         else:
+            from raycdc.errors import VALID_OPS
+
             ok = pc.is_in(
                 batch.column("op"),
-                value_set=pa.array(["insert", "update", "delete"]),
+                value_set=pa.array(list(VALID_OPS)),
             )
             if not pc.all(ok).as_py():
                 bad = batch.filter(pc.invert(ok)).column("op").to_pylist()[:3]

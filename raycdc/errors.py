@@ -22,11 +22,15 @@ import pyarrow.parquet as pq
 
 ERROR_DIR = "errors"
 
+# the one valid-op value set — shared with engine.py's strict-mode check so
+# record mode and fail mode can never disagree about what is malformed
+VALID_OPS = ("insert", "update", "delete")
+
 
 def split_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(good, bad): bad = unknown op OR null key column."""
     ok = pc.is_in(
-        batch.column("op"), value_set=pa.array(["insert", "update", "delete"])
+        batch.column("op"), value_set=pa.array(list(VALID_OPS))
     )
     ok = pc.and_(ok, pc.invert(pc.is_null(batch.column("conv_id"))))
     ok = pc.and_(ok, pc.invert(pc.is_null(batch.column("turn_idx"))))
@@ -40,7 +44,7 @@ def record_bad_rows(lake_root: str, round_id: str, bad: pa.Table, reason: str) -
     os.makedirs(os.path.join(lake_root, ERROR_DIR), exist_ok=True)
     digest = hashlib.sha1(
         (round_id + "|" + reason + "|" + str(bad.num_rows) + "|"
-         + str(bad.column("cursor").to_pylist()[:64])).encode()
+         + str(bad.column("cursor").slice(0, 64).to_pylist())).encode()
     ).hexdigest()[:12]
     bad = bad.append_column(
         "error_reason", pa.array([reason] * bad.num_rows, pa.string())
@@ -53,7 +57,15 @@ def record_bad_rows(lake_root: str, round_id: str, bad: pa.Table, reason: str) -
 
 
 def read_errors(lake_root: str):
-    """All recorded error rows as a Dataset (empty list -> None)."""
+    """All recorded error rows as a Dataset (empty list -> None).
+
+    Delivery semantics are AT-LEAST-ONCE, like any dead-letter channel: a
+    round that fails mid-push and is retried (possibly re-split, possibly
+    under a narrower adaptive round id) may re-record the same bad rows
+    under a different file name. Rows cannot be deduplicated here without
+    breaking the oracle contract (at-least-once DUPLICATE events in the
+    log are distinct occurrences sharing (cursor, seq)), so consumers that
+    need exactly-once must dedup on their own identity columns."""
     import glob
 
     import ray.data

@@ -86,9 +86,21 @@ _HANDLES: dict = {}
 
 def shared_kv(name: str = KV_NAME):
     """The cluster's shared KV actor: created on first ask, joined by
-    every later ask of the same name (any process on the cluster)."""
+    every later ask of the same name (any process on the cluster).
+
+    A CACHED handle is health-checked before reuse: a non-detached named
+    actor dies with its owner (or with a ray.shutdown()/init cycle), and
+    returning the stale handle would wedge this process on RayActorError
+    forever when one get_if_exists call would mint a working replacement."""
+    import ray as _ray
+
     h = _HANDLES.get(name)
-    if h is None:
-        h = _actor_cls().options(name=name, get_if_exists=True).remote()
-        _HANDLES[name] = h
+    if h is not None:
+        try:
+            _ray.get(h.stats.remote(), timeout=10)
+            return h
+        except Exception:
+            _HANDLES.pop(name, None)
+    h = _actor_cls().options(name=name, get_if_exists=True).remote()
+    _HANDLES[name] = h
     return h

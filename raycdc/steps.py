@@ -149,7 +149,20 @@ class Pipeline:
         insts = [self._instantiate(cls) for cls in order]
         ns = dict(tables)
         if force_filter_mode or (bool(insts) and all(s.is_filter for s in insts)):
-            for tbl, expr in self._union_filters(insts, available).items():
+            union = self._union_filters(insts, available)
+            if not force_filter_mode:
+                # AUTO mode is union-of-WANTS: a filter step reading table
+                # t WITHOUT declaring a predicate for t wants ALL of t —
+                # pushing another step's predicate at it would silently
+                # narrow its input. (FORCED mode is the caller's explicit
+                # override: every step reads the union slice, declared or
+                # not — the reference's force_filter_mode semantics.)
+                for inst in insts:
+                    declared = set((inst.source_filter() or {}))
+                    for tbl in type(inst).inputs:
+                        if tbl in union and tbl not in declared:
+                            del union[tbl]
+            for tbl, expr in union.items():
                 ns[tbl] = ns[tbl].filter(expr=expr)
         for inst in insts:
             cls = type(inst)
@@ -157,6 +170,13 @@ class Pipeline:
             unexpected = set(produced) - set(cls.outputs)
             if unexpected:
                 raise ValueError(f"{cls.__name__} produced undeclared {unexpected}")
+            missing = set(cls.outputs) - set(produced)
+            if missing:
+                # fail at the culprit, not as a bare KeyError downstream
+                raise ValueError(
+                    f"{cls.__name__} declared but did not produce "
+                    f"{sorted(missing)}"
+                )
             ns.update(produced)
         return {o: ns[o] for o in wanted_outputs}
 
