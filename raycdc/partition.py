@@ -75,8 +75,13 @@ def _hash_v2_string(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     starts, ends = offs[:-1], offs[1:]
     lens = ends - starts
     out = _LEN_MULT * lens.astype(np.uint64)
-    if len(data) == 0:  # all-empty/null column: length term only
-        return _mix(out)
+    if len(data) == 0:
+        # all-empty/null column: the general path below would add the pad
+        # contribution (byte 0 + 1) * _MULT[j] for EVERY suffix position —
+        # a constant sum(_MULT) per element. Add it here too, or the hash
+        # of '' depends on batch composition (and disagrees with the SQL
+        # mirror, which always computes the mixed-batch value).
+        return _mix(out + _MULT.sum(dtype=np.uint64))
     # pad with one zero byte: positions past a value's start gather the pad
     # and contribute a constant — a pure function of the value's LENGTH,
     # which the length term already encodes, so the hash stays a pure
@@ -98,6 +103,12 @@ def _hash_v2(vals) -> np.ndarray:
             return _hash_v2_string(vals)
         if pa.types.is_integer(t):
             a = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            if a.null_count:
+                # null → float NaN → astype(uint64) is UNDEFINED and
+                # platform-dependent; routing must be deterministic, so a
+                # null key that reached the hash is a hard error (record
+                # mode filters them out before assignment)
+                raise ValueError("null integer key column in partition hash")
             return _mix(
                 a.cast(pa.int64())
                 .to_numpy(zero_copy_only=False)
@@ -140,10 +151,13 @@ def assign_salted(
     stale-event watermark guard in ``engine._PreFold`` makes this path
     correct for arbitrary streams — no stream contract required.)"""
     if isinstance(turn_idx, (pa.Array, pa.ChunkedArray)):
+        if turn_idx.null_count:
+            raise ValueError("null turn_idx in salted partition assignment")
         turn_idx = turn_idx.to_numpy(zero_copy_only=False)
-    h = hash_conv(conv_id, version) * np.uint64(31) + np.asarray(turn_idx).astype(
-        np.uint64
-    )
+    ti = np.asarray(turn_idx)
+    if ti.dtype.kind == "f" and np.isnan(ti).any():
+        raise ValueError("null turn_idx in salted partition assignment")
+    h = hash_conv(conv_id, version) * np.uint64(31) + ti.astype(np.uint64)
     return (h % np.uint64(num_partitions * salt_factor)).astype(np.int32)
 
 

@@ -111,10 +111,15 @@ def simhash64(texts: np.ndarray) -> np.ndarray:
     canonical zero signature. The SQL twin is
     ``raycdc.queries.neardup.simhash_sig_cte`` (same family, same votes).
     """
+    from raycdc import textkit as _T
+
     toks_per_doc: list = []
     bounds = [0]
     for t in texts:
-        toks_per_doc.extend(t.split())
+        # textkit tokenization, NOT str.split(): str.split() honors ALL
+        # Unicode whitespace while the SQL twin (and every other kernel)
+        # splits on the ASCII class — they diverge on \x0b / NBSP etc.
+        toks_per_doc.extend(_T.py_tokens(t))
         bounds.append(len(toks_per_doc))
     n = len(texts)
     if not toks_per_doc:
@@ -157,9 +162,13 @@ def window_min_hash(texts: list, w: int, s: int) -> np.ndarray:
     L = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     nwin = np.maximum(L - w, 0) // s + 1
     nmax = int(nwin.max())
+    # each term is < 2^52 (pows are mod P < 2^51, chars < 2^21), so the
+    # un-modded accumulator holds w terms < w·2^52 — w must stay well
+    # under 2^12 or the uint64 sum silently wraps before the single mod
+    assert w < 4096, "window_min_hash: w too large for single-mod accumulation"
     pw = pows(w)
     h = np.zeros((n, nmax), np.uint64)
-    for k in range(w):  # accumulate < nmax·2^52·w — mod once at the end
+    for k in range(w):  # accumulate < w·2^52 — mod once at the end
         h += codes[:, k::s][:, :nmax] * pw[k]
     h %= P
     h[np.arange(nmax)[None, :] >= nwin[:, None]] = np.uint64(1 << 62)

@@ -87,7 +87,7 @@ def unify(a: pa.Schema, b: pa.Schema) -> pa.Schema:
     """
     fields = []
     for f in a:
-        if b.field(f.name) is not None if f.name in b.names else False:
+        if f.name in b.names:
             g = b.field(f.name)
             fields.append(pa.field(f.name, _widen(f.type, g.type)))
         else:
